@@ -1,0 +1,61 @@
+"""Pipeline configuration — one frozen dataclass carrying every knob and the seed.
+
+This is the engine analog of REL's ED ``config`` dict
+(``REL:src/REL/entity_disambiguation.py`` — mode/model_path/hyperparams): every
+tunable lives in one place, is hashable into checkpoint fingerprints
+(see rel_ray.state.manifest), and is deterministic (no wall-clock anywhere).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- global determinism ---
+    seed: int = 42
+
+    # --- normalization (REL:src/REL/utils.py::preprocess_mention analog) ---
+    nfkc: bool = True
+
+    # --- shingling / MinHash / LSH blocking (REL candidate-selection analog:
+    #     REL:src/REL/mention_detection.py::MentionDetectionBase.get_candidates) ---
+    shingle_k: int = 3
+    num_perm: int = 64          # K minhash permutations = bands * band_rows
+    bands: int = 32
+    band_rows: int = 2
+
+    # --- skew control (REL top-100-candidates cap analog:
+    #     REL:src/REL/wikipedia_yago_freq.py) ---
+    block_cap: int = 256        # max records per block considered for pairing
+    max_pairs_per_block: int = 32768
+
+    # --- conversation / context (REL 100-word ctx window analog) ---
+    ctx_turns: int = 2
+    ctx_chars: int = 240
+
+    # --- pair scoring (REL:src/REL/mulrel_ranker.py local score analog) ---
+    w_jaccard: float = 0.45
+    w_jw: float = 0.35
+    w_emb: float = 0.20
+    threshold: float = 0.52     # calibrated on the labels 'calib' split (see eval.py)
+    emb_dim: int = 64
+
+    # --- transitive clustering (REL global-coherence analog) ---
+    max_cc_iters: int = 15
+
+    # --- execution ---
+    batch_size: int = 4096
+    scorer_concurrency: int = 4
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config for checkpoint-manifest lineage."""
+        blob = json.dumps(dataclasses.asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,101 @@
+"""S3–S4: exact pre-clustering + MinHash/LSH blocking (candidate selection).
+
+REL analog: ``REL:src/REL/mention_detection.py::MentionDetectionBase
+.get_candidates`` — a surface-form→candidates prior lookup, capped top-K.
+Here candidates are *generated*: records sharing an LSH band key are candidates.
+
+Scale design (SURVEY §4.3):
+  1. Exact pre-clustering FIRST: records grouped by identical ``mention_norm``;
+     only one representative per exact group enters blocking/pairing. Hot
+     entities whose canonical form repeats 10^6× collapse to one rep. The
+     rep assignment is a vectorized groupby-Min + hash join — no per-group
+     Python.
+  2. Blocks carry only (block_key, record_id, mention_norm): the payload a
+     pair needs is re-derivable from mention_norm, so band-level pair dedup
+     can use vectorized Min aggregates instead of per-group map_groups.
+  3. Singleton blocks (the vast majority of band keys) are dropped by a
+     count-aggregate + inner join BEFORE any per-group pair generation runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import schemas
+from ..config import PipelineConfig
+from ..functions.shingles import band_keys, char_ngram_codes, minhash_signatures
+
+
+def records_stage(ds, cfg: PipelineConfig):
+    """Mention-bearing turns only, with linkage-relevant columns."""
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch.column("mention_norm"), ""))
+        return t.select(
+            ["record_id", "conv_id", "turn_idx", "role", "mention", "mention_norm",
+             "ctx_before", "ctx_after", "coref_prev"]
+        )
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.batch_size)
+
+
+def exact_precluster(records, cfg: PipelineConfig, num_partitions: int = 0):
+    """Attach rep_id = min(record_id) among records with identical mention_norm.
+
+    One sort-shuffle groupby (key = mention_norm), rep computed in-group —
+    no join (see rel_ray.functions.rayutil for why joins are avoided).
+    `num_partitions` kept for API stability; unused.
+    """
+
+    def attach_rep(group: pa.Table) -> pa.Table:
+        rep = pc.min(group.column("record_id")).as_py()
+        return group.append_column(
+            "rep_id", pa.array([rep] * group.num_rows, type=pa.string()))
+
+    return records.groupby("mention_norm").map_groups(
+        attach_rep, batch_format="pyarrow")
+
+
+class BlockKeys:
+    """map_batches: reps → exploded (block_key, record_id, mention_norm) rows.
+
+    Vectorized over the Arrow string buffers: shingle → MinHash → band keys,
+    then per-record unique keys exploded with a single `take`.
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        mn = batch.column("mention_norm")
+        if isinstance(mn, pa.ChunkedArray):
+            mn = mn.combine_chunks()
+        codes, splits = char_ngram_codes(mn, cfg.shingle_k)
+        sig = minhash_signatures(codes, splits, cfg.num_perm, cfg.seed)
+        keys = band_keys(sig, cfg.bands, cfg.band_rows, cfg.seed)  # (n, bands)
+
+        n = keys.shape[0]
+        keys_sorted = np.sort(keys, axis=1)
+        uniq_mask = np.ones_like(keys_sorted, dtype=bool)
+        uniq_mask[:, 1:] = keys_sorted[:, 1:] != keys_sorted[:, :-1]
+        uniq_mask &= keys_sorted != np.uint64(0)  # 0 = empty-text sentinel
+        lens = uniq_mask.sum(axis=1)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        block_key = keys_sorted[uniq_mask]
+
+        taken = batch.select(["record_id", "mention_norm"]).take(pa.array(row_idx))
+        return pa.table(
+            {
+                # int64 bit-view: Ray's hash-shuffle keys don't support uint64
+                "block_key": pa.array(block_key.view(np.int64), type=pa.int64()),
+                "record_id": taken.column("record_id"),
+                "mention_norm": taken.column("mention_norm"),
+            }
+        )
+
+
+def blocking_stage(reps, cfg: PipelineConfig):
+    return reps.map_batches(BlockKeys(cfg), batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=cfg.batch_size)

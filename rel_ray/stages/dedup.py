@@ -1,0 +1,221 @@
+"""Deduplication operators over any (id, text) dataset — the training-data
+pipeline ops (exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard).
+
+These generalize the linkage engine's blocking/pairing/clustering stages to
+arbitrary document tables (`documents.parquet` in the driver fixtures): the
+record-linkage flow *is* near-dedup with a scoring head (SURVEY §2.7).
+
+Scale notes: exact dedup groups on the raw string key (no hash collisions,
+Ray hash-shuffles by key); near-dup reuses exact pre-clustering so verbatim
+duplicates collapse before any pair is generated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import PipelineConfig
+from ..functions.normalize import normalize_strings
+from ..functions.shingles import (
+    char_ngram_codes,
+    exact_jaccard_sorted,
+    unique_shingle_sets,
+)
+from .blocking import blocking_stage, exact_precluster
+from .clustering import connected_components, expand_clusters
+from .pairs import pairs_stage
+
+
+def exact_dedup(ds, *, id_col: str, text_col: str):
+    """Survivor id = min(id) per identical text. Vectorized groupby aggregate.
+
+    Oracle-SQL equivalent: SELECT min(id) AS id FROM t GROUP BY text.
+    """
+    surv = ds.groupby(text_col).min(id_col)
+    return surv.map_batches(
+        lambda t: t.rename_columns([text_col, id_col]).select([id_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _as_records(ds, *, id_col: str, text_col: str, cfg: PipelineConfig):
+    """Adapt any (id, text) dataset to the linkage RECORDS_WIDE shape."""
+    def adapt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.array([""] * n, type=pa.string())
+        mention = pc.cast(t.column(text_col), pa.string())
+        return pa.table({
+            "record_id": pc.cast(t.column(id_col), pa.string()),
+            "conv_id": empty,
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+            "role": empty,
+            "mention": mention,
+            "mention_norm": normalize_strings(mention, nfkc=cfg.nfkc),
+            "ctx_before": empty,
+            "ctx_after": empty,
+            "coref_prev": empty,
+        })
+    return ds.map_batches(adapt, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=cfg.batch_size)
+
+
+class JaccardVerifier:
+    """Actor-pool pair verifier: exact char-n-gram Jaccard ≥ threshold.
+
+    The near-dup analog of the linkage PairScorer: LSH proposes, exact
+    verifies (MinHash is the sketch, never the decision)."""
+
+    def __init__(self, cfg: PipelineConfig, threshold: float):
+        self.cfg = cfg
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        out_j = np.zeros(batch.num_rows, dtype=np.float32)
+        mn_a = batch.column("mn_a")
+        mn_b = batch.column("mn_b")
+        if isinstance(mn_a, pa.ChunkedArray):
+            mn_a = mn_a.combine_chunks()
+        if isinstance(mn_b, pa.ChunkedArray):
+            mn_b = mn_b.combine_chunks()
+        ca, sa = char_ngram_codes(mn_a, cfg.shingle_k)
+        cb, sb = char_ngram_codes(mn_b, cfg.shingle_k)
+        ua = unique_shingle_sets(ca, sa)
+        ub = unique_shingle_sets(cb, sb)
+        va, oa = np.asarray(ua.values, dtype=np.uint64), np.asarray(ua.offsets, dtype=np.int64)
+        vb, ob = np.asarray(ub.values, dtype=np.uint64), np.asarray(ub.offsets, dtype=np.int64)
+        for i in range(batch.num_rows):
+            out_j[i] = exact_jaccard_sorted(va[oa[i]:oa[i + 1]], vb[ob[i]:ob[i + 1]])
+        return pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "sim_jaccard": pa.array(out_j),
+            "is_match": pa.array(out_j >= np.float32(self.threshold)),
+        })
+
+
+def near_dedup_minhash(ds, *, id_col: str, text_col: str,
+                       cfg: PipelineConfig, threshold: float = 0.7,
+                       num_partitions: int = 8):
+    """MinHash/LSH blocking → windowed pairs → exact-Jaccard verify → CC.
+
+    Returns (record_id, cluster_id): docs sharing a cluster are near-dups;
+    survivors are the cluster representatives (min id).
+    """
+    records = _as_records(ds, id_col=id_col, text_col=text_col, cfg=cfg)
+    records = exact_precluster(records, cfg, num_partitions).materialize()
+    reps = records.map_batches(
+        lambda t: t.filter(pc.equal(t.column("record_id"), t.column("rep_id"))).select(
+            ["record_id", "mention_norm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    blocks = blocking_stage(reps, cfg)
+    pairs = pairs_stage(blocks, cfg, num_partitions)
+    edges = pairs.map_batches(
+        JaccardVerifier, fn_constructor_args=(cfg, threshold),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=cfg.batch_size, concurrency=(1, 2))
+    matched = edges.map_batches(
+        lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rep_clusters = connected_components(reps, matched, cfg, num_partitions)
+    return expand_clusters(records, rep_clusters, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_column(texts: pa.Array, k: int = 3) -> np.ndarray:
+    """64-bit SimHash per string from char-k-gram hashes (vectorized).
+
+    sim(x,y) ≈ 1 - hamming(simhash(x), simhash(y))/64.
+    """
+    codes, splits = char_ngram_codes(texts, k)
+    n = len(splits) - 1
+    bits = np.unpackbits(codes.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32) * 2 - 1
+    acc = np.zeros((n, 64), dtype=np.int64)
+    lens = splits[1:] - splits[:-1]
+    nonempty = np.nonzero(lens > 0)[0]
+    if len(nonempty):
+        acc[nonempty] = np.add.reduceat(bits, splits[:-1][nonempty], axis=0)
+    words = (acc > 0).astype(np.uint8)
+    return np.packbits(words, axis=1, bitorder="little").view(np.uint64).ravel()
+
+
+class SimHashStage:
+    """map_batches: add int64 `simhash` column (bit-view for shuffle keys)."""
+
+    def __init__(self, text_col: str, k: int = 3):
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch.column(self.text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        sh = simhash_column(t, self.k)
+        return batch.append_column("simhash", pa.array(sh.view(np.int64)))
+
+
+def near_dedup_simhash(ds, *, id_col: str, text_col: str, max_hamming: int = 3,
+                       num_partitions: int = 8, cfg: PipelineConfig | None = None):
+    """SimHash near-dup: band the 64-bit simhash into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), block on chunks,
+    verify hamming within blocks, CC over matches."""
+    from ..config import DEFAULT_CONFIG
+    cfg = cfg or DEFAULT_CONFIG
+
+    with_sh = ds.map_batches(SimHashStage(text_col), batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = np.asarray(t.column("simhash").combine_chunks()
+                        if isinstance(t.column("simhash"), pa.ChunkedArray)
+                        else t.column("simhash"), dtype=np.int64).view(np.uint64)
+        ids = pc.cast(t.column(id_col), pa.string())
+        n = len(sh)
+        keys, rows = [], []
+        for c in range(4):
+            chunk = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            keys.append(chunk + (c << 16))
+            rows.append(np.arange(n))
+        return pa.table({
+            "block_key": pa.array(np.concatenate(keys)),
+            "record_id": ids.take(pa.array(np.concatenate(rows))),
+            "simhash": pa.array(np.concatenate([sh.view(np.int64)] * 4)),
+        })
+
+    blocks = with_sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_gen(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("record_id", "ascending")])
+        ids = g.column("record_id").to_pylist()
+        sh = np.asarray(g.column("simhash"), dtype=np.int64).view(np.uint64)
+        n = len(ids)
+        ia, ib = [], []
+        cap = min(n, 512)
+        for i in range(cap):
+            for j in range(i + 1, cap):
+                if ids[i] == ids[j]:
+                    continue
+                ham = bin(int(sh[i] ^ sh[j])).count("1")
+                if ham <= max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    ia.append(a)
+                    ib.append(b)
+        return pa.table({"id_a": pa.array(ia, type=pa.string()),
+                         "id_b": pa.array(ib, type=pa.string())})
+
+    edges = blocks.groupby("block_key").map_groups(pair_gen, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+    edges = edges.groupby(["id_a", "id_b"]).aggregate(Count()).map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    nodes = ds.map_batches(
+        lambda t: pa.table({"record_id": pc.cast(t.column(id_col), pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cc = connected_components(nodes, edges, cfg, num_partitions)
+    return cc

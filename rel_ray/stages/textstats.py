@@ -1,0 +1,148 @@
+"""Text analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting. All vectorized map_batches
+stages over Arrow string columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import splitmix64
+from ..functions.normalize import token_counts
+from ..functions.shingles import char_ngram_codes
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic —
+# deterministic, no model artifact
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "con", "por", "para"],
+    "it": ["il", "la", "che", "di", "non", "una", "per", "sono", "con", "del"],
+}
+
+
+def _marker_counts(arr: pa.Array, words: list[str]) -> np.ndarray:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    c = pc.count_substring_regex(pc.utf8_lower(arr), pattern=pat)
+    return np.asarray(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
+                      dtype=np.float64)
+
+
+def lang_id(arr: pa.Array) -> pa.Array:
+    """Argmax language over stopword-marker hit counts; 'und' when no hits."""
+    langs = list(_LANG_MARKERS)
+    counts = np.stack([_marker_counts(arr, _LANG_MARKERS[l]) for l in langs])
+    best = counts.argmax(axis=0)
+    nohit = counts.max(axis=0) == 0
+    out = np.array(langs, dtype=object)[best]
+    out[nohit] = "und"
+    return pa.array(out, type=pa.string())
+
+
+def quality_features(arr: pa.Array) -> pa.Table:
+    """Length / punctuation / stopword / word-length features + a composite
+    quality score in [0,1]. All double-precision pyarrow+numpy (so the DuckDB
+    oracle can reproduce values bit-for-bit with the same formulas)."""
+    n_chars = np.asarray(pc.utf8_length(arr), dtype=np.float64)
+    n_tok = np.asarray(token_counts(arr), dtype=np.float64)
+    stripped = pc.replace_substring_regex(arr, r"[^\w\s]", "")
+    n_punct = n_chars - np.asarray(pc.utf8_length(stripped), dtype=np.float64)
+    stop = _marker_counts(arr, _LANG_MARKERS["en"])
+
+    safe_chars = np.maximum(n_chars, 1.0)
+    safe_tok = np.maximum(n_tok, 1.0)
+    punct_ratio = n_punct / safe_chars
+    stop_ratio = stop / safe_tok
+    mean_word_len = (n_chars - (n_tok - 1).clip(min=0)) / safe_tok
+
+    len_score = np.minimum(n_tok / 20.0, 1.0)
+    punct_score = 1.0 - np.minimum(punct_ratio * 4.0, 1.0)
+    stop_score = np.minimum(stop_ratio * 4.0, 1.0)
+    quality = (len_score + punct_score + stop_score) / 3.0
+    return pa.table({
+        "n_chars": pa.array(n_chars.astype(np.int64)),
+        "n_tokens": pa.array(n_tok.astype(np.int64)),
+        "punct_ratio": pa.array(punct_ratio),
+        "stop_ratio": pa.array(stop_ratio),
+        "mean_word_len": pa.array(mean_word_len),
+        "quality": pa.array(quality),
+    })
+
+
+def bpe_ish_token_count(arr: pa.Array) -> pa.Array:
+    """Approximate subword token count: a GPT-style pre-tokenizer regex
+    (word pieces, numbers, punctuation runs) counted per string."""
+    pat = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"
+    return pc.cast(pc.count_substring_regex(arr, pattern=pat), pa.int32())
+
+
+def fingerprint_winnow(arr: pa.Array, k: int = 5, window: int = 4) -> pa.ListArray:
+    """Winnowing document fingerprints (Schleimer et al. 2003): per string,
+    the set of per-window minima over rolling k-gram hashes, as list<int64>.
+
+    Vectorized rolling-hash; the window-min sweep uses a per-row stride trick.
+    """
+    codes, splits = char_ngram_codes(arr, k)
+    n = len(splits) - 1
+    out_vals: list[np.ndarray] = []
+    out_lens = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        row = codes[splits[i]:splits[i + 1]]
+        if len(row) == 0:
+            continue
+        if len(row) <= window:
+            mins = np.array([row.min()], dtype=np.uint64)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(row, window)
+            mins = np.unique(sw.min(axis=1))
+        out_vals.append(mins)
+        out_lens[i] = len(mins)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=offsets[1:])
+    values = (np.concatenate(out_vals) if out_vals else
+              np.empty(0, dtype=np.uint64))
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()),
+        pa.array(values.view(np.int64), type=pa.int64()))
+
+
+def rolling_text_hash(arr: pa.Array) -> pa.Array:
+    """One order-sensitive 64-bit document hash: splitmix-chained over k-gram
+    hashes (cheap content fingerprint for manifests / change detection)."""
+    codes, splits = char_ngram_codes(arr, 3)
+    n = len(splits) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # order-sensitive: mix position into each code before combining
+        pos = np.concatenate([np.arange(splits[i + 1] - splits[i], dtype=np.uint64)
+                              for i in range(n)]) if len(codes) else codes
+        mixed = splitmix64(codes ^ (pos * np.uint64(0x9E3779B97F4A7C15)))
+        lens = splits[1:] - splits[:-1]
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            out[nonempty] = np.bitwise_xor.reduceat(mixed, splits[:-1][nonempty])
+    return pa.array(out.view(np.int64), type=pa.int64())
+
+
+class TextStats:
+    """map_batches stage: id + full text-analysis column set."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        feats = quality_features(text)
+        out = pa.table({self.id_col: batch.column(self.id_col)})
+        for name in feats.column_names:
+            out = out.append_column(name, feats.column(name))
+        out = out.append_column("lang_pred", lang_id(text))
+        out = out.append_column("n_subtokens", bpe_ish_token_count(text))
+        out = out.append_column("doc_hash", rolling_text_hash(text))
+        return out

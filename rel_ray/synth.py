@@ -1,0 +1,277 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §A).
+
+Pure function of (seed, scale): no wall clock, no global RNG. Produces the
+`transcripts` input table (exact BASELINE.json:input_hint shape), the
+`gold_clusters` golden output, and the `labels` same-block-pair fixture that
+the pairwise-F1 gate (BASELINE.json:metric) evaluates against.
+
+The noise model is calibrated (SURVEY.md §7 hard-list #5) so that variants of
+one entity keep char-3-gram Jaccard far above cross-entity pairs: entity names
+are built from per-entity-disjoint token sets, and variants are edits
+(transposition, truncation-abbreviation, honorific, reorder) that preserve
+most trigrams. `calibration_selftest` asserts the margin.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .functions.shingles import band_keys, char_ngram_codes, minhash_signatures
+
+_SYLLABLES = [
+    "mar", "vok", "tel", "drin", "quol", "zar", "beth", "nim", "falk", "ors",
+    "gwen", "hald", "ixa", "jorn", "kel", "lum", "myr", "nox", "pav", "rud",
+    "sil", "tor", "ulf", "vex", "wyn", "xan", "yil", "zem", "bran", "cyd",
+    "dell", "fen", "gor", "hask", "ivo", "jud", "kron", "lys", "mond", "nash",
+    "ock", "pren", "quib", "rell", "stan", "tuv", "ume", "vor", "wex", "yarrow",
+]
+
+_TEMPLATES = [
+    "ok, i will check with {m} about the schedule tomorrow.",
+    "as discussed, {m} sent the revised draft earlier today.",
+    "can you loop in {m} before we finalize the budget?",
+    "the ticket was reassigned to {m} after the standup.",
+    "per the notes, {m} approved the deployment window.",
+    "we should ask {m} whether the numbers still hold.",
+    "reminder: {m} owns the follow-up on this thread.",
+    "i spoke with {m} and the contract looks fine.",
+    "{m} flagged a regression in the nightly run.",
+    "the review from {m} is still pending, nudge them.",
+    "handing this over to {m} for the final sign-off.",
+    "according to {m}, the vendor call moved to friday.",
+]
+
+_PLAIN = [
+    "sounds good, let's sync later this week.",
+    "no updates on my side for now.",
+    "the pipeline finished without errors overnight.",
+    "let me re-run the numbers and get back to you.",
+    "agreed, we can revisit after the release.",
+    "that matches what i saw in the logs.",
+]
+
+_TOOL_BLOBS = [
+    '{"status": "ok", "rows": 1284, "elapsed_ms": 418}',
+    '{"status": "ok", "result": [1, 2, 3], "cache": true}',
+    '{"status": "error", "code": 503, "retry_in": 30}',
+    '{"status": "ok", "files_changed": 4, "insertions": 122}',
+    '{"status": "ok", "matches": [], "query_ms": 12}',
+    '{"status": "ok", "rows": 0, "elapsed_ms": 7}',
+    '{"status": "pending", "job_id": "j-4821", "eta_s": 90}',
+    '{"status": "ok", "checksum": "9f1a2b", "bytes": 55210}',
+]
+
+_HONORIFICS = ["Dr", "Prof", "Ms", "Mr"]
+
+SCALES = {"tiny": 50, "small": 2000}
+
+
+def _make_entities(rng: np.random.Generator, n_entities: int) -> list[dict]:
+    """Entity registry with pairwise-disjoint token sets and 3-6 variant forms."""
+    used_tokens: set[str] = set()
+    entities = []
+    for e in range(n_entities):
+        tokens = []
+        while len(tokens) < 2:
+            n_syl = int(rng.integers(2, 4))
+            tok = "".join(rng.choice(_SYLLABLES) for _ in range(n_syl))
+            if tok in used_tokens or tok in tokens or len(tok) < 5:
+                continue
+            tokens.append(tok)
+        used_tokens.update(tokens)
+        first, last = (t.capitalize() for t in tokens)
+        canonical = f"{first} {last}"
+        variants = [canonical]
+        # adjacent transposition inside the last token (not first char)
+        i = int(rng.integers(1, len(last) - 1))
+        typo_last = last[:i] + last[i + 1] + last[i] + last[i + 2 :]
+        variants.append(f"{first} {typo_last}")
+        # truncation abbreviation of the first token
+        variants.append(f"{first[:4]}. {last}")
+        # honorific
+        variants.append(f"{rng.choice(_HONORIFICS)} {first} {last}")
+        # token reorder
+        variants.append(f"{last} {first}")
+        # char drop in first token (not first char)
+        j = int(rng.integers(1, len(first)))
+        variants.append(f"{first[:j] + first[j + 1 :]} {last}")
+        n_keep = int(rng.integers(3, len(variants) + 1))
+        entities.append({"entity_id": e, "canonical": canonical, "variants": variants[:n_keep]})
+    return entities
+
+
+def generate_corpus(
+    seed: int = 42,
+    n_convs: int = 2000,
+    n_entities: int | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    max_block_records_for_labels: int = 40,
+) -> dict[str, pa.Table]:
+    """Build transcripts + gold_clusters + labels (+ mentions_truth for debugging)."""
+    rng = np.random.default_rng(seed)
+    if n_entities is None:
+        n_entities = max(20, n_convs // 10)
+    entities = _make_entities(rng, n_entities)
+
+    # Zipf(1.1) popularity over entities (skew stressor, SURVEY §4.3)
+    ranks = np.arange(1, n_entities + 1, dtype=np.float64)
+    zipf_p = ranks ** -1.1
+    zipf_p /= zipf_p.sum()
+
+    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
+    rec_entity: dict[str, int] = {}  # record_id -> entity_id (mention-bearing turns)
+    base_ts = 1_700_000_000_000_000  # fixed epoch micros, not wall clock
+
+    for c in range(n_convs):
+        conv_id = f"c{c:08d}"
+        n_turns = int(2 + min(62, rng.geometric(0.18)))
+        conv_offset = int(rng.integers(0, 10_000)) * 3_600_000_000
+        for t in range(n_turns):
+            r = rng.random()
+            if r < 0.15:
+                role, tool = "tool", str(rng.choice(
+                    ["search", "calc", "db", "files", "mail", "cal", "git", "web", "k8s", "sql"]))
+                blob = str(rng.choice(_TOOL_BLOBS))
+                if rng.random() < 0.1:
+                    blob = blob + " "  # near-verbatim duplicate stressor
+                text = blob
+            elif r < 0.17:
+                role, tool = "system", ""
+                text = "you are a helpful assistant."
+            else:
+                role, tool = ("user", "") if t % 2 == 0 else ("assistant", "")
+                if rng.random() < 0.7:
+                    e = int(rng.choice(n_entities, p=zipf_p))
+                    variant = str(rng.choice(entities[e]["variants"]))
+                    text = str(rng.choice(_TEMPLATES)).format(m=variant)
+                    rec_entity[f"{conv_id}#{t:05d}"] = e
+                else:
+                    text = str(rng.choice(_PLAIN))
+            ts = base_ts + conv_offset + t * 60_000_000
+            if t > 0 and rng.random() < 0.03:
+                ts -= 60_000_000  # tied-ts pair: exercises the (turn_idx, ts, role) tie-break
+            conv_ids.append(conv_id)
+            turn_idxs.append(t)
+            roles.append(role)
+            texts.append(text)
+            tools.append(tool)
+            tss.append(ts)
+
+    n = len(conv_ids)
+    perm = rng.permutation(n)  # rows written in shuffled order: sorting must be real
+    transcripts = pa.table(
+        {
+            "conv_id": pa.array(np.array(conv_ids, dtype=object)[perm], type=pa.string()),
+            "turn_idx": pa.array(np.array(turn_idxs, dtype=np.int32)[perm]),
+            "role": pa.array(np.array(roles, dtype=object)[perm], type=pa.string()),
+            "text": pa.array(np.array(texts, dtype=object)[perm], type=pa.string()),
+            "tool": pa.array(np.array(tools, dtype=object)[perm], type=pa.string()),
+            "ts": pa.array(np.array(tss, dtype=np.int64)[perm], type=pa.timestamp("us")),
+        }
+    )
+
+    # ---- gold clusters: min record_id per entity ----
+    by_entity: dict[int, list[str]] = {}
+    for rid, e in rec_entity.items():
+        by_entity.setdefault(e, []).append(rid)
+    gold_rids, gold_cids = [], []
+    for e, rids in by_entity.items():
+        cid = min(rids)
+        for rid in rids:
+            gold_rids.append(rid)
+            gold_cids.append(cid)
+    gold = pa.table({"record_id": pa.array(gold_rids), "cluster_id": pa.array(gold_cids)})
+
+    # ---- labels: same-block pairs under the shipped blocker config ----
+    rids_sorted = sorted(rec_entity)
+    labels = _build_labels(rids_sorted, rec_entity, transcripts=transcripts, cfg=cfg,
+                           max_block_records=max_block_records_for_labels)
+
+    return {"transcripts": transcripts, "gold_clusters": gold, "labels": labels}
+
+
+def _build_labels(rids_sorted, rec_entity, transcripts, cfg, max_block_records):
+    """Enumerate labeled pairs sharing an LSH block key under `cfg`.
+
+    Uses the SAME kernels the pipeline ships (shingles/minhash/band_keys) so
+    the label set matches BASELINE.json:metric exactly.
+    """
+    from .functions.normalize import extract_mentions, normalize_strings
+
+    # recover each record's text from the (shuffled) transcripts table
+    conv = transcripts.column("conv_id").to_pylist()
+    tidx = transcripts.column("turn_idx").to_pylist()
+    txt = transcripts.column("text").to_pylist()
+    text_of = {f"{c}#{t:05d}": x for c, t, x in zip(conv, tidx, txt)}
+
+    mention_texts = pa.array([text_of[r] for r in rids_sorted], type=pa.string())
+    mentions = extract_mentions(mention_texts)
+    mention_norm = normalize_strings(mentions, nfkc=cfg.nfkc)
+    codes, splits = char_ngram_codes(mention_norm, cfg.shingle_k)
+    sig = minhash_signatures(codes, splits, cfg.num_perm, cfg.seed)
+    keys = band_keys(sig, cfg.bands, cfg.band_rows, cfg.seed)  # (n, bands)
+
+    block: dict[int, list[int]] = {}
+    for i in range(len(rids_sorted)):
+        for k in np.unique(keys[i]):
+            if k == 0:
+                continue
+            block.setdefault(int(k), []).append(i)
+
+    # conv split assignment: calib 30% / test 70%, disjoint conversations
+    def conv_split(rid: str) -> str:
+        h = hash_u32(rid.split("#")[0])
+        return "calib" if h % 10 < 3 else "test"
+
+    seen: set[tuple[int, int]] = set()
+    ia, ib, bk, same, split = [], [], [], [], []
+    for k, members in sorted(block.items()):
+        members = sorted(set(members))[:max_block_records]
+        for x, y in itertools.combinations(members, 2):
+            if (x, y) in seen:
+                continue
+            seen.add((x, y))
+            ra, rb = rids_sorted[x], rids_sorted[y]
+            sa, sb = conv_split(ra), conv_split(rb)
+            if sa != sb:
+                continue
+            ia.append(ra)
+            ib.append(rb)
+            bk.append(k)
+            same.append(rec_entity[ra] == rec_entity[rb])
+            split.append(sa)
+    return pa.table(
+        {
+            "id_a": pa.array(ia, type=pa.string()),
+            "id_b": pa.array(ib, type=pa.string()),
+            "block_key": pa.array(np.array(bk, dtype=np.uint64).view(np.int64)),
+            "same_entity": pa.array(same, type=pa.bool_()),
+            "split": pa.array(split, type=pa.string()),
+        }
+    )
+
+
+def hash_u32(s: str) -> int:
+    """Deterministic string hash (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "little")
+
+
+def write_corpus(out_dir: str, seed: int = 42, n_convs: int = 2000, **kw) -> dict[str, str]:
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    tables = generate_corpus(seed=seed, n_convs=n_convs, **kw)
+    paths = {}
+    for name, t in tables.items():
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(t, p)
+        paths[name] = p
+    return paths

@@ -1,0 +1,106 @@
+"""Known-answer unit tests for the vectorized kernels (FIXTURES.md §A.5)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rel_ray.functions.hashing import U64_MAX, splitmix64
+from rel_ray.functions.normalize import (
+    extract_mentions,
+    normalize_strings,
+    simple_normalize,
+    token_counts,
+)
+from rel_ray.functions.shingles import (
+    band_keys,
+    char_ngram_codes,
+    exact_jaccard_sorted,
+    minhash_signatures,
+    unique_shingle_sets,
+)
+from rel_ray.functions.strsim import jaro_winkler
+
+
+def test_splitmix64_deterministic():
+    x = np.arange(5, dtype=np.uint64)
+    a, b = splitmix64(x), splitmix64(x)
+    assert (a == b).all()
+    assert len(np.unique(a)) == 5
+
+
+def test_char_ngram_codes_layout():
+    arr = pa.array(["abcd", "", "ab", None, "abcd"])
+    codes, splits = char_ngram_codes(arr, 3)
+    assert splits.tolist() == [0, 2, 2, 3, 3, 5]
+    # identical strings → identical shingles
+    assert (codes[0:2] == codes[3:5]).all()
+
+
+def test_minhash_identical_and_empty():
+    arr = pa.array(["the quick brown fox", "", "the quick brown fox"])
+    codes, splits = char_ngram_codes(arr, 3)
+    sig = minhash_signatures(codes, splits, 16, seed=42)
+    assert (sig[0] == sig[2]).all()
+    assert (sig[1] == U64_MAX).all()
+
+
+def test_minhash_estimates_jaccard():
+    a = "marvok teldrin sent the draft"
+    b = "marvok teldrin approved the draft"
+    arr = pa.array([a, b])
+    codes, splits = char_ngram_codes(arr, 3)
+    sets = unique_shingle_sets(codes, splits)
+    s0 = np.asarray(sets[0].values)
+    s1 = np.asarray(sets[1].values)
+    true_j = exact_jaccard_sorted(np.sort(s0), np.sort(s1))
+    sig = minhash_signatures(codes, splits, 256, seed=7)
+    est = (sig[0] == sig[1]).mean()
+    assert abs(est - true_j) < 0.12
+
+
+def test_band_keys_collide_iff_band_equal():
+    arr = pa.array(["abcdefgh", "abcdefgh", "zzzzzzzz"])
+    codes, splits = char_ngram_codes(arr, 3)
+    sig = minhash_signatures(codes, splits, 8, seed=42)
+    keys = band_keys(sig, 4, 2, seed=42)
+    assert (keys[0] == keys[1]).all()
+    assert not (keys[0] == keys[2]).any()
+    # empty text → all-zero sentinel keys
+    c2, s2 = char_ngram_codes(pa.array([""]), 3)
+    k2 = band_keys(minhash_signatures(c2, s2, 8, 42), 4, 2, 42)
+    assert (k2 == 0).all()
+
+
+def test_unique_shingle_sets_sorted_unique():
+    arr = pa.array(["aaaa", "abab"])
+    codes, splits = char_ngram_codes(arr, 3)
+    sets = unique_shingle_sets(codes, splits)
+    v0 = np.asarray(sets[0].values)
+    assert len(v0) == 1  # 'aaa','aaa' dedupes
+    v1 = np.asarray(sets[1].values)
+    assert (np.diff(v1.astype(np.uint64).view(np.uint64)) > 0).all()
+
+
+def test_jaro_winkler_reference_values():
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-2)
+    assert jaro_winkler("", "x") == 0.0
+    assert jaro_winkler("same", "same") == 1.0
+
+
+def test_normalize_strings():
+    out = normalize_strings(pa.array(["  Hello\t WORLD ", "ﬁne"]))
+    assert out.to_pylist() == ["hello world", "fine"]
+    out2 = simple_normalize(pa.array(["  A  B "]))
+    assert out2.to_pylist() == ["a b"]
+
+
+def test_token_counts():
+    assert token_counts(pa.array(["a b  c", "", "   ", "one"])).to_pylist() == [3, 0, 0, 1]
+
+
+def test_extract_mentions():
+    got = extract_mentions(
+        pa.array(["ping Marvok Teldrin today", "no caps", "Dr Gwen Hald spoke", ""])
+    )
+    assert got.to_pylist() == ["Marvok Teldrin", "", "Dr Gwen Hald", ""]

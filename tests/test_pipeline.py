@@ -1,0 +1,42 @@
+"""End-to-end golden gate: pairwise F1 ≥ 0.99 on labeled same-block pairs
+(BASELINE.json:metric), plus blocking-recall and determinism checks."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rel_ray.config import DEFAULT_CONFIG
+from rel_ray.pipelines.eval import pairwise_f1
+from rel_ray.pipelines.linkage import run_linkage
+
+
+@pytest.fixture(scope="module")
+def linkage_result(ray_session, small_corpus):
+    tr = rd.from_arrow(small_corpus["transcripts"])
+    out = run_linkage(tr, DEFAULT_CONFIG, num_partitions=4)
+    return {**out, "clusters": out["clusters"].materialize()}
+
+
+def test_pairwise_f1_gate(linkage_result, small_corpus):
+    labels = rd.from_arrow(small_corpus["labels"])
+    res = pairwise_f1(linkage_result["clusters"], labels, split="test",
+                      num_partitions=4)
+    assert res["n_pairs"] > 1000
+    assert res["f1"] >= 0.99, res
+
+
+def test_all_gold_records_clustered(linkage_result, small_corpus):
+    gold = small_corpus["gold_clusters"]
+    got = {r["record_id"] for r in linkage_result["clusters"].take_all()}
+    missing = set(gold.column("record_id").to_pylist()) - got
+    assert not missing
+
+
+def test_cluster_ids_are_min_member(linkage_result):
+    rows = linkage_result["clusters"].take_all()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["record_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
