@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in rel_ray) calls ``ray.init()`` / ``ray.shutdown()`` —
+only bench.py, CLI entry points and the pytest session fixture own a Ray
+session.
 """
 
 from __future__ import annotations
@@ -20,25 +16,26 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: record-linkage clusters over a transcripts-shaped
+    table (BASELINE.json:input_hint schema) derived deterministically from
+    /root/testdata/sf0.001/events.parquet."""
+    from rel_ray.pipelines.queries import q_linkage_clusters
+
+    return q_linkage_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (registry in rel_ray/pipelines/queries.py)."""
+    from rel_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents for the SQL-expressible subset;
+    the rest (LSH keys, MinHash signatures, iterative connected components,
+    sign-LSH buckets) get the driver's rows-only check."""
+    from rel_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -25,6 +25,7 @@ class PipelineConfig:
     # --- shingling / MinHash / LSH blocking (REL candidate-selection analog:
     #     REL:src/REL/mention_detection.py::MentionDetectionBase.get_candidates) ---
     shingle_k: int = 3
+    shingle_unit: str = "char"  # "char" (short mention strings) | "word" (documents)
     num_perm: int = 64          # K minhash permutations = bands * band_rows
     bands: int = 32
     band_rows: int = 2

@@ -86,6 +86,76 @@ def char_ngram_codes(arr: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]
     return codes, row_splits
 
 
+def word_ngram_codes(arr: pa.Array, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word-level n-gram shingle hashes (w-shingling, Broder '97) — the right
+    unit for *document* near-dedup, where char-grams saturate on shared
+    vocabulary. Fully vectorized: per-token hashes via position-mixed byte
+    xor-reduceat over the flattened token buffer, then n-gram combination.
+
+    Returns (codes, row_splits) like char_ngram_codes. Docs with fewer than
+    n tokens contribute one combined whole-doc shingle; empty docs none.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null("")
+    import pyarrow.compute as pc
+
+    trimmed = pc.utf8_trim_whitespace(arr)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    flat = pc.list_flatten(toks)
+    # flat counts index into `flat`; blank rows contribute one '' token there
+    # but must emit zero shingles — tracked separately
+    flat_counts = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    is_blank = np.asarray(pc.equal(pc.utf8_length(trimmed), 0))
+    real_tokens = np.where(is_blank, 0, flat_counts)
+
+    offsets, data = _string_buffers(flat)
+    tok_lens = offsets[1:] - offsets[:-1]
+    # per-byte position-mixed code, xor-reduced per token
+    pos = _ragged_arange(tok_lens)
+    if len(data):
+        byte_idx = np.repeat(offsets[:-1], tok_lens) + pos
+        mixed = splitmix64(data[byte_idx].astype(np.uint64)
+                           ^ (pos.astype(np.uint64) * U64(0x9E3779B97F4A7C15)))
+    else:
+        mixed = np.empty(0, dtype=np.uint64)
+    tok_hash = np.zeros(len(tok_lens), dtype=np.uint64)
+    nz = np.nonzero(tok_lens > 0)[0]
+    if len(nz):
+        starts = (np.cumsum(tok_lens) - tok_lens)[nz]
+        tok_hash[nz] = np.bitwise_xor.reduceat(mixed, starts)
+
+    # n-gram combine across each row's token sequence
+    gram_lens = np.maximum(real_tokens - (n - 1), 0)
+    short = (real_tokens > 0) & (real_tokens < n)
+    gram_lens = np.where(short, 1, gram_lens)
+    row_splits = np.zeros(len(real_tokens) + 1, dtype=np.int64)
+    np.cumsum(gram_lens, out=row_splits[1:])
+    codes = np.zeros(int(row_splits[-1]), dtype=np.uint64)
+
+    tok_row_starts = np.cumsum(flat_counts) - flat_counts
+    normal = real_tokens >= n
+    if normal.any():
+        nl = np.where(normal, gram_lens, 0)
+        base = np.repeat(tok_row_starts, nl) + _ragged_arange(nl)
+        acc = np.zeros(len(base), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                acc = splitmix64(acc ^ tok_hash[base + j])
+        dst = np.repeat(row_splits[:-1], nl) + _ragged_arange(nl)
+        codes[dst] = acc
+    if short.any():
+        with np.errstate(over="ignore"):
+            for i in np.nonzero(short)[0]:
+                acc = np.uint64(0)
+                s = tok_row_starts[i]
+                for j in range(real_tokens[i]):
+                    acc = splitmix64(acc ^ tok_hash[s + j])[()]
+                codes[row_splits[i]] = acc
+    return codes, row_splits
+
+
 def _ragged_arange(lens: np.ndarray) -> np.ndarray:
     """[0..l0), [0..l1), ... concatenated."""
     lens = np.asarray(lens, dtype=np.int64)

@@ -1,0 +1,577 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 exposed as
+a callable over the driver's testdata tables, with a DuckDB oracle SQL string
+where ANSI-SQL can express the same computation.
+
+Conventions that make the driver's value-hash comparison deterministic:
+  * money aggregates are integer cents, rounded per-row BEFORE summation
+    (float sums are order-dependent; int sums are exact);
+  * every computed column is named identically in the Ray code and the SQL;
+  * ties in any top-k / rank are broken by an explicit id column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..config import DEFAULT_CONFIG as CFG
+from ..stages.textstats import _LANG_MARKERS
+
+
+def _pq(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(x, 100)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# relational parity (REL store-build analytics analogs, SURVEY §2.5/2.6)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style pricing summary (groupby + partial-aggregate combine)."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("l_shipdate"),
+                             pa.scalar(np.datetime64("1998-09-01", "us"))))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty_c": _cents(t.column("l_quantity")),
+            "price_c": _cents(t.column("l_extendedprice")),
+            "disc_c": _cents(t.column("l_discount")),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_c"), Count()))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["l_returnflag", "l_linestatus", "sum_qty_cents",
+                                    "sum_price_cents", "sum_disc_cents", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)      AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)      AS sum_disc_cents,
+       COUNT(*) AS cnt
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Grouped sum → global top-10 (sort + limit), id tie-break."""
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    total = (ds.map_batches(
+        lambda t: pa.table({"o_custkey": t.column("o_custkey"),
+                            "price_c": _cents(t.column("o_totalprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey").aggregate(Sum("price_c")))
+    total = total.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "total_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return total.sort(["total_cents", "o_custkey"],
+                      descending=[True, False]).limit(10)
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_custkey
+ORDER BY total_cents DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def q_customers_per_nation(sf_dir: str):
+    """Broadcast join: tiny dim table shipped once via ray.put, looked up per
+    batch (never a shuffle — REL's SQLite dim lookups become this)."""
+    import ray as _ray
+
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    lookup_ref = _ray.put({r["n_nationkey"]: r["n_name"] for r in nation})
+
+    class AttachNation:
+        def __init__(self, ref):
+            self.lookup = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("c_nationkey").to_numpy()
+            names = [self.lookup.get(int(k), "") for k in keys]
+            return pa.table({"n_name": pa.array(names, type=pa.string())})
+
+    cust = _pq(sf_dir, "customer", ["c_nationkey"])
+    named = cust.map_batches(AttachNation, fn_constructor_args=(lookup_ref,),
+                             batch_format="pyarrow", zero_copy_batch=True,
+                             concurrency=(1, 2))
+    agg = named.groupby("n_name").count()
+    return agg.map_batches(lambda t: t.rename_columns(["n_name", "cnt"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CUSTOMERS_PER_NATION = """
+SELECT n_name, COUNT(*) AS cnt
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_reconstruct(sf_dir: str):
+    """Stable in-group ordering (the conversation-reconstruction primitive,
+    SURVEY §2.6) over events: row_number + lag within user_id by (ts, event_id)."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def seq(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        n = g.num_rows
+        et = g.column("event_type").to_pylist()
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "turn_seq": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "prev_event_type": pa.array([""] + et[:-1], type=pa.string()),
+        })
+
+    return ds.groupby("user_id").map_groups(seq, batch_format="pyarrow")
+
+
+SQL_EVENTS_RECONSTRUCT = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_seq,
+       COALESCE(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '') AS prev_event_type
+FROM events
+"""
+
+
+def q_grouped_topk_events(sf_dir: str):
+    """Grouped top-k (the p(e|m) top-100-per-surface analog,
+    REL:src/REL/wikipedia_yago_freq.py): top-2 event types per user."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).count()
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["user_id", "event_type", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cnt", "descending"), ("event_type", "ascending")])
+        g = g.slice(0, 2)
+        return g.append_column("rnk",
+                               pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+    return counts.groupby("user_id").map_groups(topk, batch_format="pyarrow")
+
+
+SQL_GROUPED_TOPK_EVENTS = """
+SELECT user_id, event_type, cnt, rnk FROM (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rnk
+  FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type))
+WHERE rnk <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data ops, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_documents(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, id_col="doc_id", text_col="text")
+
+
+SQL_EXACT_DEDUP_DOCUMENTS = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_dup_pairs_documents(sf_dir: str):
+    """Exact-duplicate pairs: in-group pair enumeration (the CC edge oracle)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        ia, ib = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ia.append(ids[i])
+                ib.append(ids[j])
+        return pa.table({"id_a": pa.array(ia, type=pa.int64()),
+                         "id_b": pa.array(ib, type=pa.int64())})
+
+    out = ds.groupby("text").map_groups(pairs, batch_format="pyarrow")
+    # materialize to a pa.Table with an explicit schema base: when no dup
+    # groups exist Ray yields zero blocks and the schema would be lost
+    base = pa.table({"id_a": pa.array([], type=pa.int64()),
+                     "id_b": pa.array([], type=pa.int64())})
+    tabs = [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables([base] + tabs, promote_options="default")
+
+
+SQL_DUP_PAIRS_DOCUMENTS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+def q_minhash_dedup_documents(sf_dir: str):
+    """MinHash/LSH near-dedup over documents (no SQL oracle: LSH keys)."""
+    from ..stages.dedup import near_dedup_minhash
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return near_dedup_minhash(ds, id_col="doc_id", text_col="text", cfg=CFG,
+                              threshold=0.7)
+
+
+def q_simhash_documents(sf_dir: str):
+    """64-bit SimHash per document (no SQL oracle)."""
+    from ..stages.dedup import SimHashStage
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SimHashStage("text"), batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        lambda t: t.select(["doc_id", "simhash"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_simhash_dedup_documents(sf_dir: str):
+    """SimHash near-dedup (hamming ≤ 3 via 16-bit chunk pigeonhole blocking)."""
+    from ..stages.dedup import near_dedup_simhash
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return near_dedup_simhash(ds, id_col="doc_id", text_col="text")
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup via sign-LSH buckets (no SQL oracle)."""
+    from ..stages.similarity import embedding_near_dup
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.99, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk_embeddings(sf_dir: str):
+    """Brute-force cosine top-10 for the 5 lowest vec_ids (rank-only output)."""
+    from ..stages.similarity import ann_topk
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.sort("vec_id").limit(5).take_all()
+    queries = {"ids": np.array([r["vec_id"] for r in qrows], dtype=np.int64),
+               "vecs": np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                                 for r in qrows])}
+    return ann_topk(ds, queries, k=10)
+
+
+SQL_ANN_TOPK_EMBEDDINGS = """
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.qid AS query_id, e.vec_id AS vec_id,
+         row_number() OVER (PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                      e.vec_id ASC) AS rank
+  FROM (SELECT vec_id qid, embedding qe FROM embeddings
+        ORDER BY vec_id LIMIT 5) q
+  CROSS JOIN embeddings e)
+WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_normalize_documents(sf_dir: str):
+    from ..functions.normalize import simple_normalize
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "text_norm": simple_normalize(t.column("text"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NORMALIZE_DOCUMENTS = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
+def q_token_count_documents(sf_dir: str):
+    from ..functions.normalize import token_counts
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(token_counts(t.column("text")), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOKEN_COUNT_DOCUMENTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+       END AS n_tokens
+FROM documents
+"""
+
+
+def _stop_pattern() -> str:
+    return r"\b(" + "|".join(_LANG_MARKERS["en"]) + r")\b"
+
+
+def q_quality_counts_documents(sf_dir: str):
+    """Integer quality features (char/punct/stopword counts) — the quality
+    scorer's inputs, integer-valued so the oracle hashes exactly."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        stripped = pc.replace_substring_regex(text, r"[^\w\s]", "")
+        n_punct = pc.subtract(n_chars, pc.cast(pc.utf8_length(stripped), pa.int64()))
+        n_stop = pc.cast(pc.count_substring_regex(pc.utf8_lower(text),
+                                                  pattern=_stop_pattern()),
+                         pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n_chars": n_chars,
+                         "n_punct": n_punct, "n_stop": n_stop})
+
+    return ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUALITY_COUNTS_DOCUMENTS = (
+    r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+       CAST(array_length(regexp_extract_all(lower(text), '"""
+    + _stop_pattern().replace("'", "''")
+    + r"""')) AS BIGINT) AS n_stop
+FROM documents
+"""
+)
+
+
+def q_lang_id_documents(sf_dir: str):
+    from ..stages.textstats import lang_id
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "lang_pred": lang_id(t.column("text"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lang_sql() -> str:
+    langs = list(_LANG_MARKERS)
+    counts = []
+    for lang in langs:
+        pat = (r"\b(" + "|".join(_LANG_MARKERS[lang]) + r")\b").replace("'", "''")
+        counts.append(
+            f"CAST(array_length(regexp_extract_all(lower(text), '{pat}')) AS BIGINT)"
+            f" AS c_{lang}")
+    # numpy argmax tie-break = first max in langs order → chained CASE
+    case = ["CASE WHEN " + " AND ".join(f"c_{l} = 0" for l in langs) + " THEN 'und'"]
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        cond = " AND ".join([f"c_{lang} >= c_{r}" for r in rest]) or "TRUE"
+        case.append(f"WHEN {cond} THEN '{lang}'")
+    case.append("END AS lang_pred")
+    return (f"SELECT doc_id, {' '.join(case)} FROM "
+            f"(SELECT doc_id, text, {', '.join(counts)} FROM documents)")
+
+
+def q_fingerprint_documents(sf_dir: str):
+    """Winnowing fingerprint count + order-sensitive doc hash (no SQL oracle)."""
+    from ..stages.textstats import fingerprint_winnow, rolling_text_hash
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        prints = fingerprint_winnow(text)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_fingerprints": pc.cast(pc.list_value_length(prints), pa.int64()),
+            "doc_hash": rolling_text_hash(text),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_textstats_documents(sf_dir: str):
+    """Full text-analysis column set (floats included → rows-only check)."""
+    from ..stages.textstats import TextStats
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(TextStats("doc_id", "text"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# the flagship linkage pipeline over a transcripts-shaped table derived
+# deterministically from the events table (BASELINE.json:input_hint shape)
+# ---------------------------------------------------------------------------
+
+_ROLE_BY_EVENT = {"click": "user", "view": "user", "signup": "user",
+                  "purchase": "assistant", "error": "tool"}
+
+_EVENT_TEMPLATES = [
+    "ok, i will check with {m} about the schedule tomorrow.",
+    "as discussed, {m} sent the revised draft earlier today.",
+    "the ticket was reassigned to {m} after the standup.",
+    "per the notes, {m} approved the deployment window.",
+    "reminder: {m} owns the follow-up on this thread.",
+]
+
+
+def transcripts_from_events(sf_dir: str):
+    """Deterministic transcripts-shaped table synthesized from events
+    (the input_hint schema; entity mentions injected as a pure function of
+    event_id so clusters are non-trivial and reproducible)."""
+    from ..synth import _make_entities
+
+    rng = np.random.default_rng(42)
+    entities = _make_entities(rng, 40)
+    forms: list[str] = []
+    for e in entities:
+        forms.append(e["variants"][0])
+        forms.append(e["variants"][1 % len(e["variants"])])
+        forms.append(e["variants"][2 % len(e["variants"])])
+    forms_arr = np.array(forms, dtype=object)  # 3 forms per entity, index = 3*e+v
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def to_turns(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        etype = t.column("event_type").to_pylist()
+        ent = (eid % 40) * 3 + (eid // 40) % 3
+        texts = []
+        roles = []
+        tools = []
+        for i, e in enumerate(etype):
+            role = _ROLE_BY_EVENT.get(e, "user")
+            roles.append(role)
+            if role == "tool":
+                tools.append(e)
+                texts.append('{"status": "error", "code": 500}')
+            else:
+                tools.append("")
+                m = forms_arr[ent[i]]
+                texts.append(_EVENT_TEMPLATES[eid[i] % len(_EVENT_TEMPLATES)]
+                             .format(m=m))
+        conv = pc.binary_join_element_wise(
+            pa.array(["c"] * t.num_rows),
+            pc.utf8_lpad(pc.cast(t.column("user_id"), pa.string()), width=6,
+                         padding="0"), "")
+        return pa.table({
+            "conv_id": conv,
+            "event_id": t.column("event_id"),
+            "role": pa.array(roles, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "tool": pa.array(tools, type=pa.string()),
+            "ts": t.column("ts"),
+        })
+
+    turns = ds.map_batches(to_turns, batch_format="pyarrow", zero_copy_batch=True)
+
+    def assign_turn_idx(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        n = g.num_rows
+        return pa.table({
+            "conv_id": g.column("conv_id"),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": g.column("role"),
+            "text": g.column("text"),
+            "tool": g.column("tool"),
+            "ts": g.column("ts"),
+        })
+
+    return turns.groupby("conv_id").map_groups(assign_turn_idx,
+                                               batch_format="pyarrow")
+
+
+def q_linkage_clusters(sf_dir: str):
+    """Flagship: full record-linkage pipeline on the events-derived
+    transcripts (no SQL oracle — LSH + iterative CC)."""
+    from .linkage import run_linkage
+    tr = transcripts_from_events(sf_dir)
+    out = run_linkage(tr, CFG)
+    return out["clusters"]
+
+
+def q_linkage_edges(sf_dir: str):
+    """Scored candidate edges from the flagship pipeline (no SQL oracle)."""
+    from .linkage import run_linkage
+    tr = transcripts_from_events(sf_dir)
+    out = run_linkage(tr, CFG)
+    return out["edges"]
+
+
+def q_conversation_windows(sf_dir: str):
+    """Conversation reconstruction + context windows over the events-derived
+    transcripts (rows-only; the in-group sort is oracle-checked separately by
+    q_events_reconstruct)."""
+    from ..stages.conversation import conversation_stage
+    from ..stages.normalize import normalize_stage
+    tr = transcripts_from_events(sf_dir)
+    out = conversation_stage(normalize_stage(tr, CFG), CFG)
+    return out.map_batches(
+        lambda t: t.select(["record_id", "conv_id", "turn_idx", "mention",
+                            "ctx_before", "ctx_after", "coref_prev"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "top_customers": q_top_customers,
+    "customers_per_nation": q_customers_per_nation,
+    "events_reconstruct": q_events_reconstruct,
+    "grouped_topk_events": q_grouped_topk_events,
+    "exact_dedup_documents": q_exact_dedup_documents,
+    "dup_pairs_documents": q_dup_pairs_documents,
+    "minhash_dedup_documents": q_minhash_dedup_documents,
+    "simhash_documents": q_simhash_documents,
+    "simhash_dedup_documents": q_simhash_dedup_documents,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk_embeddings": q_ann_topk_embeddings,
+    "normalize_documents": q_normalize_documents,
+    "token_count_documents": q_token_count_documents,
+    "quality_counts_documents": q_quality_counts_documents,
+    "lang_id_documents": q_lang_id_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "textstats_documents": q_textstats_documents,
+    "linkage_clusters": q_linkage_clusters,
+    "linkage_edges": q_linkage_edges,
+    "conversation_windows": q_conversation_windows,
+}
+
+ORACLE_SQL = {
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
+    "events_reconstruct": SQL_EVENTS_RECONSTRUCT,
+    "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
+    "exact_dedup_documents": SQL_EXACT_DEDUP_DOCUMENTS,
+    "dup_pairs_documents": SQL_DUP_PAIRS_DOCUMENTS,
+    "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,
+    "normalize_documents": SQL_NORMALIZE_DOCUMENTS,
+    "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
+    "quality_counts_documents": SQL_QUALITY_COUNTS_DOCUMENTS,
+    "lang_id_documents": _lang_sql(),
+}

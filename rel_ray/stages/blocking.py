@@ -72,7 +72,11 @@ class BlockKeys:
         mn = batch.column("mention_norm")
         if isinstance(mn, pa.ChunkedArray):
             mn = mn.combine_chunks()
-        codes, splits = char_ngram_codes(mn, cfg.shingle_k)
+        if cfg.shingle_unit == "word":
+            from ..functions.shingles import word_ngram_codes
+            codes, splits = word_ngram_codes(mn, cfg.shingle_k)
+        else:
+            codes, splits = char_ngram_codes(mn, cfg.shingle_k)
         sig = minhash_signatures(codes, splits, cfg.num_perm, cfg.seed)
         keys = band_keys(sig, cfg.bands, cfg.band_rows, cfg.seed)  # (n, bands)
 
