@@ -1,0 +1,154 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": n, "turns_per_sec": thr}
+
+--scaling: run the flagship linkage pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs and
+the scaling efficiency (the sandbox stand-in for the N vs 4N node cluster
+criterion — see BASELINE.md).
+
+--pipeline-only: internal mode used by --scaling (one fresh-process run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "linkage_clusters",        # flagship: full record-linkage pipeline
+    "lineitem_agg",
+    "events_reconstruct",
+    "grouped_topk_events",
+    "exact_dedup_documents",
+    "minhash_dedup_documents",
+    "simhash_dedup_documents",
+    "ann_topk_embeddings",
+    "textstats_documents",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; return row count."""
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow"):
+            n += pa.table(b).num_rows
+        return n
+    return len(res)
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rel_ray.pipelines.queries import QUERIES, transcripts_from_events
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(QUERIES[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # turns/sec for the flagship (input rows of the transcripts table)
+    turns = transcripts_from_events(sf_dir).count()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "bench_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "turns": int(turns),
+        "turns_per_sec": round(turns / timings["linkage_clusters"], 1),
+    }
+
+
+def run_pipeline_only(sf_dir: str, num_cpus: int) -> dict:
+    """One fresh-process flagship run (used by --scaling)."""
+    _init_ray(num_cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rel_ray.pipelines.queries import QUERIES, transcripts_from_events
+
+    turns = transcripts_from_events(sf_dir).count()
+    t0 = time.time()
+    _consume(QUERIES["linkage_clusters"](sf_dir))
+    wall = time.time() - t0
+    return {"num_cpus": num_cpus, "turns": int(turns),
+            "wall_s": round(wall, 3),
+            "turns_per_sec": round(turns / wall, 1)}
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Fresh ray.init per level (8 vs 32 CPUs) in separate processes."""
+    results = []
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only",
+             "--cpus", str(cpus)],
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            capture_output=True, text=True, timeout=3600)
+        last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not last:
+            raise RuntimeError(f"scaling run cpus={cpus} failed:\n{out.stderr[-2000:]}")
+        results.append(json.loads(last[-1]))
+    thr_n, thr_4n = results[0]["turns_per_sec"], results[1]["turns_per_sec"]
+    eff = round((thr_4n / thr_n) / 4, 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "sf": sf_dir,
+        "runs": results,
+        "criterion": "(thr_32 / thr_8) / 4 >= 0.8",
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = SF_DIR
+    if "--cpus" in args:
+        num_cpus = int(args[args.index("--cpus") + 1])
+    else:
+        num_cpus = NUM_CPUS
+    if "--scaling" in args:
+        print(json.dumps(run_scaling(sf_dir)))
+    elif "--pipeline-only" in args:
+        print(json.dumps(run_pipeline_only(sf_dir, num_cpus)))
+    else:
+        print(json.dumps(run_suite(sf_dir, num_cpus)))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

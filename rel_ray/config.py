@@ -52,6 +52,9 @@ class PipelineConfig:
     # --- execution ---
     batch_size: int = 4096
     scorer_concurrency: int = 4
+    # reducer count for bucketed shuffle-reduce stages (scale with cluster
+    # size / input volume; each bucket must fit in a worker's heap)
+    num_buckets: int = 64
 
     def fingerprint(self) -> str:
         """Stable hash of the config for checkpoint-manifest lineage."""

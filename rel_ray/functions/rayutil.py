@@ -42,3 +42,93 @@ def cogroup_map(union_ds, key: str | list[str], fn: Callable[[pa.Table], pa.Tabl
         return fn(group)
 
     return union_ds.groupby(key).map_groups(cogroup_fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bucketed group application — the engine's shuffle-reduce primitive
+# ---------------------------------------------------------------------------
+#
+# ``groupby(key).map_groups(fn)`` invokes fn once per DISTINCT KEY — measured
+# ~0.2 ms of per-group machinery, which at 80k mostly-singleton LSH keys cost
+# 16 s for 241 output rows. The engine therefore hash-buckets keys into
+# `num_buckets` partitions and runs ONE map_groups call per bucket; the
+# callback gets the whole bucket sorted by key and processes key segments
+# vectorized (numpy/arrow change-point detection). Per-call Python is now
+# O(num_buckets), independent of key cardinality — the same structure a real
+# shuffle-reduce has, with num_buckets playing the reducer-count role.
+
+BUCKET_COL = "__bucket"
+
+
+def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    import numpy as np
+
+    from .hashing import splitmix64
+    from .shingles import string_hash_u64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        h = string_hash_u64(col)
+    else:
+        h = splitmix64(np.asarray(col).view(np.uint64))
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+
+def bucketed_group_apply(
+    ds,
+    key_cols: str | list[str],
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    num_buckets: int = 64,
+    sort_cols: list[tuple[str, str]] | None = None,
+):
+    """Apply `fn` to hash-buckets of rows sharing key values.
+
+    `fn` receives one bucket table sorted by key_cols (+ optional extra
+    sort_cols) and MUST handle multiple distinct keys per call (use
+    segment_starts). All rows with equal keys are guaranteed to be in the
+    same bucket call.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [(k, "ascending") for k in keys] + list(sort_cols or [])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column(keys[0]), num_buckets)
+        if len(keys) > 1:
+            import numpy as np
+            acc = np.asarray(b, dtype=np.int64)
+            for k in keys[1:]:
+                extra = np.asarray(_bucket_of(t.column(k), num_buckets),
+                                   dtype=np.int64)
+                acc = (acc * 1000003 + extra) % num_buckets
+            b = pa.array(acc)
+        return t.append_column(BUCKET_COL, b)
+
+    def apply_bucket(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([BUCKET_COL]).sort_by(order)
+        return fn(g)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(BUCKET_COL)
+            .map_groups(apply_bucket, batch_format="pyarrow"))
+
+
+def segment_starts(col: pa.ChunkedArray | pa.Array) -> "object":
+    """Start indices of equal-value runs in a sorted column → np.int64 array.
+
+    For multi-column keys call once per column and OR the change masks.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.ones(n, dtype=bool)
+    neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+    change[1:] = np.asarray(pc.fill_null(neq, True))
+    return np.nonzero(change)[0]

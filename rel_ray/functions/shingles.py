@@ -166,6 +166,28 @@ def _ragged_arange(lens: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
 
+def string_hash_u64(arr: pa.Array) -> np.ndarray:
+    """Vectorized per-string 64-bit hash over the raw Arrow buffers
+    (position-mixed byte xor + length mix). For bucketing/partitioning —
+    NOT for equality decisions (those group on the string itself)."""
+    offsets, data = _string_buffers(arr)
+    lens = offsets[1:] - offsets[:-1]
+    pos = _ragged_arange(lens)
+    with np.errstate(over="ignore"):
+        if len(data):
+            idx = np.repeat(offsets[:-1], lens) + pos
+            mixed = splitmix64(data[idx].astype(np.uint64)
+                               ^ (pos.astype(np.uint64) * U64(0x9E3779B97F4A7C15)))
+        else:
+            mixed = np.empty(0, dtype=np.uint64)
+        out = np.zeros(len(lens), dtype=np.uint64)
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz):
+            starts = (np.cumsum(lens) - lens)[nz]
+            out[nz] = np.bitwise_xor.reduceat(mixed, starts)
+        return splitmix64(out ^ lens.astype(np.uint64))
+
+
 def minhash_signatures(
     codes: np.ndarray,
     row_splits: np.ndarray,

@@ -1,0 +1,88 @@
+"""Checkpointed flagship pipeline: run_linkage split into resumable stages.
+
+Stage granularity = the expensive shuffle boundaries:
+  S_records : read → normalize → conversation → records → exact_precluster
+  S_edges   : blocking → pairs → scoring (the actor-pool stage)
+  S_clusters: coref edges ∪ matched edges → CC → expand
+
+A killed run resumes by fingerprint: completed stages are read back from
+per-partition Parquet, only missing stages recompute (north_rule contract;
+test: tests/test_resume.py asserts byte-identical output and zero recompute).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..state.manifest import CheckpointContext
+from ..stages.blocking import blocking_stage, exact_precluster, records_stage
+from ..stages.clustering import connected_components, expand_clusters
+from ..stages.conversation import conversation_stage
+from ..stages.normalize import normalize_stage
+from ..stages.pairs import pairs_stage
+from ..stages.scoring import scoring_stage
+from .linkage import _coref_edges
+
+
+def _input_fingerprint(input_path: str) -> str:
+    """Input lineage token: path + file sizes (content proxy, no full read)."""
+    import hashlib
+
+    h = hashlib.sha256(input_path.encode())
+    if os.path.isdir(input_path):
+        for name in sorted(os.listdir(input_path)):
+            p = os.path.join(input_path, name)
+            h.update(f"{name}:{os.path.getsize(p)}".encode())
+    elif os.path.exists(input_path):
+        h.update(str(os.path.getsize(input_path)).encode())
+    return h.hexdigest()[:20]
+
+
+def run_linkage_checkpointed(
+    input_path: str,
+    ckpt_dir: str | None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+):
+    """Returns (clusters_dataset, lineage: list[dict])."""
+    import ray.data as rd
+
+    ctx = CheckpointContext(ckpt_dir, cfg.fingerprint())
+    in_fp = _input_fingerprint(input_path)
+
+    def build_records():
+        tr = rd.read_parquet(input_path)
+        turns = conversation_stage(normalize_stage(tr, cfg), cfg)
+        return exact_precluster(records_stage(turns, cfg), cfg)
+
+    s_records = ctx.run_stage("records", [in_fp], build_records)
+
+    def build_edges():
+        reps = s_records.dataset.map_batches(
+            lambda t: t.filter(pc.equal(t.column("record_id"),
+                                        t.column("rep_id"))).select(
+                ["record_id", "mention_norm"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return scoring_stage(pairs_stage(blocking_stage(reps, cfg), cfg), cfg)
+
+    s_edges = ctx.run_stage("edges", [s_records.fingerprint], build_edges)
+
+    def build_clusters():
+        reps = s_records.dataset.map_batches(
+            lambda t: t.filter(pc.equal(t.column("record_id"),
+                                        t.column("rep_id"))).select(
+                ["record_id", "mention_norm"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        matched = s_edges.dataset.map_batches(
+            lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        all_edges = matched.union(_coref_edges(s_records.dataset))
+        rep_clusters = connected_components(reps, all_edges, cfg)
+        return expand_clusters(s_records.dataset, rep_clusters)
+
+    s_clusters = ctx.run_stage(
+        "clusters", [s_records.fingerprint, s_edges.fingerprint], build_clusters)
+    ctx.write_lineage()
+    return s_clusters.dataset, ctx.lineage

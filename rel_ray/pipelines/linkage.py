@@ -33,43 +33,56 @@ from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
 
 
-def _coref_edges(records, num_partitions: int = 0):
+def _coref_edges(records, num_partitions: int = 0, *, num_buckets: int = 64):
     """with_coref analog: (rep(coref_prev), rep(record)) forced-match edges.
 
-    Join-free co-group on the coref target's record_id: side T rows carry each
-    record's own rep (key=record_id); side S rows carry the *referring*
-    record's rep (key=coref_prev). One sort-shuffle groupby.
+    Bucketed co-group on the coref target's record_id: target rows (side 0,
+    the record's own rep) sort first in each segment; source rows (side 1,
+    keyed by their coref_prev) take the segment head's rep — vectorized.
     """
+    import numpy as np
+
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
     targets = records.map_batches(
         lambda t: pa.table({"key": t.column("record_id"),
                             "rep": t.column("rep_id"),
-                            "is_source": pa.array([False] * t.num_rows)}),
+                            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8))}),
         batch_format="pyarrow", zero_copy_batch=True)
 
     def source_fn(t: pa.Table) -> pa.Table:
         out = pa.table({"key": t.column("coref_prev"),
                         "rep": t.column("rep_id"),
-                        "is_source": pa.array([True] * t.num_rows)})
+                        "side": pa.array(np.ones(t.num_rows, dtype=np.int8))})
         return out.filter(pc.not_equal(out.column("key"), ""))
     sources = records.map_batches(source_fn, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    def emit_edges(group: pa.Table) -> pa.Table:
-        src_mask = group.column("is_source")
-        reps_src = pc.filter(group.column("rep"), src_mask)
-        reps_tgt = pc.filter(group.column("rep"), pc.invert(src_mask))
-        if len(reps_src) == 0 or len(reps_tgt) == 0:
+    def emit_edges(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
             return pa.table({"id_a": pa.array([], type=pa.string()),
                              "id_b": pa.array([], type=pa.string())})
-        tgt = reps_tgt[0].as_py()  # record_id keys are unique -> exactly one
-        tgt_arr = pa.array([tgt] * len(reps_src), type=pa.string())
-        lo = pc.min_element_wise(reps_src, tgt_arr)
-        hi = pc.max_element_wise(reps_src, tgt_arr)
+        starts = segment_starts(bucket.column("key"))
+        lens = np.diff(np.append(starts, n))
+        side = np.asarray(bucket.column("side"))
+        rep = bucket.column("rep")
+        if isinstance(rep, pa.ChunkedArray):
+            rep = rep.combine_chunks()
+        seg_has_target = side[starts] == 0  # target rows sort first (asc)
+        seg_target_rep = rep.take(pa.array(starts))
+        seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        src_mask = (side == 1) & seg_has_target[seg_idx]
+        rep_src = rep.filter(pa.array(src_mask))
+        rep_tgt = seg_target_rep.take(pa.array(seg_idx[src_mask]))
+        lo = pc.min_element_wise(rep_src, rep_tgt)
+        hi = pc.max_element_wise(rep_src, rep_tgt)
         out = pa.table({"id_a": lo, "id_b": hi})
         return out.filter(pc.not_equal(out.column("id_a"), out.column("id_b")))
 
-    return targets.union(sources).groupby("key").map_groups(
-        emit_edges, batch_format="pyarrow")
+    return bucketed_group_apply(
+        targets.union(sources), "key", emit_edges,
+        num_buckets=num_buckets, sort_cols=[("side", "ascending")])
 
 
 def run_linkage(

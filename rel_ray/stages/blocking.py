@@ -43,18 +43,30 @@ def records_stage(ds, cfg: PipelineConfig):
 def exact_precluster(records, cfg: PipelineConfig, num_partitions: int = 0):
     """Attach rep_id = min(record_id) among records with identical mention_norm.
 
-    One sort-shuffle groupby (key = mention_norm), rep computed in-group —
-    no join (see rel_ray.functions.rayutil for why joins are avoided).
-    `num_partitions` kept for API stability; unused.
+    Bucketed shuffle-reduce (rel_ray.functions.rayutil.bucketed_group_apply):
+    rows hash-bucket by mention_norm, each bucket arrives sorted by
+    (mention_norm, record_id) and the per-mention representative — the first
+    record_id of each segment — is broadcast with one vectorized repeat.
+    Zero per-key Python. `num_partitions` kept for API stability; unused.
     """
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
 
-    def attach_rep(group: pa.Table) -> pa.Table:
-        rep = pc.min(group.column("record_id")).as_py()
-        return group.append_column(
-            "rep_id", pa.array([rep] * group.num_rows, type=pa.string()))
+    def attach_rep(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return bucket.append_column("rep_id",
+                                        pa.array([], type=pa.string()))
+        starts = segment_starts(bucket.column("mention_norm"))
+        lens = np.diff(np.append(starts, n))
+        reps = bucket.column("record_id").take(pa.array(starts))
+        rep_col = reps.take(
+            pa.array(np.repeat(np.arange(len(starts), dtype=np.int64), lens)))
+        return bucket.append_column("rep_id", rep_col)
 
-    return records.groupby("mention_norm").map_groups(
-        attach_rep, batch_format="pyarrow")
+    return bucketed_group_apply(
+        records, "mention_norm", attach_rep,
+        num_buckets=cfg.num_buckets,
+        sort_cols=[("record_id", "ascending")])
 
 
 class BlockKeys:

@@ -5,21 +5,19 @@ Le & Titov ment-norm iterations) plus the ``with_coref`` heuristic — a joint
 assignment consistent across records becomes connected components over
 accepted edges.
 
-Algorithm (deterministic, join-free — see rel_ray.functions.rayutil for why
-``Dataset.join`` is avoided): label(v) := v initially; each round is two
-sort-shuffle groupbys over the union of the label table and the static
-undirected topology:
+Algorithm (deterministic, join-free — rel_ray.functions.rayutil documents why
+``Dataset.join`` is avoided): label(v) := v initially; each round:
 
-  pass 1  groupby(node):  the group holds the node's single label row plus
-          its adjacency rows → emit (dst=nbr, label) messages + the
-          (dst=node, label, is_self) row
-  pass 2  groupby(dst):   new = min(labels seen); old = the is_self row's
-          label; emit (node, new, changed)
+  pass 1  bucketed co-group on node: each node's label row meets its
+          adjacency rows; messages (dst=nbr, label) + the self message are
+          emitted with vectorized segment ops (no per-node Python);
+  pass 2  ``groupby(dst).min(label)`` — a native vectorized aggregate;
+  convergence: |old ∩ new| via a count-aggregate on the unioned label sets.
 
-``sum(changed) == 0`` stops the loop. Because pair generation emits star
-bridges (stages/pairs.py), component diameters are small and the loop
-converges in a handful of rounds; `max_cc_iters` is a loud-failure cap.
-Labels are re-materialized per round — O(#representatives), not O(input).
+Only edge-touched ("active") nodes iterate — isolated records join as
+singleton clusters at the end. Star bridges from pair generation keep
+component diameters small; `max_cc_iters` is a loud-failure cap. Labels are
+re-materialized per round — O(#active representatives), not O(input).
 """
 
 from __future__ import annotations
@@ -31,6 +29,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import PipelineConfig
+from ..functions.rayutil import bucketed_group_apply, segment_starts
 
 _EMPTY_STR = ""
 
@@ -47,23 +46,41 @@ def _undirect(edges):
     return edges.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _propagate(group: pa.Table) -> pa.Table:
-    """pass 1: one group per ACTIVE node — broadcast its label to neighbors.
-
-    The group holds the node's single label row (nbr == "") plus its
-    adjacency rows; emits one message per neighbor plus the self message.
-    """
-    labels = group.column("label")
-    is_label_row = pc.not_equal(labels, _EMPTY_STR)
-    label = pc.filter(labels, is_label_row)[0].as_py()
-    nbrs = pc.filter(group.column("nbr"), pc.invert(is_label_row))
-    if isinstance(nbrs, pa.ChunkedArray):
-        nbrs = nbrs.combine_chunks()
-    n = len(nbrs) + 1
-    dst = pa.concat_arrays([nbrs, pa.array([group.column("node")[0].as_py()])])
+def _propagate_bucket(bucket: pa.Table) -> pa.Table:
+    """Vectorized pass 1 over one bucket sorted by (node, nbr): each segment's
+    first row is the node's label row (nbr == "" sorts first); broadcast its
+    label to every adjacency row plus one self message."""
+    n = bucket.num_rows
+    if n == 0:
+        return pa.table({"dst": pa.array([], type=pa.string()),
+                         "label": pa.array([], type=pa.string())})
+    node = bucket.column("node")
+    nbr = bucket.column("nbr")
+    label = bucket.column("label")
+    if isinstance(nbr, pa.ChunkedArray):
+        nbr = nbr.combine_chunks()
+    starts = segment_starts(node)
+    lens = np.diff(np.append(starts, n))
+    starts_arr = pa.array(starts)
+    first_nbr = nbr.take(starts_arr)
+    if not pc.all(pc.equal(first_nbr, _EMPTY_STR)).as_py():
+        raise ValueError("edge endpoint without a label row — active-node "
+                         "initialization contract violated")
+    seg_label = label.take(starts_arr)
+    seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    is_msg = np.asarray(pc.not_equal(nbr, _EMPTY_STR))
+    dst_msg = nbr.filter(pa.array(is_msg))
+    lbl_msg = seg_label.take(pa.array(seg_idx[is_msg]))
+    dst_self = node.take(starts_arr)
     return pa.table({
-        "dst": dst,
-        "label": pa.array([label] * n, type=pa.string()),
+        "dst": pa.concat_arrays([dst_msg.combine_chunks()
+                                 if isinstance(dst_msg, pa.ChunkedArray) else dst_msg,
+                                 dst_self.combine_chunks()
+                                 if isinstance(dst_self, pa.ChunkedArray) else dst_self]),
+        "label": pa.concat_arrays([lbl_msg.combine_chunks()
+                                   if isinstance(lbl_msg, pa.ChunkedArray) else lbl_msg,
+                                   seg_label.combine_chunks()
+                                   if isinstance(seg_label, pa.ChunkedArray) else seg_label]),
     })
 
 
@@ -75,13 +92,9 @@ def connected_components(
 ) -> "ray.data.Dataset":
     """nodes: Dataset with `record_id`; edges: Dataset with `id_a`,`id_b`.
 
-    Returns Dataset (record_id, cluster_id) where cluster_id = min record_id
-    in the component. Vertices with no edges stay singleton clusters
-    (REL anti-join analog: unlinked mentions, SURVEY §2.4) and never enter
-    the loop: only edge-touched ("active") nodes iterate, so per-group Python
-    in pass 1 is bounded by the candidate-edge structure, not the corpus.
-    Pass 2 (groupby-min) and convergence counting are fully vectorized.
-    """
+    Returns Dataset (record_id, cluster_id), cluster_id = min record_id in the
+    component. Vertices with no edges stay singleton clusters (REL anti-join
+    analog: unlinked mentions, SURVEY §2.4)."""
     topo = _undirect(edges).materialize()
     all_nodes = nodes.map_batches(
         lambda t: pa.table({"node": t.column("record_id")}),
@@ -93,7 +106,6 @@ def connected_components(
                                 "cluster_id": t.column("node")}),
             batch_format="pyarrow", zero_copy_batch=True)
 
-    # active = distinct edge-touched nodes; initial label(v) = v
     active = topo.groupby("node").count().map_batches(
         lambda t: pa.table({"node": t.column("node"),
                             "label": t.column("node")}),
@@ -108,13 +120,12 @@ def connected_components(
                 "nbr": pa.array([_EMPTY_STR] * t.num_rows, type=pa.string()),
                 "label": t.column("label")}),
             batch_format="pyarrow", zero_copy_batch=True)
-        msgs = as_union_rows.union(topo).groupby("node").map_groups(
-            _propagate, batch_format="pyarrow")
+        msgs = bucketed_group_apply(
+            as_union_rows.union(topo), "node", _propagate_bucket,
+            num_buckets=cfg.num_buckets, sort_cols=[("nbr", "ascending")])
         new = msgs.groupby("dst").min("label").map_batches(
             lambda t: t.rename_columns(["node", "label"]),
             batch_format="pyarrow", zero_copy_batch=True).materialize()
-        # vectorized convergence count: a (node,label) row present in BOTH old
-        # and new appears twice in the union → unchanged
         common = (
             active.union(new).groupby(["node", "label"]).count()
             .map_batches(lambda t: t.filter(pc.equal(t.column("count()"), 2)),
@@ -129,8 +140,8 @@ def connected_components(
             f"connected_components did not converge in {cfg.max_cc_iters} rounds — "
             "component diameter exceeds the star-bridge design assumption")
 
-    # passive nodes (no incident edge) are singleton clusters: union all nodes
-    # with active nodes; count==1 ⇒ passive (vectorized set difference)
+    # passive nodes (no incident edge) are singleton clusters: vectorized set
+    # difference via union + count
     passive = (
         all_nodes.union(active.map_batches(
             lambda t: t.select(["node"]), batch_format="pyarrow",
@@ -148,37 +159,45 @@ def connected_components(
         batch_format="pyarrow", zero_copy_batch=True)
 
 
-def expand_clusters(records_with_rep, rep_clusters, num_partitions: int = 0):
+def expand_clusters(records_with_rep, rep_clusters, num_partitions: int = 0,
+                    *, num_buckets: int = 64):
     """Every record inherits its exact-group representative's cluster.
 
-    Join-free co-group on rep_id: side M = (key=rep_id, payload=record_id),
-    side C = (key=rep record_id, payload=cluster_id); one sort-shuffle.
+    Bucketed co-group on rep_id: cluster rows sort first in each segment
+    (side desc), members take the segment head's cluster — all vectorized.
     """
     members = records_with_rep.map_batches(
         lambda t: pa.table({
             "key": t.column("rep_id"),
             "payload": t.column("record_id"),
-            "is_cluster_row": pa.array(np.zeros(t.num_rows, dtype=bool))}),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8))}),
         batch_format="pyarrow", zero_copy_batch=True)
     crows = rep_clusters.map_batches(
         lambda t: pa.table({
             "key": t.column("record_id"),
             "payload": t.column("cluster_id"),
-            "is_cluster_row": pa.array(np.ones(t.num_rows, dtype=bool))}),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8))}),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    def assign(group: pa.Table) -> pa.Table:
-        mask = group.column("is_cluster_row")
-        cluster = pc.filter(group.column("payload"), mask)
-        member_ids = pc.filter(group.column("payload"), pc.invert(mask))
-        if len(cluster) == 0 or len(member_ids) == 0:
+    def assign(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
             return pa.table({"record_id": pa.array([], type=pa.string()),
                              "cluster_id": pa.array([], type=pa.string())})
-        cid = cluster[0].as_py()
-        return pa.table({
-            "record_id": member_ids,
-            "cluster_id": pa.array([cid] * len(member_ids), type=pa.string()),
-        })
+        starts = segment_starts(bucket.column("key"))
+        lens = np.diff(np.append(starts, n))
+        side = np.asarray(bucket.column("side"))
+        payload = bucket.column("payload")
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        seg_has_cluster = side[starts] == 1  # cluster rows sort first (desc)
+        seg_cluster = payload.take(pa.array(starts))
+        seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        member_mask = (side == 0) & seg_has_cluster[seg_idx]
+        rec = payload.filter(pa.array(member_mask))
+        cid = seg_cluster.take(pa.array(seg_idx[member_mask]))
+        return pa.table({"record_id": rec, "cluster_id": cid})
 
-    return members.union(crows).groupby("key").map_groups(
-        assign, batch_format="pyarrow")
+    return bucketed_group_apply(
+        members.union(crows), "key", assign,
+        num_buckets=num_buckets, sort_cols=[("side", "descending")])

@@ -139,12 +139,18 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_column(texts: pa.Array, k: int = 3) -> np.ndarray:
-    """64-bit SimHash per string from char-k-gram hashes (vectorized).
+def simhash_column(texts: pa.Array, k: int = 3, unit: str = "char") -> np.ndarray:
+    """64-bit SimHash per string from char- or word-k-gram hashes (vectorized).
 
-    sim(x,y) ≈ 1 - hamming(simhash(x), simhash(y))/64.
+    sim(x,y) ≈ 1 - hamming(simhash(x), simhash(y))/64. Word unit for document
+    near-dup (char-grams saturate on shared vocabulary, same reasoning as
+    near_dedup_minhash).
     """
-    codes, splits = char_ngram_codes(texts, k)
+    if unit == "word":
+        from ..functions.shingles import word_ngram_codes
+        codes, splits = word_ngram_codes(texts, k)
+    else:
+        codes, splits = char_ngram_codes(texts, k)
     n = len(splits) - 1
     bits = np.unpackbits(codes.view(np.uint8).reshape(-1, 8), axis=1,
                          bitorder="little").astype(np.int32) * 2 - 1
@@ -160,16 +166,30 @@ def simhash_column(texts: pa.Array, k: int = 3) -> np.ndarray:
 class SimHashStage:
     """map_batches: add int64 `simhash` column (bit-view for shuffle keys)."""
 
-    def __init__(self, text_col: str, k: int = 3):
+    def __init__(self, text_col: str, k: int = 3, unit: str = "char"):
         self.text_col = text_col
         self.k = k
+        self.unit = unit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = batch.column(self.text_col)
         if isinstance(t, pa.ChunkedArray):
             t = t.combine_chunks()
-        sh = simhash_column(t, self.k)
+        sh = simhash_column(t, self.k, self.unit)
         return batch.append_column("simhash", pa.array(sh.view(np.int64)))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy 1.x has no bitwise_count)."""
+    v = x.copy()
+    out = np.zeros(x.shape, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for _ in range(8):
+            out += v & np.uint64(0x0101010101010101)
+            v >>= np.uint64(1)
+        # fold byte counts
+        out = (out * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return out
 
 
 def near_dedup_simhash(ds, *, id_col: str, text_col: str, max_hamming: int = 3,
@@ -180,8 +200,8 @@ def near_dedup_simhash(ds, *, id_col: str, text_col: str, max_hamming: int = 3,
     from ..config import DEFAULT_CONFIG
     cfg = cfg or DEFAULT_CONFIG
 
-    with_sh = ds.map_batches(SimHashStage(text_col), batch_format="pyarrow",
-                             zero_copy_batch=True)
+    with_sh = ds.map_batches(SimHashStage(text_col, unit="word"),
+                             batch_format="pyarrow", zero_copy_batch=True)
 
     def explode(t: pa.Table) -> pa.Table:
         sh = np.asarray(t.column("simhash").combine_chunks()
@@ -204,22 +224,21 @@ def near_dedup_simhash(ds, *, id_col: str, text_col: str, max_hamming: int = 3,
 
     def pair_gen(group: pa.Table) -> pa.Table:
         g = group.sort_by([("record_id", "ascending")])
-        ids = g.column("record_id").to_pylist()
+        n0 = g.num_rows
+        if n0 < 2:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string())})
+        cap = min(n0, 512)  # deterministic skew cap (lowest record_ids kept)
+        g = g.slice(0, cap)
+        ids = np.asarray(g.column("record_id"))
         sh = np.asarray(g.column("simhash"), dtype=np.int64).view(np.uint64)
-        n = len(ids)
-        ia, ib = [], []
-        cap = min(n, 512)
-        for i in range(cap):
-            for j in range(i + 1, cap):
-                if ids[i] == ids[j]:
-                    continue
-                ham = bin(int(sh[i] ^ sh[j])).count("1")
-                if ham <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    ia.append(a)
-                    ib.append(b)
-        return pa.table({"id_a": pa.array(ia, type=pa.string()),
-                         "id_b": pa.array(ib, type=pa.string())})
+        # vectorized pairwise hamming: XOR matrix + popcount
+        ham = _popcount64(sh[:, None] ^ sh[None, :])
+        iu, ju = np.triu_indices(cap, k=1)
+        hit = ham[iu, ju] <= np.uint64(max_hamming)
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        return pa.table({"id_a": pa.array(a.astype(object), type=pa.string()),
+                         "id_b": pa.array(b.astype(object), type=pa.string())})
 
     edges = blocks.groupby("block_key").map_groups(pair_gen, batch_format="pyarrow")
     from ray.data.aggregate import Count

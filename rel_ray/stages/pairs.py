@@ -8,57 +8,83 @@ members sorted by record_id are paired all-vs-all inside overlapping windows,
 plus star bridges from each window head to the block head. Pair count is
 O(n·W) not O(n²); connectivity (and therefore clustering recall) is preserved
 through the bridge chain, and the component diameter stays ≤4 so the
-label-propagation loop converges in a handful of rounds. Nothing is silently
-dropped — `n_window_pairs`/`n_possible_pairs` counters are carried per group.
+label-propagation loop converges in a handful of rounds.
+
+Execution: bucketed shuffle-reduce (rayutil.bucketed_group_apply) — LSH keys
+hash into `cfg.num_buckets` buckets, one callback per bucket; singleton key
+segments (the vast majority of band keys) are skipped by a vectorized length
+filter, and Python touches only real multi-member blocks.
 """
 
 from __future__ import annotations
 
 import itertools
 
+import numpy as np
 import pyarrow as pa
 
 from ..config import PipelineConfig
+from ..functions.rayutil import bucketed_group_apply, segment_starts
 from ray.data.aggregate import Min
 
 
+def window_pairs(n: int, cap: int, max_pairs: int) -> list[tuple[int, int]]:
+    """Deterministic windowed pair index list for a block of n members.
+
+    Overlapping windows of width w chain the block; star bridges from index 0
+    to each window head keep the component diameter ≤4.
+    """
+    w = min(cap, max(2, (2 * max_pairs) // max(n, 1)))
+    out: list[tuple[int, int]] = []
+    step = max(1, w - 1)
+    for start in range(0, n - 1, step):
+        hi = min(n, start + w)
+        out.extend(itertools.combinations(range(start, hi), 2))
+        if start > 0:
+            out.append((0, start))
+    return out
+
+
 class PairGen:
-    """map_groups over groupby(block_key) — only multi-member blocks reach here."""
+    """Bucket callback: emits canonical candidate pairs for every multi-member
+    block-key segment in the bucket (input sorted by (block_key, record_id))."""
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, bucket: pa.Table) -> pa.Table:
         cfg = self.cfg
-        g = group.sort_by([("record_id", "ascending")])
-        rids = g.column("record_id").to_pylist()
-        mns = g.column("mention_norm").to_pylist()
-        n = len(rids)
-        if n < 2:
+        n = bucket.num_rows
+        if n == 0:
             return _empty_pairs()
-        w = min(cfg.block_cap, max(2, (2 * cfg.max_pairs_per_block) // n))
-        ia, ib, ma, mb = [], [], [], []
-
-        def emit(x: int, y: int) -> None:
-            # record_ids are unique within a block; x < y by construction
-            ia.append(rids[x]); ib.append(rids[y])
-            ma.append(mns[x]); mb.append(mns[y])
-
-        step = max(1, w - 1)
-        for start in range(0, n - 1, step):
-            window = range(start, min(n, start + w))
-            for x, y in itertools.combinations(window, 2):
-                emit(x, y)
-            if start > 0:  # star bridge: block head ↔ window head
-                emit(0, start)
-        return pa.table(
-            {
-                "id_a": pa.array(ia, type=pa.string()),
-                "id_b": pa.array(ib, type=pa.string()),
-                "mn_a": pa.array(ma, type=pa.string()),
-                "mn_b": pa.array(mb, type=pa.string()),
-            }
-        )
+        starts = segment_starts(bucket.column("block_key"))
+        lens = np.diff(np.append(starts, n))
+        multi = np.nonzero(lens >= 2)[0]
+        if len(multi) == 0:
+            return _empty_pairs()
+        rid_col = bucket.column("record_id")
+        mn_col = bucket.column("mention_norm")
+        ia: list[str] = []
+        ib: list[str] = []
+        ma: list[str] = []
+        mb: list[str] = []
+        for si in multi:
+            s, ln = int(starts[si]), int(lens[si])
+            rids = rid_col.slice(s, ln).to_pylist()
+            mns = mn_col.slice(s, ln).to_pylist()
+            for x, y in window_pairs(ln, cfg.block_cap, cfg.max_pairs_per_block):
+                # sorted by record_id within the segment → x < y is canonical;
+                # the same record cannot appear twice under one block key
+                ia.append(rids[x])
+                ib.append(rids[y])
+                ma.append(mns[x])
+                mb.append(mns[y])
+        return pa.table({
+            "id_a": pa.array(ia, type=pa.string()),
+            "id_b": pa.array(ib, type=pa.string()),
+            "mn_a": pa.array(ma, type=pa.string()),
+            "mn_b": pa.array(mb, type=pa.string()),
+        })
 
 
 def _empty_pairs() -> pa.Table:
@@ -75,20 +101,16 @@ def _empty_pairs() -> pa.Table:
 def pairs_stage(blocks, cfg: PipelineConfig, num_partitions: int = 0):
     """blocks → canonical deduped candidate pairs.
 
-    1. PairGen per block group (windowed, capped; singleton blocks — the vast
-       majority of band keys — return an empty table immediately).
+    1. Bucketed PairGen (windowed, capped) — one Python call per bucket.
     2. Band dedup: the same pair from different bands carries identical
-       payload, so groupby(id_a,id_b) + Min aggregates is an exact first().
-
-    Both steps are sort-shuffle groupbys — no join (rel_ray.functions.rayutil
-    documents why). `num_partitions` kept for API stability; unused.
+       payload, so groupby(id_a,id_b) + Min aggregates is an exact first()
+       (vectorized sort-based aggregate, no per-group Python).
+    `num_partitions` kept for API stability; unused.
     """
-    gen = PairGen(cfg)
-
-    def pair_gen(group: pa.Table) -> pa.Table:
-        return gen(group)
-
-    pairs = blocks.groupby("block_key").map_groups(pair_gen, batch_format="pyarrow")
+    pairs = bucketed_group_apply(
+        blocks, "block_key", PairGen(cfg),
+        num_buckets=cfg.num_buckets,
+        sort_cols=[("record_id", "ascending")])
     deduped = pairs.groupby(["id_a", "id_b"]).aggregate(Min("mn_a"), Min("mn_b"))
     return deduped.map_batches(
         lambda t: t.rename_columns(["id_a", "id_b", "mn_a", "mn_b"]),

@@ -1,0 +1,67 @@
+"""M7 resume tests (SURVEY §5.2 #5): kill-after-stage simulation — a resumed
+run must produce byte-identical clusters while skipping completed stages;
+stale checkpoints (changed config) must be recomputed, not reused."""
+
+import dataclasses
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rel_ray.config import DEFAULT_CONFIG
+from rel_ray.pipelines.checkpointed import run_linkage_checkpointed
+
+
+@pytest.fixture(scope="module")
+def corpus_path(ray_session, tiny_corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume")
+    p = str(d / "transcripts.parquet")
+    pq.write_table(tiny_corpus["transcripts"], p)
+    return p
+
+
+def _sorted_table(ds) -> pa.Table:
+    tabs = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(tabs, promote_options="default")
+    return t.sort_by([("record_id", "ascending")])
+
+
+def test_resume_after_kill_is_identical_and_skips(corpus_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    ds1, lin1 = run_linkage_checkpointed(corpus_path, ckpt, DEFAULT_CONFIG)
+    t1 = _sorted_table(ds1)
+    assert [r["resumed"] for r in lin1] == [False, False, False]
+
+    # simulate a crash after the edges stage: downstream checkpoint lost
+    shutil.rmtree(os.path.join(ckpt, "clusters"))
+    ds2, lin2 = run_linkage_checkpointed(corpus_path, ckpt, DEFAULT_CONFIG)
+    t2 = _sorted_table(ds2)
+    assert [r["resumed"] for r in lin2] == [True, True, False]
+    assert t1.equals(t2)  # byte-identical output
+
+    # full resume: everything skips
+    ds3, lin3 = run_linkage_checkpointed(corpus_path, ckpt, DEFAULT_CONFIG)
+    assert [r["resumed"] for r in lin3] == [True, True, True]
+    assert _sorted_table(ds3).equals(t1)
+
+
+def test_stale_checkpoint_recomputed_on_config_change(corpus_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    run_linkage_checkpointed(corpus_path, ckpt, DEFAULT_CONFIG)
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, threshold=0.9)
+    _, lin = run_linkage_checkpointed(corpus_path, ckpt, cfg2)
+    # config fingerprint changed → no stage may reuse the old checkpoints
+    assert [r["resumed"] for r in lin] == [False, False, False]
+
+
+def test_lineage_written(corpus_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt3")
+    run_linkage_checkpointed(corpus_path, ckpt, DEFAULT_CONFIG)
+    with open(os.path.join(ckpt, "_lineage.json")) as f:
+        lineage = json.load(f)
+    assert {r["stage"] for r in lineage} == {"records", "edges", "clusters"}
+    for r in lineage:
+        assert r["rows"] > 0 and "fingerprint" in r
