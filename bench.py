@@ -91,29 +91,67 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_pipeline_only(sf_dir: str, num_cpus: int) -> dict:
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "120000"))
+
+
+def _ensure_scaling_corpus(n_convs: int = SCALING_CONVS) -> str:
+    """Deterministic bench-scale transcripts parquet, generated once and
+    cached (FIXTURES.md §A 'bench' scale; labels skipped — throughput only)."""
+    path = f"/tmp/relray_scale_c{n_convs}"
+    marker = os.path.join(path, "transcripts.parquet")
+    if not os.path.exists(marker):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import pyarrow.parquet as pq
+
+        from rel_ray.synth import generate_corpus
+
+        os.makedirs(path, exist_ok=True)
+        tables = generate_corpus(seed=42, n_convs=n_convs, with_labels=False)
+        pq.write_table(tables["transcripts"], marker,
+                       row_group_size=16384)
+    return marker
+
+
+def run_pipeline_only(sf_dir: str, num_cpus: int, scale_input: str | None) -> dict:
     """One fresh-process flagship run (used by --scaling)."""
     _init_ray(num_cpus)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import ray.data as rd
+
+    from rel_ray.config import DEFAULT_CONFIG
+    from rel_ray.pipelines.linkage import run_linkage
     from rel_ray.pipelines.queries import QUERIES, transcripts_from_events
 
-    turns = transcripts_from_events(sf_dir).count()
-    t0 = time.time()
-    _consume(QUERIES["linkage_clusters"](sf_dir))
-    wall = time.time() - t0
+    if scale_input:
+        tr = rd.read_parquet(scale_input)
+        turns = tr.count()
+        t0 = time.time()
+        out = run_linkage(rd.read_parquet(scale_input), DEFAULT_CONFIG)
+        _consume(out["clusters"])
+        wall = time.time() - t0
+    else:
+        turns = transcripts_from_events(sf_dir).count()
+        t0 = time.time()
+        _consume(QUERIES["linkage_clusters"](sf_dir))
+        wall = time.time() - t0
     return {"num_cpus": num_cpus, "turns": int(turns),
             "wall_s": round(wall, 3),
             "turns_per_sec": round(turns / wall, 1)}
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Fresh ray.init per level (8 vs 32 CPUs) in separate processes."""
+    """Fresh ray.init per level (8 vs 32 CPUs) in separate processes on the
+    same bench-scale synthetic transcripts input (the sandbox stand-in for
+    the N vs 4N node criterion)."""
+    scale_input = _ensure_scaling_corpus()
     results = []
     for cpus in (8, 32):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pipeline-only",
              "--cpus", str(cpus)],
-            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir,
+                 "GRAFT_SCALE_INPUT": scale_input},
             capture_output=True, text=True, timeout=3600)
         last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
         if not last:
@@ -125,7 +163,7 @@ def run_scaling(sf_dir: str) -> dict:
         "metric": "scaling_efficiency",
         "value": eff,
         "unit": "ratio",
-        "sf": sf_dir,
+        "input": scale_input,
         "runs": results,
         "criterion": "(thr_32 / thr_8) / 4 >= 0.8",
     }
@@ -141,7 +179,8 @@ def main() -> None:
     if "--scaling" in args:
         print(json.dumps(run_scaling(sf_dir)))
     elif "--pipeline-only" in args:
-        print(json.dumps(run_pipeline_only(sf_dir, num_cpus)))
+        print(json.dumps(run_pipeline_only(
+            sf_dir, num_cpus, os.environ.get("GRAFT_SCALE_INPUT"))))
     else:
         print(json.dumps(run_suite(sf_dir, num_cpus)))
     import ray

@@ -32,8 +32,8 @@ class PipelineConfig:
 
     # --- skew control (REL top-100-candidates cap analog:
     #     REL:src/REL/wikipedia_yago_freq.py) ---
-    block_cap: int = 256        # max records per block considered for pairing
-    max_pairs_per_block: int = 32768
+    block_cap: int = 128        # max window width inside a block
+    max_pairs_per_block: int = 4096
 
     # --- conversation / context (REL 100-word ctx window analog) ---
     ctx_turns: int = 2
@@ -48,10 +48,13 @@ class PipelineConfig:
 
     # --- transitive clustering (REL global-coherence analog) ---
     max_cc_iters: int = 15
+    # rep graphs with ≤ this many (directed) topology rows solve driver-side
+    # (union-find); larger graphs run the distributed label-propagation loop
+    cc_local_max_edges: int = 2_000_000
 
     # --- execution ---
     batch_size: int = 4096
-    scorer_concurrency: int = 4
+    scorer_concurrency: int = 16  # autoscaling actor-pool max (min stays 1)
     # reducer count for bucketed shuffle-reduce stages (scale with cluster
     # size / input volume; each bucket must fit in a worker's heap)
     num_buckets: int = 64

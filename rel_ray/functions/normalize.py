@@ -55,3 +55,16 @@ def extract_mentions(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     m = pc.extract_regex(text, pattern=MENTION_PATTERN)
     mention = pc.struct_field(m, "mention")
     return pc.fill_null(mention, "")
+
+
+# honorifics stripped from normalized mentions: they are shared across
+# unrelated entities and would otherwise seed cross-entity LSH collisions
+# (REL:src/REL/utils.py::preprocess_mention cascade analog)
+_HONORIFIC_RE = r"^(?:dr|prof|ms|mr|mrs)\.? "
+
+
+def normalize_mentions(mentions: pa.ChunkedArray | pa.Array, *,
+                       nfkc: bool = True) -> pa.Array:
+    """Mention-specific canonicalization: text normalize + honorific strip."""
+    x = normalize_strings(mentions, nfkc=nfkc)
+    return pc.replace_substring_regex(x, _HONORIFIC_RE, "")

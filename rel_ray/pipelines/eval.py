@@ -11,16 +11,22 @@ Dataset.join is avoided engine-wide).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _attach_cluster(pairs_ds, clusters, key_col: str, out_col: str):
+def _attach_cluster(pairs_ds, clusters, key_col: str, out_col: str,
+                    num_buckets: int = 32):
     """Attach cluster_id of `key_col`'s record to each labeled pair row.
 
-    Co-group: pair rows keyed by key_col + cluster rows keyed by record_id;
-    one sort-shuffle. Pairs whose record is missing from `clusters` are
+    Bucketed co-group (rayutil.bucketed_group_apply): cluster rows sort first
+    within each key segment (side desc); pair rows take the segment head's
+    cluster — vectorized. Pairs whose record is missing from `clusters` are
     dropped (inner semantics)."""
+    import numpy as np
+
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
 
     def pair_side(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -32,7 +38,7 @@ def _attach_cluster(pairs_ds, clusters, key_col: str, out_col: str):
             "cluster_a": (t.column("cluster_a") if "cluster_a" in t.column_names
                           else pa.array([""] * n, type=pa.string())),
             "cluster": pa.array([""] * n, type=pa.string()),
-            "is_cluster_row": pa.array([False] * n),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
         })
 
     def cluster_side(t: pa.Table) -> pa.Table:
@@ -45,7 +51,7 @@ def _attach_cluster(pairs_ds, clusters, key_col: str, out_col: str):
             "same_entity": pa.array([False] * n),
             "cluster_a": empty,
             "cluster": t.column("cluster_id"),
-            "is_cluster_row": pa.array([True] * n),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
         })
 
     u = pairs_ds.map_batches(pair_side, batch_format="pyarrow",
@@ -53,34 +59,40 @@ def _attach_cluster(pairs_ds, clusters, key_col: str, out_col: str):
         clusters.map_batches(cluster_side, batch_format="pyarrow",
                              zero_copy_batch=True))
 
-    def attach(group: pa.Table) -> pa.Table:
-        mask = group.column("is_cluster_row")
-        cl = pc.filter(group.column("cluster"), mask)
-        rows = group.filter(pc.invert(mask))
-        if len(cl) == 0 or rows.num_rows == 0:
-            return pa.table({
-                "id_a": pa.array([], type=pa.string()),
-                "id_b": pa.array([], type=pa.string()),
-                "same_entity": pa.array([], type=pa.bool_()),
-                "cluster_a": pa.array([], type=pa.string()),
-                out_col: pa.array([], type=pa.string()),
-            })
-        cid = cl[0].as_py()
-        out = pa.table({
+    out_cols = (["id_a", "id_b", "same_entity", "cluster_a"]
+                if out_col == "cluster_a"
+                else ["id_a", "id_b", "same_entity", "cluster_a", out_col])
+
+    def attach(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({c: pa.array([], type=pa.string())
+                             if c != "same_entity"
+                             else pa.array([], type=pa.bool_())
+                             for c in out_cols})
+        starts = segment_starts(bucket.column("key"))
+        lens = np.diff(np.append(starts, n))
+        side = np.asarray(bucket.column("side"))
+        seg_has_cluster = side[starts] == 1  # cluster rows sort first (desc)
+        cluster_col = bucket.column("cluster")
+        if isinstance(cluster_col, pa.ChunkedArray):
+            cluster_col = cluster_col.combine_chunks()
+        seg_cluster = cluster_col.take(pa.array(starts))
+        seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        row_mask = (side == 0) & seg_has_cluster[seg_idx]
+        rows = bucket.filter(pa.array(row_mask))
+        attached = seg_cluster.take(pa.array(seg_idx[row_mask]))
+        data = {
             "id_a": rows.column("id_a"),
             "id_b": rows.column("id_b"),
             "same_entity": rows.column("same_entity"),
             "cluster_a": rows.column("cluster_a"),
-            out_col: pa.array([cid] * rows.num_rows, type=pa.string()),
-        })
-        if out_col == "cluster_a":  # first pass overwrote the placeholder
-            out = out.select(["id_a", "id_b", "same_entity", out_col])
-        return out
+            out_col: attached,
+        }
+        return pa.table({c: data[c] for c in out_cols})
 
-    def attach_fn(group: pa.Table) -> pa.Table:
-        return attach(group)
-
-    return u.groupby("key").map_groups(attach_fn, batch_format="pyarrow")
+    return bucketed_group_apply(u, "key", attach, num_buckets=num_buckets,
+                                sort_cols=[("side", "descending")])
 
 
 def pairwise_f1(clusters, labels, *, split: str = "test",
@@ -159,9 +171,12 @@ def fit_threshold(edges, labels, records=None, *, split: str = "calib",
         return pa.table({
             "key": pc.binary_join_element_wise(t.column("id_a"),
                                                t.column("id_b"), "\x1f"),
+            # same-rep pairs (id_a == id_b after rep mapping) are exact
+            # duplicates → fixed score 1.0
+            "same_rep": pc.equal(t.column("id_a"), t.column("id_b")),
             "same_entity": t.column("same_entity"),
-            "score": pa.array([float("nan")] * n, type=pa.float32()),
-            "is_edge": pa.array([False] * n),
+            "score": pa.array([0.0] * n, type=pa.float32()),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
         })
 
     def key_edges(t: pa.Table) -> pa.Table:
@@ -169,40 +184,41 @@ def fit_threshold(edges, labels, records=None, *, split: str = "calib",
         return pa.table({
             "key": pc.binary_join_element_wise(t.column("id_a"),
                                                t.column("id_b"), "\x1f"),
+            "same_rep": pa.array([False] * n),
             "same_entity": pa.array([False] * n),
             "score": pc.cast(t.column("score"), pa.float32()),
-            "is_edge": pa.array([True] * n),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
         })
 
     u = lab.map_batches(key_pairs, batch_format="pyarrow",
                         zero_copy_batch=True).union(
         edges.map_batches(key_edges, batch_format="pyarrow", zero_copy_batch=True))
 
-    def resolve(group: pa.Table) -> pa.Table:
-        mask = group.column("is_edge")
-        sc = pc.filter(group.column("score"), mask)
-        rows = group.filter(pc.invert(mask))
-        if rows.num_rows == 0:
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def resolve(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
             return pa.table({"same_entity": pa.array([], type=pa.bool_()),
                              "score": pa.array([], type=pa.float32())})
-        # same-rep pairs: id_a == id_b after rep mapping → exact dup → 1.0
-        key = rows.column("key")[0].as_py()
-        a, b = key.split("\x1f")
-        if a == b:
-            val = 1.0
-        elif len(sc):
-            val = sc[0].as_py()
-        else:
-            val = 0.0
+        starts = segment_starts(bucket.column("key"))
+        lens = np.diff(np.append(starts, n))
+        side = np.asarray(bucket.column("side"))
+        score = np.asarray(bucket.column("score"), dtype=np.float32)
+        same_rep = np.asarray(bucket.column("same_rep"))
+        seg_score = np.where(side[starts] == 1, score[starts], np.float32(0.0))
+        seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        row_mask = side == 0
+        vals = np.where(same_rep[row_mask], np.float32(1.0),
+                        seg_score[seg_idx[row_mask]])
+        rows = bucket.filter(pa.array(row_mask))
         return pa.table({
             "same_entity": rows.column("same_entity"),
-            "score": pa.array([val] * rows.num_rows, type=pa.float32()),
+            "score": pa.array(vals, type=pa.float32()),
         })
 
-    def resolve_fn(group: pa.Table) -> pa.Table:
-        return resolve(group)
-
-    joined = u.groupby("key").map_groups(resolve_fn, batch_format="pyarrow")
+    joined = bucketed_group_apply(u, "key", resolve, num_buckets=16,
+                                  sort_cols=[("side", "descending")])
     tbl = pa.concat_tables(
         [pa.table(b) for b in joined.iter_batches(batch_format="pyarrow")],
         promote_options="default")

@@ -486,20 +486,36 @@ def transcripts_from_events(sf_dir: str):
 
     turns = ds.map_batches(to_turns, batch_format="pyarrow", zero_copy_batch=True)
 
-    def assign_turn_idx(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        n = g.num_rows
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def assign_turn_idx(bucket: pa.Table) -> pa.Table:
+        # sorted by (conv_id, ts, event_id); turn_idx = ragged arange
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "turn_idx": pa.array([], type=pa.int32()),
+                "role": pa.array([], type=pa.string()),
+                "text": pa.array([], type=pa.string()),
+                "tool": pa.array([], type=pa.string()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+            })
+        starts = segment_starts(bucket.column("conv_id"))
+        lens = np.diff(np.append(starts, n))
+        seg_start_per_row = np.repeat(np.cumsum(lens) - lens, lens)
+        turn_idx = (np.arange(n, dtype=np.int64) - seg_start_per_row).astype(np.int32)
         return pa.table({
-            "conv_id": g.column("conv_id"),
-            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
-            "role": g.column("role"),
-            "text": g.column("text"),
-            "tool": g.column("tool"),
-            "ts": g.column("ts"),
+            "conv_id": bucket.column("conv_id"),
+            "turn_idx": pa.array(turn_idx),
+            "role": bucket.column("role"),
+            "text": bucket.column("text"),
+            "tool": bucket.column("tool"),
+            "ts": bucket.column("ts"),
         })
 
-    return turns.groupby("conv_id").map_groups(assign_turn_idx,
-                                               batch_format="pyarrow")
+    return bucketed_group_apply(
+        turns, "conv_id", assign_turn_idx, num_buckets=64,
+        sort_cols=[("ts", "ascending"), ("event_id", "ascending")])
 
 
 def q_linkage_clusters(sf_dir: str):

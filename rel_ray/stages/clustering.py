@@ -100,11 +100,21 @@ def connected_components(
         lambda t: pa.table({"node": t.column("record_id")}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    if topo.count() == 0:
+    n_topo = topo.count()
+    if n_topo == 0:
         return all_nodes.map_batches(
             lambda t: pa.table({"record_id": t.column("node"),
                                 "cluster_id": t.column("node")}),
             batch_format="pyarrow", zero_copy_batch=True)
+
+    if n_topo <= cfg.cc_local_max_edges:
+        # small-graph fast path: after exact pre-clustering + thresholding the
+        # representative graph is usually tiny relative to the corpus; the
+        # distributed loop's per-round scheduling overhead would dominate.
+        # A driver-side union-find gives the identical (min-label) answer in
+        # one pass; the distributed loop below remains the path for graphs
+        # that exceed the driver's memory budget.
+        return _local_components(all_nodes, topo)
 
     active = topo.groupby("node").count().map_batches(
         lambda t: pa.table({"node": t.column("node"),
@@ -154,6 +164,58 @@ def connected_components(
             batch_format="pyarrow", zero_copy_batch=True))
 
     return active.union(passive).map_batches(
+        lambda t: pa.table({"record_id": t.column("node"),
+                            "cluster_id": t.column("label")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _local_components(all_nodes, topo) -> "ray.data.Dataset":
+    """Driver-side union-find over the (small) symmetric topology; singleton
+    nodes resolved distributed via the same union+count set difference."""
+    import ray.data as rd
+
+    edge_tab = pa.concat_tables(
+        [pa.table(b).select(["node", "nbr"])
+         for b in topo.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edge_tab.column("node").to_pylist(),
+                    edge_tab.column("nbr").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by label order → root is always the min id (deterministic)
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    touched = set(edge_tab.column("node").to_pylist())
+    labels = pa.table({
+        "record_id": pa.array(sorted(touched), type=pa.string()),
+        "cluster_id": pa.array([find(x) for x in sorted(touched)],
+                               type=pa.string()),
+    })
+    active_ds = rd.from_arrow(labels.rename_columns(["node", "label"]))
+
+    passive = (
+        all_nodes.union(active_ds.map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow",
+            zero_copy_batch=True))
+        .groupby("node").count()
+        .map_batches(
+            lambda t: (lambda f: pa.table({"node": f.column("node"),
+                                           "label": f.column("node")}))(
+                t.filter(pc.equal(t.column("count()"), 1))),
+            batch_format="pyarrow", zero_copy_batch=True))
+    return active_ds.union(passive).map_batches(
         lambda t: pa.table({"record_id": t.column("node"),
                             "cluster_id": t.column("label")}),
         batch_format="pyarrow", zero_copy_batch=True)

@@ -14,6 +14,7 @@ from ..config import PipelineConfig
 from ..functions.normalize import (
     char_counts,
     extract_mentions,
+    normalize_mentions,
     normalize_strings,
     token_counts,
 )
@@ -39,7 +40,8 @@ class NormalizeTurns:
         out = out.append_column("n_chars", char_counts(text))
         out = out.append_column("n_tokens", token_counts(text))
         out = out.append_column("mention", mention)
-        out = out.append_column("mention_norm", normalize_strings(mention, nfkc=self.cfg.nfkc))
+        out = out.append_column("mention_norm",
+                                normalize_mentions(mention, nfkc=self.cfg.nfkc))
         out = out.append_column(
             "record_id", record_ids(batch.column("conv_id"), batch.column("turn_idx"))
         )

@@ -48,14 +48,6 @@ class PairScorer:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
 
-    def _features(self, mn: pa.Array) -> tuple[pa.ListArray, np.ndarray]:
-        codes, splits = char_ngram_codes(mn, self.cfg.shingle_k)
-        uniq = unique_shingle_sets(codes, splits)
-        ucodes = np.asarray(uniq.values, dtype=np.uint64)
-        usplits = np.asarray(uniq.offsets, dtype=np.int64)
-        emb = _sign_embed(ucodes, usplits)
-        return uniq, emb
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = batch.num_rows
@@ -66,28 +58,63 @@ class PairScorer:
         if isinstance(mn_b, pa.ChunkedArray):
             mn_b = mn_b.combine_chunks()
 
-        set_a, emb_a = self._features(mn_a)
-        set_b, emb_b = self._features(mn_b)
-        sim_emb = np.einsum("ij,ij->i", emb_a, emb_b).astype(np.float32)
+        # each distinct mention appears in many pairs (reps of hot entities):
+        # dictionary-encode both sides together, compute features once per
+        # distinct string, then gather per pair
+        import pyarrow.compute as pc
+        both = pa.concat_arrays([mn_a, mn_b])
+        enc = pc.dictionary_encode(both)
+        idx = np.asarray(enc.indices, dtype=np.int64)
+        idx_a, idx_b = idx[:n], idx[n:]
+        uniq_strings = enc.dictionary
 
-        va = np.asarray(set_a.values, dtype=np.uint64)
-        sa = np.asarray(set_a.offsets, dtype=np.int64)
-        vb = np.asarray(set_b.values, dtype=np.uint64)
-        sb = np.asarray(set_b.offsets, dtype=np.int64)
-        sim_j = np.zeros(n, dtype=np.float32)
-        for i in range(n):
-            a = va[sa[i] : sa[i + 1]]
-            b = vb[sb[i] : sb[i + 1]]
-            la, lb = len(a), len(b)
-            if la and lb:
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                sim_j[i] = inter / (la + lb - inter)
+        codes, splits = char_ngram_codes(uniq_strings, cfg.shingle_k)
+        uniq = unique_shingle_sets(codes, splits)
+        ucodes = np.asarray(uniq.values, dtype=np.uint64)
+        usplits = np.asarray(uniq.offsets, dtype=np.int64)
+        emb = _sign_embed(ucodes, usplits)
+        sim_emb = np.einsum("ij,ij->i", emb[idx_a], emb[idx_b]).astype(np.float32)
 
-        a_list = mn_a.to_pylist()
-        b_list = mn_b.to_pylist()
-        sim_jw = np.fromiter(
-            (jaro_winkler(x, y) for x, y in zip(a_list, b_list)),
-            dtype=np.float32, count=n)
+        # vectorized exact Jaccard: gather both sides' sorted-unique shingle
+        # sets per pair, one global lexsort, adjacent-equal count per pair
+        set_lens = (usplits[1:] - usplits[:-1])
+        la, lb = set_lens[idx_a], set_lens[idx_b]
+
+        def _ragged_gather(side_idx: np.ndarray, lens: np.ndarray) -> np.ndarray:
+            total = int(lens.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.uint64)
+            starts = usplits[:-1][side_idx]
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens)
+            return ucodes[np.repeat(starts, lens) + pos]
+
+        vals = np.concatenate([_ragged_gather(idx_a, la), _ragged_gather(idx_b, lb)])
+        pair_ids = np.concatenate([
+            np.repeat(np.arange(n, dtype=np.int64), la),
+            np.repeat(np.arange(n, dtype=np.int64), lb)])
+        order = np.lexsort((vals, pair_ids))
+        pv, vv = pair_ids[order], vals[order]
+        dup = np.zeros(len(vv), dtype=np.int64)
+        if len(vv) > 1:
+            dup[1:] = ((pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])).astype(np.int64)
+        inter = np.bincount(pv, weights=dup, minlength=n)
+        union = la + lb - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim_j = np.where(union > 0, inter / union, 0.0).astype(np.float32)
+
+        # Jaro-Winkler is the expensive per-pair feature: gate it behind a
+        # cheap Jaccard screen. A pair with near-zero shingle overlap cannot
+        # clear the match threshold whatever its JW value (w_jw + w_emb < τ
+        # for sim_j ≈ 0), so scoring it 0 changes no decisions.
+        sim_jw = np.zeros(n, dtype=np.float32)
+        candidates = np.nonzero(sim_j >= np.float32(0.12))[0]
+        if len(candidates):
+            a_list = mn_a.take(pa.array(candidates)).to_pylist()
+            b_list = mn_b.take(pa.array(candidates)).to_pylist()
+            sim_jw[candidates] = np.fromiter(
+                (jaro_winkler(x, y) for x, y in zip(a_list, b_list)),
+                dtype=np.float32, count=len(candidates))
 
         score = (cfg.w_jaccard * sim_j + cfg.w_jw * sim_jw + cfg.w_emb * sim_emb).astype(
             np.float32)

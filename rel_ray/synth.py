@@ -110,6 +110,7 @@ def generate_corpus(
     n_entities: int | None = None,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     max_block_records_for_labels: int = 40,
+    with_labels: bool = True,
 ) -> dict[str, pa.Table]:
     """Build transcripts + gold_clusters + labels (+ mentions_truth for debugging)."""
     rng = np.random.default_rng(seed)
@@ -186,6 +187,9 @@ def generate_corpus(
             gold_cids.append(cid)
     gold = pa.table({"record_id": pa.array(gold_rids), "cluster_id": pa.array(gold_cids)})
 
+    if not with_labels:  # bench-scale corpora skip the label fixture build
+        return {"transcripts": transcripts, "gold_clusters": gold}
+
     # ---- labels: same-block pairs under the shipped blocker config ----
     rids_sorted = sorted(rec_entity)
     labels = _build_labels(rids_sorted, rec_entity, transcripts=transcripts, cfg=cfg,
@@ -200,7 +204,7 @@ def _build_labels(rids_sorted, rec_entity, transcripts, cfg, max_block_records):
     Uses the SAME kernels the pipeline ships (shingles/minhash/band_keys) so
     the label set matches BASELINE.json:metric exactly.
     """
-    from .functions.normalize import extract_mentions, normalize_strings
+    from .functions.normalize import extract_mentions, normalize_mentions
 
     # recover each record's text from the (shuffled) transcripts table
     conv = transcripts.column("conv_id").to_pylist()
@@ -210,7 +214,7 @@ def _build_labels(rids_sorted, rec_entity, transcripts, cfg, max_block_records):
 
     mention_texts = pa.array([text_of[r] for r in rids_sorted], type=pa.string())
     mentions = extract_mentions(mention_texts)
-    mention_norm = normalize_strings(mentions, nfkc=cfg.nfkc)
+    mention_norm = normalize_mentions(mentions, nfkc=cfg.nfkc)
     codes, splits = char_ngram_codes(mention_norm, cfg.shingle_k)
     sig = minhash_signatures(codes, splits, cfg.num_perm, cfg.seed)
     keys = band_keys(sig, cfg.bands, cfg.band_rows, cfg.seed)  # (n, bands)

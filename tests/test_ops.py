@@ -1,0 +1,180 @@
+"""Tests for the training-data operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rel_ray.config import DEFAULT_CONFIG
+
+
+def _collect(ds) -> pa.Table:
+    tabs = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tabs:
+        return pa.table({})
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+@pytest.fixture(scope="module")
+def doc_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog in the morning light",
+        "the quick brown fox jumps over the lazy dog in the morning light",   # exact dup of 0
+        "the quick brown fox jumps over the lazy dog in the evening light",   # near dup of 0
+        "a completely different document about database query optimization",
+        "yet another unrelated text concerning neural entity linking systems",
+        "",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup(doc_table):
+    from rel_ray.stages.dedup import exact_dedup
+    out = _collect(exact_dedup(rd.from_arrow(doc_table), id_col="doc_id",
+                               text_col="text"))
+    survivors = sorted(out.column("doc_id").to_pylist())
+    assert survivors == [0, 2, 3, 4, 5]  # doc 1 collapsed into doc 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_minhash(doc_table):
+    from rel_ray.stages.dedup import near_dedup_minhash
+    out = _collect(near_dedup_minhash(rd.from_arrow(doc_table), id_col="doc_id",
+                                      text_col="text", cfg=DEFAULT_CONFIG,
+                                      threshold=0.5))
+    cl = dict(zip(out.column("record_id").to_pylist(),
+                  out.column("cluster_id").to_pylist()))
+    assert cl["0"] == cl["1"] == cl["2"]  # exact + near dups share a cluster
+    assert cl["3"] != cl["0"] and cl["4"] != cl["0"]
+    assert len(cl) == 6  # every doc clustered, empty doc is its own singleton
+    assert cl["5"] == "5"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_simhash(doc_table):
+    from rel_ray.stages.dedup import near_dedup_simhash
+    out = _collect(near_dedup_simhash(rd.from_arrow(doc_table), id_col="doc_id",
+                                      text_col="text", max_hamming=10))
+    cl = dict(zip(out.column("record_id").to_pylist(),
+                  out.column("cluster_id").to_pylist()))
+    assert cl["0"] == cl["1"]  # identical text ⇒ identical simhash
+    assert cl["0"] != cl["3"]
+
+
+def test_simhash_properties():
+    from rel_ray.stages.dedup import _popcount64, simhash_column
+    texts = pa.array(["the quick brown fox jumps over the lazy dog",
+                      "the quick brown fox jumps over the lazy dogs",
+                      "entirely different content about query planners"])
+    sh = simhash_column(texts, 3, unit="word")
+    ham_near = int(_popcount64(np.array([sh[0] ^ sh[1]]))[0])
+    ham_far = int(_popcount64(np.array([sh[0] ^ sh[2]]))[0])
+    assert ham_near < ham_far
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_topk_exact_against_numpy():
+    from rel_ray.stages.similarity import ann_topk
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    queries = {"ids": np.array([0, 1], dtype=np.int64),
+               "vecs": vecs[:2].astype(np.float64)}
+    out = _collect(ann_topk(rd.from_arrow(tbl), queries, k=5))
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out.to_pylist()}
+    # reference: exact numpy ranking
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in (0, 1):
+        sims = m @ m[q]
+        order = np.lexsort((np.arange(200), -sims))[:5]
+        for rank, vid in enumerate(order, 1):
+            assert got[(q, rank)] == vid
+        assert got[(q, 1)] == q  # self is its own nearest neighbor
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dup():
+    from rel_ray.stages.similarity import embedding_near_dup
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((5, 8))
+    rows, ids = [], []
+    for i, b in enumerate(base):
+        rows.append(b)
+        ids.append(i * 10)
+        rows.append(b + rng.standard_normal(8) * 1e-3)  # near-identical copy
+        ids.append(i * 10 + 1)
+    tbl = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in rows],
+                                          type=pa.list_(pa.float32()))})
+    out = _collect(embedding_near_dup(rd.from_arrow(tbl), threshold=0.999,
+                                      n_planes=4))
+    cl = dict(zip(out.column("record_id").to_pylist(),
+                  out.column("cluster_id").to_pylist()))
+    for i in range(5):
+        assert cl[str(i * 10)] == cl[str(i * 10 + 1)]
+
+
+def test_lang_id_and_quality():
+    from rel_ray.stages.textstats import lang_id, quality_features
+    texts = pa.array([
+        "the cat is in the house and it is warm",
+        "der Hund ist nicht in der Schule und das ist gut",
+        "le chat est dans la maison et il est content",
+        "xyzzy plugh",
+    ])
+    assert lang_id(texts).to_pylist() == ["en", "de", "fr", "und"]
+    q = quality_features(texts)
+    assert q.column("n_tokens").to_pylist()[0] == 10
+    assert 0.0 <= q.column("quality").to_pylist()[0] <= 1.0
+
+
+def test_fingerprint_winnow_deterministic_and_shift_stable():
+    from rel_ray.stages.textstats import fingerprint_winnow
+    a = "the quick brown fox jumps over the lazy dog repeatedly"
+    fp1 = fingerprint_winnow(pa.array([a]))
+    fp2 = fingerprint_winnow(pa.array([a]))
+    assert fp1.to_pylist() == fp2.to_pylist()
+    # winnowing keeps shared fingerprints under prefix shift
+    fpb = fingerprint_winnow(pa.array(["PREFIX " + a]))
+    common = set(fp1.to_pylist()[0]) & set(fpb.to_pylist()[0])
+    assert len(common) >= len(set(fp1.to_pylist()[0])) // 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_decode_plumbing():
+    from rel_ray.stages.multimodal import (
+        MEDIA_SCHEMA, decode_stage, frame_sample_stage, synth_media_table)
+    media = synth_media_table(32, seed=7)
+    assert media.schema.equals(MEDIA_SCHEMA)
+    out = _collect(decode_stage(rd.from_arrow(media), fake=True, dim=16,
+                                batch_size=8))
+    assert out.num_rows == 32
+    feats = out.column("features")
+    assert pa.types.is_fixed_size_list(feats.type) and feats.type.list_size == 16
+    # deterministic: same payload → same features
+    out2 = _collect(decode_stage(rd.from_arrow(media), fake=True, dim=16,
+                                 batch_size=8))
+    assert out.sort_by("media_id").equals(out2.sort_by("media_id"))
+
+    frames = _collect(frame_sample_stage(rd.from_arrow(media), every_ms=5000))
+    per_media = {}
+    for r in frames.to_pylist():
+        per_media.setdefault(r["media_id"], []).append(r["frame_ms"])
+    for r in media.to_pylist():
+        expected = 1 if r["duration_ms"] <= 0 else r["duration_ms"] // 5000 + 1
+        assert len(per_media[r["media_id"]]) == expected
+
+
+def test_real_decode_is_stubbed():
+    from rel_ray.stages.multimodal import MediaDecoder
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake=False).decode(b"bytes", "image/png")

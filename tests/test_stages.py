@@ -133,8 +133,12 @@ def test_pair_scorer_features():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_connected_components_hand_graphs():
-    cfg = DEFAULT_CONFIG
+@pytest.mark.parametrize("local_max", [2_000_000, 0])
+def test_connected_components_hand_graphs(local_max):
+    # local_max=0 forces the distributed label-propagation loop; the default
+    # takes the driver-side union-find fast path — results must be identical
+    import dataclasses
+    cfg = dataclasses.replace(DEFAULT_CONFIG, cc_local_max_edges=local_max)
     nodes = rd.from_items([{"record_id": x} for x in
                            ["a", "b", "c", "d", "e", "f", "g"]])
     # chain a-b-c, pair d-e (duplicate edge), singleton f, g
