@@ -26,9 +26,13 @@ class PipelineConfig:
     #     REL:src/REL/mention_detection.py::MentionDetectionBase.get_candidates) ---
     shingle_k: int = 3
     shingle_unit: str = "char"  # "char" (short mention strings) | "word" (documents)
-    num_perm: int = 64          # K minhash permutations = bands * band_rows
-    bands: int = 32
-    band_rows: int = 2
+    num_perm: int = 63          # K minhash permutations = bands * band_rows
+    # S-curve knee near s≈0.35: P(co-block)=0.94 at s=0.5 (weakest intra-
+    # entity variant pairs) but only 0.07 at s=0.15 (syllable-overlap noise
+    # between distinct entities). r=2 put the knee at s≈0.2 and flooded the
+    # pair stage ~7× at 10^4-entity scale (measured).
+    bands: int = 21
+    band_rows: int = 3
 
     # --- skew control (REL top-100-candidates cap analog:
     #     REL:src/REL/wikipedia_yago_freq.py) ---

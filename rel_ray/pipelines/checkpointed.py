@@ -78,8 +78,9 @@ def run_linkage_checkpointed(
         matched = s_edges.dataset.map_batches(
             lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
             batch_format="pyarrow", zero_copy_batch=True)
-        all_edges = matched.union(_coref_edges(s_records.dataset))
-        rep_clusters = connected_components(reps, all_edges, cfg)
+        all_edges = matched.union(_coref_edges(s_records.dataset, reps))
+        rep_clusters = connected_components(reps, all_edges, cfg,
+                                            include_singletons=False)
         return expand_clusters(s_records.dataset, rep_clusters)
 
     s_clusters = ctx.run_stage(

@@ -33,13 +33,55 @@ from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
 
 
-def _coref_edges(records, num_partitions: int = 0, *, num_buckets: int = 64):
+def _coref_edges(records, reps, num_partitions: int = 0, *,
+                 broadcast_max_rows: int = 2_000_000, num_buckets: int = 64):
     """with_coref analog: (rep(coref_prev), rep(record)) forced-match edges.
 
-    Bucketed co-group on the coref target's record_id: target rows (side 0,
-    the record's own rep) sort first in each segment; source rows (side 1,
-    keyed by their coref_prev) take the segment head's rep — vectorized.
+    The source side's rep is already a record column (rep_id); only the
+    TARGET mention needs rep resolution. The mention→rep map is the (small)
+    representative table, so it is broadcast once via ray.put and applied in
+    a stateless map_batches — no corpus-wide shuffle. Above
+    `broadcast_max_rows` the resolution falls back to a bucketed co-group.
     """
+    import numpy as np
+
+    import ray as _ray
+
+    n_reps = reps.count()
+    if n_reps > broadcast_max_rows:
+        return _coref_edges_cogroup(records, num_buckets=num_buckets)
+
+    lookup: dict[str, str] = {}
+    for b in reps.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        lookup.update(zip(t.column("mention_norm").to_pylist(),
+                          t.column("record_id").to_pylist()))
+    ref = _ray.put(lookup)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        rows = t.filter(pc.not_equal(t.column("coref_prev_mn"), ""))
+        if rows.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string())})
+        table = _ray.get(ref)
+        rep_b = rows.column("rep_id")
+        rep_a = pa.array([table.get(mn, "") for mn in
+                          rows.column("coref_prev_mn").to_pylist()],
+                         type=pa.string())
+        lo = pc.min_element_wise(rep_a, rep_b)
+        hi = pc.max_element_wise(rep_a, rep_b)
+        out = pa.table({"id_a": lo, "id_b": hi})
+        out = out.filter(pc.not_equal(out.column("id_a"), ""))
+        return out.filter(pc.not_equal(out.column("id_a"), out.column("id_b")))
+
+    return records.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _coref_edges_cogroup(records, *, num_buckets: int = 64):
+    """Fallback for giant mention vocabularies: bucketed co-group on the
+    coref target's record_id (target rows sort first; sources take the
+    segment head's rep)."""
     import numpy as np
 
     from ..functions.rayutil import bucketed_group_apply, segment_starts
@@ -69,7 +111,7 @@ def _coref_edges(records, num_partitions: int = 0, *, num_buckets: int = 64):
         rep = bucket.column("rep")
         if isinstance(rep, pa.ChunkedArray):
             rep = rep.combine_chunks()
-        seg_has_target = side[starts] == 0  # target rows sort first (asc)
+        seg_has_target = side[starts] == 0
         seg_target_rep = rep.take(pa.array(starts))
         seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
         src_mask = (side == 1) & seg_has_target[seg_idx]
@@ -113,9 +155,10 @@ def run_linkage(
     matched = edges.map_batches(
         lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    all_edges = matched.union(_coref_edges(records, num_partitions))
+    all_edges = matched.union(_coref_edges(records, reps, num_partitions))
 
-    rep_clusters = connected_components(reps, all_edges, cfg, num_partitions)
+    rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
+                                        include_singletons=False)
     clusters = expand_clusters(records, rep_clusters, num_partitions)
     return {
         "turns": turns,

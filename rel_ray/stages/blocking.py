@@ -8,13 +8,13 @@ Scale design (SURVEY §4.3):
   1. Exact pre-clustering FIRST: records grouped by identical ``mention_norm``;
      only one representative per exact group enters blocking/pairing. Hot
      entities whose canonical form repeats 10^6× collapse to one rep. The
-     rep assignment is a vectorized groupby-Min + hash join — no per-group
-     Python.
+     rep assignment is a bucketed shuffle-reduce with vectorized segment ops
+     (see rel_ray.functions.rayutil) — no per-key Python, no join.
   2. Blocks carry only (block_key, record_id, mention_norm): the payload a
-     pair needs is re-derivable from mention_norm, so band-level pair dedup
-     can use vectorized Min aggregates instead of per-group map_groups.
-  3. Singleton blocks (the vast majority of band keys) are dropped by a
-     count-aggregate + inner join BEFORE any per-group pair generation runs.
+     pair needs is re-derivable from mention_norm, so pairs stay string-only
+     and band dedup is an adjacent-duplicate filter.
+  3. Singleton blocks (the vast majority of band keys) are skipped by a
+     vectorized segment-length filter inside the pair-generation bucket.
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ def records_stage(ds, cfg: PipelineConfig):
         t = batch.filter(pc.not_equal(batch.column("mention_norm"), ""))
         return t.select(
             ["record_id", "conv_id", "turn_idx", "role", "mention", "mention_norm",
-             "ctx_before", "ctx_after", "coref_prev"]
+             "ctx_before", "ctx_after", "coref_prev", "coref_prev_mn"]
         )
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=cfg.batch_size)

@@ -89,19 +89,31 @@ def connected_components(
     edges,
     cfg: PipelineConfig,
     num_partitions: int = 0,
+    *,
+    include_singletons: bool = True,
 ) -> "ray.data.Dataset":
     """nodes: Dataset with `record_id`; edges: Dataset with `id_a`,`id_b`.
 
     Returns Dataset (record_id, cluster_id), cluster_id = min record_id in the
     component. Vertices with no edges stay singleton clusters (REL anti-join
-    analog: unlinked mentions, SURVEY §2.4)."""
+    analog: unlinked mentions, SURVEY §2.4). With
+    ``include_singletons=False`` only edge-touched nodes are returned —
+    downstream expand_clusters defaults missing reps to themselves, saving a
+    full set-difference pass over the node table.
+    """
     topo = _undirect(edges).materialize()
     all_nodes = nodes.map_batches(
         lambda t: pa.table({"node": t.column("record_id")}),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+        batch_format="pyarrow", zero_copy_batch=True)
+    if include_singletons:
+        all_nodes = all_nodes.materialize()
 
     n_topo = topo.count()
     if n_topo == 0:
+        if not include_singletons:
+            return ray.data.from_arrow(pa.table({
+                "record_id": pa.array([], type=pa.string()),
+                "cluster_id": pa.array([], type=pa.string())}))
         return all_nodes.map_batches(
             lambda t: pa.table({"record_id": t.column("node"),
                                 "cluster_id": t.column("node")}),
@@ -114,7 +126,7 @@ def connected_components(
         # A driver-side union-find gives the identical (min-label) answer in
         # one pass; the distributed loop below remains the path for graphs
         # that exceed the driver's memory budget.
-        return _local_components(all_nodes, topo)
+        return _local_components(all_nodes, topo, include_singletons)
 
     active = topo.groupby("node").count().map_batches(
         lambda t: pa.table({"node": t.column("node"),
@@ -150,6 +162,12 @@ def connected_components(
             f"connected_components did not converge in {cfg.max_cc_iters} rounds — "
             "component diameter exceeds the star-bridge design assumption")
 
+    if not include_singletons:
+        return active.map_batches(
+            lambda t: pa.table({"record_id": t.column("node"),
+                                "cluster_id": t.column("label")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
     # passive nodes (no incident edge) are singleton clusters: vectorized set
     # difference via union + count
     passive = (
@@ -169,9 +187,9 @@ def connected_components(
         batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _local_components(all_nodes, topo) -> "ray.data.Dataset":
+def _local_components(all_nodes, topo, include_singletons=True) -> "ray.data.Dataset":
     """Driver-side union-find over the (small) symmetric topology; singleton
-    nodes resolved distributed via the same union+count set difference."""
+    nodes (when requested) resolved distributed via union+count set difference."""
     import ray.data as rd
 
     edge_tab = pa.concat_tables(
@@ -204,6 +222,10 @@ def _local_components(all_nodes, topo) -> "ray.data.Dataset":
                                type=pa.string()),
     })
     active_ds = rd.from_arrow(labels.rename_columns(["node", "label"]))
+    if not include_singletons:
+        return active_ds.map_batches(
+            lambda t: t.rename_columns(["record_id", "cluster_id"]),
+            batch_format="pyarrow", zero_copy_batch=True)
 
     passive = (
         all_nodes.union(active_ds.map_batches(
@@ -253,9 +275,16 @@ def expand_clusters(records_with_rep, rep_clusters, num_partitions: int = 0,
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
         seg_has_cluster = side[starts] == 1  # cluster rows sort first (desc)
-        seg_cluster = payload.take(pa.array(starts))
+        key_col = bucket.column("key")
+        if isinstance(key_col, pa.ChunkedArray):
+            key_col = key_col.combine_chunks()
+        # segments without a cluster row are singleton reps: cluster = rep id
+        seg_cluster = pc.if_else(
+            pa.array(seg_has_cluster),
+            payload.take(pa.array(starts)),
+            key_col.take(pa.array(starts)))
         seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
-        member_mask = (side == 0) & seg_has_cluster[seg_idx]
+        member_mask = side == 0
         rec = payload.filter(pa.array(member_mask))
         cid = seg_cluster.take(pa.array(seg_idx[member_mask]))
         return pa.table({"record_id": rec, "cluster_id": cid})

