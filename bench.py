@@ -39,16 +39,15 @@ BENCH_QUERIES = [
 
 
 def _consume(res) -> int:
-    """Fully execute a query result; return row count."""
-    import pyarrow as pa
+    """Fully execute a query result; return row count.
 
+    count() executes the whole pipeline distributed; iterating batches here
+    would serialize result ingestion through the driver and dominate the
+    measurement at scale."""
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        n = 0
-        for b in res.iter_batches(batch_format="pyarrow"):
-            n += pa.table(b).num_rows
-        return n
+        return res.count()
     return len(res)
 
 

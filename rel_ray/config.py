@@ -60,8 +60,11 @@ class PipelineConfig:
     batch_size: int = 4096
     scorer_concurrency: int = 16  # autoscaling actor-pool max (min stays 1)
     # reducer count for bucketed shuffle-reduce stages (scale with cluster
-    # size / input volume; each bucket must fit in a worker's heap)
-    num_buckets: int = 64
+    # size / input volume; each bucket must fit in a worker's heap).
+    # Measured: too FEW buckets stalls Ray's range partitioner on the
+    # low-cardinality sort key (64 buckets → 27 s noop shuffle of 3.6M rows;
+    # 1024 → 6.6 s); too many adds per-bucket task overhead at small scale.
+    num_buckets: int = 512
 
     def fingerprint(self) -> str:
         """Stable hash of the config for checkpoint-manifest lineage."""

@@ -21,7 +21,7 @@ from ..state.manifest import CheckpointContext
 from ..stages.blocking import blocking_stage, exact_precluster, records_stage
 from ..stages.clustering import connected_components, expand_clusters
 from ..stages.conversation import conversation_stage
-from ..stages.normalize import normalize_stage
+from ..stages.normalize import mention_stage
 from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
 from .linkage import _coref_edges
@@ -54,8 +54,11 @@ def run_linkage_checkpointed(
 
     def build_records():
         tr = rd.read_parquet(input_path)
-        turns = conversation_stage(normalize_stage(tr, cfg), cfg)
-        return exact_precluster(records_stage(turns, cfg), cfg)
+        turns = conversation_stage(mention_stage(tr, cfg), cfg)
+        # materialize before preclustering: the rep-map aggregate would
+        # otherwise re-execute the conversation shuffle
+        recs = records_stage(turns, cfg).materialize()
+        return exact_precluster(recs, cfg)
 
     s_records = ctx.run_stage("records", [in_fp], build_records)
 
@@ -81,7 +84,8 @@ def run_linkage_checkpointed(
         all_edges = matched.union(_coref_edges(s_records.dataset, reps))
         rep_clusters = connected_components(reps, all_edges, cfg,
                                             include_singletons=False)
-        return expand_clusters(s_records.dataset, rep_clusters)
+        return expand_clusters(s_records.dataset, rep_clusters,
+                               num_buckets=cfg.num_buckets)
 
     s_clusters = ctx.run_stage(
         "clusters", [s_records.fingerprint, s_edges.fingerprint], build_clusters)

@@ -28,7 +28,7 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..stages.blocking import blocking_stage, exact_precluster, records_stage
 from ..stages.clustering import connected_components, expand_clusters
 from ..stages.conversation import conversation_stage
-from ..stages.normalize import normalize_stage
+from ..stages.normalize import mention_stage
 from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
 
@@ -135,10 +135,13 @@ def run_linkage(
 ):
     """Returns dict of lazily-composed Datasets:
     records / pairs / edges / clusters."""
-    turns = normalize_stage(transcripts, cfg)
+    turns = mention_stage(transcripts, cfg)
     turns = conversation_stage(turns, cfg)
-    records = records_stage(turns, cfg)
-    records = exact_precluster(records, cfg, num_partitions).materialize()
+    # materialize BEFORE exact_precluster: its rep-map aggregate and the
+    # rep-attach map both read the records; materializing here runs the
+    # expensive conversation shuffle exactly once
+    records0 = records_stage(turns, cfg).materialize()
+    records = exact_precluster(records0, cfg, num_partitions).materialize()
 
     reps = records.map_batches(
         lambda t: t.filter(pc.equal(t.column("record_id"), t.column("rep_id"))).select(
@@ -159,7 +162,8 @@ def run_linkage(
 
     rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
                                         include_singletons=False)
-    clusters = expand_clusters(records, rep_clusters, num_partitions)
+    clusters = expand_clusters(records, rep_clusters, num_partitions,
+                               num_buckets=cfg.num_buckets)
     return {
         "turns": turns,
         "records": records,

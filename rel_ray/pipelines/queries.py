@@ -514,7 +514,7 @@ def transcripts_from_events(sf_dir: str):
         })
 
     return bucketed_group_apply(
-        turns, "conv_id", assign_turn_idx, num_buckets=64,
+        turns, "conv_id", assign_turn_idx, num_buckets=256,
         sort_cols=[("ts", "ascending"), ("event_id", "ascending")])
 
 

@@ -1,0 +1,46 @@
+"""Sources (SURVEY §2.1): schema-validated Parquet readers with column
+pruning, plus the tiny in-memory path used by tests.
+
+REL analogs: the HTTP JSON request reader (``REL:src/REL/server.py``) becomes
+`from_items_transcripts` (batch engine — no serving path); the SQLite stores
+(``REL:src/REL/db/base.py``) are replaced by Parquet everywhere.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from .. import schemas
+
+
+def read_transcripts(path: str, *, columns: list[str] | None = None):
+    """Read a transcripts table (BASELINE.json:input_hint shape).
+
+    Column pruning at the read (never load all columns for a narrow
+    transform); schema asserted on the first block so a wrong input fails
+    loudly before a full pipeline run.
+    """
+    ds = rd.read_parquet(path, columns=columns)
+    first = ds.take_batch(1, batch_format="pyarrow")
+    want = [f for f in schemas.TRANSCRIPTS
+            if columns is None or f.name in columns]
+    schemas.assert_schema(first, pa.schema(want))
+    return ds
+
+
+def read_table(sf_dir: str, name: str, *, columns: list[str] | None = None):
+    """Read one of the driver fixture tables with column pruning."""
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def from_items_transcripts(rows: list[dict]):
+    """Tiny in-memory transcripts source (tests / examples)."""
+    arrays = {f.name: [] for f in schemas.TRANSCRIPTS}
+    for r in rows:
+        for f in schemas.TRANSCRIPTS:
+            arrays[f.name].append(r[f.name])
+    table = pa.table(
+        {f.name: pa.array(arrays[f.name], type=f.type) for f in schemas.TRANSCRIPTS})
+    return rd.from_arrow(table)

@@ -244,12 +244,47 @@ def _local_components(all_nodes, topo, include_singletons=True) -> "ray.data.Dat
 
 
 def expand_clusters(records_with_rep, rep_clusters, num_partitions: int = 0,
-                    *, num_buckets: int = 64):
+                    *, num_buckets: int = 64,
+                    broadcast_max_rows: int = 2_000_000):
     """Every record inherits its exact-group representative's cluster.
 
-    Bucketed co-group on rep_id: cluster rows sort first in each segment
-    (side desc), members take the segment head's cluster — all vectorized.
+    The rep→cluster map is small by construction (one row per representative
+    that touched an edge); it is broadcast via ray.put and applied in a
+    stateless map_batches — reps missing from the map are singletons and
+    cluster to themselves. Above `broadcast_max_rows` a bucketed co-group of
+    the records table runs instead.
     """
+    import ray as _ray
+
+    rc = rep_clusters.materialize()
+    if rc.count() > broadcast_max_rows:
+        return _expand_clusters_cogroup(records_with_rep, rc,
+                                        num_buckets=num_buckets)
+    lookup: dict[str, str] = {}
+    for b in rc.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        lookup.update(zip(t.column("record_id").to_pylist(),
+                          t.column("cluster_id").to_pylist()))
+    ref = _ray.put(lookup)
+
+    def attach(t: pa.Table) -> pa.Table:
+        table = _ray.get(ref)
+        reps = t.column("rep_id").to_pylist()
+        return pa.table({
+            "record_id": t.column("record_id"),
+            "cluster_id": pa.array([table.get(r, r) for r in reps],
+                                   type=pa.string()),
+        })
+
+    return records_with_rep.map_batches(attach, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+
+def _expand_clusters_cogroup(records_with_rep, rep_clusters, *,
+                             num_buckets: int = 64):
+    """Fallback for giant rep graphs: bucketed co-group on rep_id (cluster
+    rows sort first in each segment; members take the segment head's cluster,
+    defaulting to the rep itself for singleton segments)."""
     members = records_with_rep.map_batches(
         lambda t: pa.table({
             "key": t.column("rep_id"),
@@ -278,7 +313,6 @@ def expand_clusters(records_with_rep, rep_clusters, num_partitions: int = 0,
         key_col = bucket.column("key")
         if isinstance(key_col, pa.ChunkedArray):
             key_col = key_col.combine_chunks()
-        # segments without a cluster row are singleton reps: cluster = rep id
         seg_cluster = pc.if_else(
             pa.array(seg_has_cluster),
             payload.take(pa.array(starts)),

@@ -135,7 +135,8 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
         batch_format="pyarrow", zero_copy_batch=True)
     rep_clusters = connected_components(reps, matched, cfg, num_partitions,
                                         include_singletons=False)
-    return expand_clusters(records, rep_clusters, num_partitions)
+    return expand_clusters(records, rep_clusters, num_partitions,
+                           num_buckets=cfg.num_buckets)
 
 
 # ---------------------------------------------------------------------------

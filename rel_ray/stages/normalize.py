@@ -55,3 +55,35 @@ def normalize_stage(ds, cfg: PipelineConfig):
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
     )
+
+
+class MentionTurns:
+    """Linkage-path variant of NormalizeTurns: only the columns the linkage
+    pipeline consumes (mention detection + record ids). text_norm / token
+    counts are NOT computed — they would ride through the conversation
+    shuffle (the engine's biggest byte mover) unused.
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        mention = extract_mentions(text)
+        out = batch
+        out = out.append_column("mention", mention)
+        out = out.append_column("mention_norm",
+                                normalize_mentions(mention, nfkc=self.cfg.nfkc))
+        out = out.append_column(
+            "record_id", record_ids(batch.column("conv_id"), batch.column("turn_idx"))
+        )
+        return out
+
+
+def mention_stage(ds, cfg: PipelineConfig):
+    return ds.map_batches(
+        MentionTurns(cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.batch_size,
+    )

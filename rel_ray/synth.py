@@ -22,13 +22,17 @@ import pyarrow as pa
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions.shingles import band_keys, char_ngram_codes, minhash_signatures
 
-_SYLLABLES = [
-    "mar", "vok", "tel", "drin", "quol", "zar", "beth", "nim", "falk", "ors",
-    "gwen", "hald", "ixa", "jorn", "kel", "lum", "myr", "nox", "pav", "rud",
-    "sil", "tor", "ulf", "vex", "wyn", "xan", "yil", "zem", "bran", "cyd",
-    "dell", "fen", "gor", "hask", "ivo", "jud", "kron", "lys", "mond", "nash",
-    "ock", "pren", "quib", "rell", "stan", "tuv", "ume", "vor", "wex", "yarrow",
-]
+# wide syllable pool: at bench scale (10^4+ entities) a small pool saturates
+# the name space and artificially inflates cross-entity char-n-gram overlap
+_SYL_ONSETS = ["m", "v", "t", "dr", "qu", "z", "b", "n", "f", "gw", "h", "j",
+               "k", "l", "p", "r", "s", "br", "cr", "st", "tr", "w", "x", "y",
+               "ch", "sh", "th", "pl", "gr", "sn"]
+_SYL_NUCLEI = ["a", "e", "i", "o", "u", "ar", "el", "in", "or", "un", "ae",
+               "ia", "ou"]
+_SYL_CODAS = ["", "k", "l", "m", "n", "r", "s", "t", "x", "nd", "rk", "st",
+              "th", "ll"]
+_SYLLABLES = [o + n + c for o in _SYL_ONSETS for n in _SYL_NUCLEI
+              for c in _SYL_CODAS][:2000]
 
 _TEMPLATES = [
     "ok, i will check with {m} about the schedule tomorrow.",
@@ -123,55 +127,67 @@ def generate_corpus(
     zipf_p = ranks ** -1.1
     zipf_p /= zipf_p.sum()
 
-    conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
-    rec_entity: dict[str, int] = {}  # record_id -> entity_id (mention-bearing turns)
     base_ts = 1_700_000_000_000_000  # fixed epoch micros, not wall clock
 
-    for c in range(n_convs):
-        conv_id = f"c{c:08d}"
-        n_turns = int(2 + min(62, rng.geometric(0.18)))
-        conv_offset = int(rng.integers(0, 10_000)) * 3_600_000_000
-        for t in range(n_turns):
-            r = rng.random()
-            if r < 0.15:
-                role, tool = "tool", str(rng.choice(
-                    ["search", "calc", "db", "files", "mail", "cal", "git", "web", "k8s", "sql"]))
-                blob = str(rng.choice(_TOOL_BLOBS))
-                if rng.random() < 0.1:
-                    blob = blob + " "  # near-verbatim duplicate stressor
-                text = blob
-            elif r < 0.17:
-                role, tool = "system", ""
-                text = "you are a helpful assistant."
-            else:
-                role, tool = ("user", "") if t % 2 == 0 else ("assistant", "")
-                if rng.random() < 0.7:
-                    e = int(rng.choice(n_entities, p=zipf_p))
-                    variant = str(rng.choice(entities[e]["variants"]))
-                    text = str(rng.choice(_TEMPLATES)).format(m=variant)
-                    rec_entity[f"{conv_id}#{t:05d}"] = e
-                else:
-                    text = str(rng.choice(_PLAIN))
-            ts = base_ts + conv_offset + t * 60_000_000
-            if t > 0 and rng.random() < 0.03:
-                ts -= 60_000_000  # tied-ts pair: exercises the (turn_idx, ts, role) tie-break
-            conv_ids.append(conv_id)
-            turn_idxs.append(t)
-            roles.append(role)
-            texts.append(text)
-            tools.append(tool)
-            tss.append(ts)
+    # ---- vectorized turn synthesis (pure function of the rng stream; the
+    # per-turn python-loop formulation took >10 min at bench scale) ----
+    n_turns_per_conv = 2 + np.minimum(62, rng.geometric(0.18, size=n_convs))
+    n = int(n_turns_per_conv.sum())
+    conv_of_turn = np.repeat(np.arange(n_convs, dtype=np.int64), n_turns_per_conv)
+    starts = np.cumsum(n_turns_per_conv) - n_turns_per_conv
+    turn_idx = (np.arange(n, dtype=np.int64) - np.repeat(starts, n_turns_per_conv))
 
-    n = len(conv_ids)
+    conv_offsets = rng.integers(0, 10_000, size=n_convs).astype(np.int64) * 3_600_000_000
+    r_kind = rng.random(n)
+    is_tool = r_kind < 0.15
+    is_system = (r_kind >= 0.15) & (r_kind < 0.17)
+    is_chat = ~is_tool & ~is_system
+    tool_names = np.array(["search", "calc", "db", "files", "mail", "cal",
+                           "git", "web", "k8s", "sql"], dtype=object)
+    tool_pick = tool_names[rng.integers(0, len(tool_names), size=n)]
+    blob_pick = np.array(_TOOL_BLOBS, dtype=object)[
+        rng.integers(0, len(_TOOL_BLOBS), size=n)]
+    blob_pad = rng.random(n) < 0.1  # near-verbatim duplicate stressor
+    has_mention = is_chat & (rng.random(n) < 0.7)
+    ent_pick = rng.choice(n_entities, size=n, p=zipf_p)
+    var_u = rng.random(n)
+    tmpl_pick = rng.integers(0, len(_TEMPLATES), size=n)
+    plain_pick = np.array(_PLAIN, dtype=object)[rng.integers(0, len(_PLAIN), size=n)]
+    ts = base_ts + conv_offsets[conv_of_turn] + turn_idx * 60_000_000
+    tie = (turn_idx > 0) & (rng.random(n) < 0.03)
+    ts = np.where(tie, ts - 60_000_000, ts)  # tied-ts: exercises the tie-break
+
+    conv_ids_u = np.array([f"c{c:08d}" for c in range(n_convs)], dtype=object)
+    conv_col = conv_ids_u[conv_of_turn]
+    roles = np.where(is_tool, "tool",
+                     np.where(is_system, "system",
+                              np.where(turn_idx % 2 == 0, "user", "assistant"))
+                     ).astype(object)
+    tools = np.where(is_tool, tool_pick, "").astype(object)
+
+    texts = np.empty(n, dtype=object)
+    texts[is_system] = "you are a helpful assistant."
+    ti = np.nonzero(is_tool)[0]
+    texts[ti] = [blob_pick[i] + " " if blob_pad[i] else blob_pick[i] for i in ti]
+    ci = np.nonzero(is_chat & ~has_mention)[0]
+    texts[ci] = plain_pick[ci]
+    rec_entity: dict[str, int] = {}  # record_id -> entity_id
+    mi = np.nonzero(has_mention)[0]
+    for i in mi:
+        ent = entities[int(ent_pick[i])]
+        variant = ent["variants"][int(var_u[i] * len(ent["variants"]))]
+        texts[i] = _TEMPLATES[tmpl_pick[i]].format(m=variant)
+        rec_entity[f"{conv_col[i]}#{turn_idx[i]:05d}"] = int(ent_pick[i])
+
     perm = rng.permutation(n)  # rows written in shuffled order: sorting must be real
     transcripts = pa.table(
         {
-            "conv_id": pa.array(np.array(conv_ids, dtype=object)[perm], type=pa.string()),
-            "turn_idx": pa.array(np.array(turn_idxs, dtype=np.int32)[perm]),
-            "role": pa.array(np.array(roles, dtype=object)[perm], type=pa.string()),
-            "text": pa.array(np.array(texts, dtype=object)[perm], type=pa.string()),
-            "tool": pa.array(np.array(tools, dtype=object)[perm], type=pa.string()),
-            "ts": pa.array(np.array(tss, dtype=np.int64)[perm], type=pa.timestamp("us")),
+            "conv_id": pa.array(conv_col[perm], type=pa.string()),
+            "turn_idx": pa.array(turn_idx[perm].astype(np.int32)),
+            "role": pa.array(roles[perm], type=pa.string()),
+            "text": pa.array(texts[perm], type=pa.string()),
+            "tool": pa.array(tools[perm], type=pa.string()),
+            "ts": pa.array(ts[perm], type=pa.timestamp("us")),
         }
     )
 
