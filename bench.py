@@ -125,6 +125,9 @@ def run_pipeline_only(sf_dir: str, num_cpus: int, scale_input: str | None) -> di
     if scale_input:
         tr = rd.read_parquet(scale_input)
         turns = tr.count()
+        # warmup: spin up the worker pool + import the library in workers so
+        # the measurement reflects pipeline throughput, not process startup
+        rd.range(num_cpus * 2).map_batches(lambda b: b).count()
         t0 = time.time()
         out = run_linkage(rd.read_parquet(scale_input), DEFAULT_CONFIG)
         _consume(out["clusters"])
@@ -144,8 +147,10 @@ def run_scaling(sf_dir: str) -> dict:
     same bench-scale synthetic transcripts input (the sandbox stand-in for
     the N vs 4N node criterion)."""
     scale_input = _ensure_scaling_corpus()
+    levels = tuple(int(x) for x in
+                   os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
     results = []
-    for cpus in (8, 32):
+    for cpus in levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pipeline-only",
              "--cpus", str(cpus)],
@@ -157,14 +162,15 @@ def run_scaling(sf_dir: str) -> dict:
             raise RuntimeError(f"scaling run cpus={cpus} failed:\n{out.stderr[-2000:]}")
         results.append(json.loads(last[-1]))
     thr_n, thr_4n = results[0]["turns_per_sec"], results[1]["turns_per_sec"]
-    eff = round((thr_4n / thr_n) / 4, 3)
+    factor = levels[1] / levels[0]
+    eff = round((thr_4n / thr_n) / factor, 3)
     return {
         "metric": "scaling_efficiency",
         "value": eff,
         "unit": "ratio",
         "input": scale_input,
         "runs": results,
-        "criterion": "(thr_32 / thr_8) / 4 >= 0.8",
+        "criterion": f"(thr_{levels[1]} / thr_{levels[0]}) / {factor:g} >= 0.8",
     }
 
 

@@ -54,7 +54,7 @@ def run_linkage_checkpointed(
 
     def build_records():
         tr = rd.read_parquet(input_path)
-        turns = conversation_stage(mention_stage(tr, cfg), cfg)
+        turns = conversation_stage(tr, cfg)
         # materialize before preclustering: the rep-map aggregate would
         # otherwise re-execute the conversation shuffle
         recs = records_stage(turns, cfg).materialize()

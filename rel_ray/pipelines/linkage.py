@@ -58,12 +58,14 @@ def _coref_edges(records, reps, num_partitions: int = 0, *,
                           t.column("record_id").to_pylist()))
     ref = _ray.put(lookup)
 
+    from ..functions.rayutil import get_broadcast
+
     def resolve(t: pa.Table) -> pa.Table:
         rows = t.filter(pc.not_equal(t.column("coref_prev_mn"), ""))
         if rows.num_rows == 0:
             return pa.table({"id_a": pa.array([], type=pa.string()),
                              "id_b": pa.array([], type=pa.string())})
-        table = _ray.get(ref)
+        table = get_broadcast(ref)
         rep_b = rows.column("rep_id")
         rep_a = pa.array([table.get(mn, "") for mn in
                           rows.column("coref_prev_mn").to_pylist()],
@@ -132,15 +134,132 @@ def run_linkage(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     *,
     num_partitions: int = 16,
+    broadcast_max_rows: int = 2_000_000,
 ):
     """Returns dict of lazily-composed Datasets:
-    records / pairs / edges / clusters."""
-    turns = mention_stage(transcripts, cfg)
-    turns = conversation_stage(turns, cfg)
-    # materialize BEFORE exact_precluster: its rep-map aggregate and the
-    # rep-attach map both read the records; materializing here runs the
-    # expensive conversation shuffle exactly once
-    records0 = records_stage(turns, cfg).materialize()
+    records / pairs / edges / clusters.
+
+    Broadcast fast path (mention vocabulary ≤ broadcast_max_rows, the normal
+    case after exact pre-clustering): the rep map (mention_norm → min
+    record_id) lives as one broadcast dict; reps, coref edges and cluster
+    expansion all derive from it with stateless map_batches — the wide
+    records table is shuffled exactly once (the conversation stage). Larger
+    vocabularies fall back to the bucketed co-group stages.
+    """
+    import ray as _ray
+    import ray.data as rd
+
+    # mentions are derived inside the conversation buckets (post-shuffle):
+    # the conv_id exchange carries only the six raw transcript columns
+    turns = conversation_stage(transcripts, cfg)
+    # one materialization of the wide records — the conversation shuffle runs
+    # exactly once; everything after is skinny aggregates + broadcast lookups
+    # coalesce: the bucket groupby emits ~num_buckets small blocks; merging
+    # to ~64 keeps downstream per-task overhead low across the three passes
+    # that re-read records0
+    records0 = records_stage(turns, cfg).repartition(64).materialize()
+
+    from ..functions.rayutil import grouped_min
+    rep_map = grouped_min(records0, "mention_norm", "record_id",
+                          num_buckets=cfg.num_buckets).materialize()
+
+    if rep_map.count() > broadcast_max_rows:
+        return _run_linkage_cogroup(records0, turns, cfg, num_partitions)
+
+    rep_tab = pa.concat_tables(
+        [pa.table(b) for b in rep_map.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    rep_dict = dict(zip(rep_tab.column("mention_norm").to_pylist(),
+                        rep_tab.column("record_id").to_pylist()))
+    rep_ref = _ray.put(rep_dict)
+
+    from ..functions.rayutil import get_broadcast
+
+    def attach_rep(t: pa.Table) -> pa.Table:
+        table = get_broadcast(rep_ref)
+        return t.append_column(
+            "rep_id",
+            pa.array([table[m] for m in t.column("mention_norm").to_pylist()],
+                     type=pa.string()))
+
+    records = records0.map_batches(attach_rep, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # split the in-memory reps table into many blocks — a single block would
+    # serialize the whole blocking/pairing fan-out into one task
+    rep_sel = rep_tab.select(["record_id", "mention_norm"])
+    chunk = max(1024, rep_sel.num_rows // 64 + 1)
+    reps = rd.from_arrow([rep_sel.slice(i, chunk)
+                          for i in range(0, max(rep_sel.num_rows, 1), chunk)])
+
+    blocks = blocking_stage(reps, cfg)
+    pairs = pairs_stage(blocks, cfg, num_partitions)
+    # materialize edges: consumed twice (match filter + user output)
+    edges = scoring_stage(pairs, cfg).materialize()
+
+    matched = edges.map_batches(
+        lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def coref_resolve(t: pa.Table) -> pa.Table:
+        rows = t.filter(pc.not_equal(t.column("coref_prev_mn"), ""))
+        if rows.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string())})
+        table = get_broadcast(rep_ref)
+        rep_b = pa.array([table[m] for m in
+                          rows.column("mention_norm").to_pylist()],
+                         type=pa.string())
+        rep_a = pa.array([table.get(mn, "") for mn in
+                          rows.column("coref_prev_mn").to_pylist()],
+                         type=pa.string())
+        lo = pc.min_element_wise(rep_a, rep_b)
+        hi = pc.max_element_wise(rep_a, rep_b)
+        out = pa.table({"id_a": lo, "id_b": hi})
+        out = out.filter(pc.not_equal(out.column("id_a"), ""))
+        return out.filter(pc.not_equal(out.column("id_a"), out.column("id_b")))
+
+    coref = records0.map_batches(coref_resolve, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    all_edges = matched.union(coref)
+
+    rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
+                                        include_singletons=False)
+
+    # cluster expansion: rep→cluster is small (edge-touched reps only);
+    # compose with the rep dict so records0 maps straight to clusters
+    rc = rep_clusters.materialize()
+    cl_dict: dict[str, str] = {}
+    for b in rc.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        cl_dict.update(zip(t.column("record_id").to_pylist(),
+                           t.column("cluster_id").to_pylist()))
+    cl_ref = _ray.put(cl_dict)
+
+    def to_cluster(t: pa.Table) -> pa.Table:
+        reps_l = get_broadcast(rep_ref)
+        cls = get_broadcast(cl_ref)
+        out = []
+        for m in t.column("mention_norm").to_pylist():
+            r = reps_l[m]
+            out.append(cls.get(r, r))
+        return pa.table({"record_id": t.column("record_id"),
+                         "cluster_id": pa.array(out, type=pa.string())})
+
+    clusters = records0.map_batches(to_cluster, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return {
+        "turns": turns,
+        "records": records,
+        "pairs": pairs,
+        "edges": edges,
+        "clusters": clusters,
+    }
+
+
+def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
+                         num_partitions: int):
+    """Shuffle-based path for mention vocabularies too large to broadcast."""
     records = exact_precluster(records0, cfg, num_partitions).materialize()
 
     reps = records.map_batches(
@@ -150,9 +269,6 @@ def run_linkage(
 
     blocks = blocking_stage(reps, cfg)
     pairs = pairs_stage(blocks, cfg, num_partitions)
-    # materialize edges: splits the plan so the scorer actor pool and the CC
-    # loop's join/groupby aggregators never compete inside one execution, and
-    # `edges` is consumed twice (match filter + user output) without recompute
     edges = scoring_stage(pairs, cfg).materialize()
 
     matched = edges.map_batches(

@@ -54,10 +54,9 @@ def exact_precluster(records, cfg: PipelineConfig, num_partitions: int = 0,
     """
     import ray as _ray
 
-    skinny = records.map_batches(
-        lambda t: t.select(["mention_norm", "record_id"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    rep_map = skinny.groupby("mention_norm").min("record_id").materialize()
+    from ..functions.rayutil import grouped_min
+    rep_map = grouped_min(records, "mention_norm", "record_id",
+                          num_buckets=cfg.num_buckets).materialize()
     if rep_map.count() > broadcast_max_rows:
         return _exact_precluster_cogroup(records, cfg)
 
@@ -65,11 +64,13 @@ def exact_precluster(records, cfg: PipelineConfig, num_partitions: int = 0,
     for b in rep_map.iter_batches(batch_format="pyarrow"):
         t = pa.table(b)
         lookup.update(zip(t.column("mention_norm").to_pylist(),
-                          t.column("min(record_id)").to_pylist()))
+                          t.column("record_id").to_pylist()))
     ref = _ray.put(lookup)
 
+    from ..functions.rayutil import get_broadcast
+
     def attach(t: pa.Table) -> pa.Table:
-        table = _ray.get(ref)
+        table = get_broadcast(ref)
         reps = pa.array([table[m] for m in t.column("mention_norm").to_pylist()],
                         type=pa.string())
         return t.append_column("rep_id", reps)

@@ -63,11 +63,18 @@ class ReconstructConversation:
     def __call__(self, bucket: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = bucket.num_rows
+        if "mention_norm" not in bucket.column_names:
+            # mention detection runs HERE, after the shuffle: the conversation
+            # exchange is the engine's biggest byte mover and must not carry
+            # derivable columns (mention/mention_norm/record_id)
+            from .normalize import MentionTurns
+            bucket = MentionTurns(cfg)(bucket)
         if n == 0:
             return bucket.append_column(
                 "ctx_before", pa.array([], type=pa.string())).append_column(
                 "ctx_after", pa.array([], type=pa.string())).append_column(
-                "coref_prev", pa.array([], type=pa.string()))
+                "coref_prev", pa.array([], type=pa.string())).append_column(
+                "coref_prev_mn", pa.array([], type=pa.string()))
         starts = segment_starts(bucket.column("conv_id"))
         lens = np.diff(np.append(starts, n))
         seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), lens)

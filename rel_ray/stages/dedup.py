@@ -33,9 +33,16 @@ def exact_dedup(ds, *, id_col: str, text_col: str):
 
     Oracle-SQL equivalent: SELECT min(id) AS id FROM t GROUP BY text.
     """
-    surv = ds.groupby(text_col).min(id_col)
+    from ..functions.rayutil import grouped_min
+
+    def as_str(t: pa.Table) -> pa.Table:
+        return pa.table({text_col: pc.cast(t.column(text_col), pa.string()),
+                         "__id_str": pc.cast(t.column(id_col), pa.string())})
+    surv = grouped_min(ds.map_batches(as_str, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       text_col, "__id_str")
     return surv.map_batches(
-        lambda t: t.rename_columns([text_col, id_col]).select([id_col]),
+        lambda t: pa.table({id_col: pc.cast(t.column("__id_str"), pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
