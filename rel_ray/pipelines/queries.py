@@ -185,6 +185,50 @@ WHERE rnk <= 2
 """
 
 
+def q_union_sum(sf_dir: str):
+    """Set-op parity (SURVEY §2.7: merge of prior sources with count-sum on
+    overlap, REL:src/REL/wikipedia_yago_freq.py::compute_custom): two derived
+    row sources unioned, then summed per key."""
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    pt = _pq(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    a = li.map_batches(
+        lambda t: pa.table({"partkey": t.column("l_partkey"),
+                            "amount_cents": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    b = pt.map_batches(
+        lambda t: pa.table({"partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                            "amount_cents": _cents(t.column("p_retailprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = a.union(b).groupby("partkey").aggregate(Sum("amount_cents"), Count())
+    return agg.map_batches(
+        lambda t: t.rename_columns(["partkey", "total_cents", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_UNION_SUM = """
+SELECT partkey, CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       COUNT(*) AS cnt
+FROM (
+  SELECT l_partkey AS partkey,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS amount_cents FROM lineitem
+  UNION ALL
+  SELECT CAST(p_partkey AS BIGINT) AS partkey,
+         CAST(ROUND(p_retailprice*100) AS BIGINT) AS amount_cents FROM part)
+GROUP BY partkey
+"""
+
+
+def q_sample_lineitem(sf_dir: str):
+    """Deterministic seeded sampling (SURVEY §2.6; no SQL oracle — DuckDB's
+    sampler differs): fraction + seed, aggregate of the sample."""
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    s = ds.random_sample(0.1, seed=42)
+    return s.map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
+                            "qty_cents": _cents(t.column("l_quantity"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # dedup family (training-data ops, SURVEY §2.7)
 # ---------------------------------------------------------------------------
@@ -559,6 +603,8 @@ QUERIES = {
     "customers_per_nation": q_customers_per_nation,
     "events_reconstruct": q_events_reconstruct,
     "grouped_topk_events": q_grouped_topk_events,
+    "union_sum": q_union_sum,
+    "sample_lineitem": q_sample_lineitem,
     "exact_dedup_documents": q_exact_dedup_documents,
     "dup_pairs_documents": q_dup_pairs_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
@@ -583,6 +629,7 @@ ORACLE_SQL = {
     "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
     "events_reconstruct": SQL_EVENTS_RECONSTRUCT,
     "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
+    "union_sum": SQL_UNION_SUM,
     "exact_dedup_documents": SQL_EXACT_DEDUP_DOCUMENTS,
     "dup_pairs_documents": SQL_DUP_PAIRS_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,

@@ -98,10 +98,22 @@ class CheckpointContext:
         ds.write_parquet(data_dir)
         out = rd.read_parquet(data_dir)
         rows = out.count()
+        # per-partition lineage: one entry per written parquet file
+        partitions = []
+        for name in sorted(os.listdir(data_dir)):
+            p = os.path.join(data_dir, name)
+            try:
+                import pyarrow.parquet as pq
+                nrows = pq.read_metadata(p).num_rows
+            except Exception:
+                nrows = -1
+            partitions.append({"file": name, "bytes": os.path.getsize(p),
+                               "rows": nrows})
         man = {"stage": stage, "fingerprint": fp, "rows": rows,
                "data_dir": data_dir, "cfg": self.cfg_fingerprint,
                "upstream": upstream, "code": CODE_VERSION,
-               "wall_s": round(time.time() - t0, 3)}
+               "wall_s": round(time.time() - t0, 3),
+               "partitions": partitions}
         tmp = man_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f)
