@@ -1,22 +1,26 @@
 """The flagship pipeline: transcripts → clusters (SURVEY §3.5 lifecycle).
 
-Stage graph (shuffle keys in brackets):
+Stage graph (the wide records table is shuffled exactly once):
 
   read_parquet(transcripts)
-    → normalize_stage                              (stateless mb)
-    → conversation_stage         [conv_id]         (shuffle #1)
-    → records_stage                                (stateless mb)
-    → exact_precluster           [mention_norm]    (shuffle #2: gb-Min + join)
-    → reps → blocking_stage                        (stateless mb)
-    → pairs_stage                [block_key, pair] (shuffles #3–#4)
-    → scoring_stage                                (actor pool)
-    → + coref edges              [coref_prev]      (join)
-    → connected_components       [node] ×R         (iterative, reps only)
-    → expand_clusters            [rep_id]          (join)
+    → conversation_stage          [conv_id]   bucketed sort-shuffle #1;
+                                              mention detection + ctx windows
+                                              + coref scan run in-bucket
+    → records_stage                           stateless filter/project
+    → grouped_min(mention_norm)               skinny bucketed aggregate →
+                                              rep map, broadcast via ray.put
+    → reps → blocking → pairs     [block_key] bucketed shuffles over skinny
+                                              pair rows (windowed, capped)
+    → scoring_stage                           task-pool map_batches with
+                                              per-process scorer state
+    → coref edges                             broadcast-map resolution
+    → connected_components                    driver union-find (small graph)
+                                              or bucketed label propagation
+    → cluster expansion                       broadcast rep→cluster map
 
-Never calls ray.init (driver contract). Nothing materializes the full input;
-the only mid-pipeline materializations are the label table of the iterative
-CC loop and the small rep/edge tables it loops over.
+Every broadcast step has a bucketed co-group fallback guarded by
+broadcast_max_rows for vocabularies too large for the object store. Never
+calls ray.init (driver contract).
 """
 
 from __future__ import annotations

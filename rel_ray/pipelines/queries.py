@@ -337,6 +337,18 @@ WHERE rank <= 10
 # text analysis (training-data ops)
 # ---------------------------------------------------------------------------
 
+def q_ann_topk_lsh_embeddings(sf_dir: str):
+    """Scale-path ANN: sign-LSH bucketed search (rows-only — recall is
+    traded for candidate reduction, so no exact oracle)."""
+    from ..stages.similarity import ann_topk_lsh
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.sort("vec_id").limit(5).take_all()
+    queries = {"ids": np.array([r["vec_id"] for r in qrows], dtype=np.int64),
+               "vecs": np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                                 for r in qrows])}
+    return ann_topk_lsh(ds, queries, k=10)
+
+
 def q_normalize_documents(sf_dir: str):
     from ..functions.normalize import simple_normalize
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -612,6 +624,7 @@ QUERIES = {
     "simhash_dedup_documents": q_simhash_dedup_documents,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk_embeddings": q_ann_topk_embeddings,
+    "ann_topk_lsh_embeddings": q_ann_topk_lsh_embeddings,
     "normalize_documents": q_normalize_documents,
     "token_count_documents": q_token_count_documents,
     "quality_counts_documents": q_quality_counts_documents,

@@ -125,6 +125,66 @@ class SignLSHBuckets:
         })
 
 
+def ann_topk_lsh(ds, queries: dict, *, k: int = 10, n_planes: int = 6,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42):
+    """Scale-path ANN: sign-LSH bucket the corpus; each query searches only
+    its own bucket (plus nothing else — recall traded for a 2^n_planes
+    candidate reduction). Returns (query_id, vec_id, rank) like ann_topk."""
+    import numpy as np
+
+    q_vecs = _l2_normalize(np.asarray(queries["vecs"], dtype=np.float64))
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column(vec_col)[0].as_py())
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        signs = (m @ planes) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for j in range(signs.shape[1]):
+            out |= signs[:, j].astype(np.int64) << j
+        return out
+
+    q_buckets = bucket_of(q_vecs)
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        by_bucket.setdefault(int(b), []).append(qi)
+
+    bucketed = ds.map_batches(
+        SignLSHBuckets, fn_constructor_args=(dim, n_planes, seed, id_col, vec_col),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2))
+
+    query_ids = np.asarray(queries["ids"])
+
+    def search(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        qis = by_bucket.get(b, [])
+        if not qis:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        m = _l2_normalize(_embedding_matrix(group, vec_col))
+        ids = np.asarray(group.column("vec_id"))
+        out_q, out_v, out_r = [], [], []
+        for qi in qis:
+            sims = m @ q_vecs[qi]
+            order = np.lexsort((ids, -sims))[:k]
+            out_q.append(np.full(len(order), query_ids[qi]))
+            out_v.append(ids[order])
+            out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "rank": pa.array(np.concatenate(out_r), type=pa.int64()),
+        })
+
+    def search_fn(group: pa.Table) -> pa.Table:
+        return search(group)
+
+    return bucketed.groupby("bucket").map_groups(search_fn, batch_format="pyarrow")
+
+
 def embedding_near_dup(ds, *, threshold: float = 0.95, n_planes: int = 8,
                        dim: int | None = None, id_col: str = "vec_id",
                        vec_col: str = "embedding", num_partitions: int = 8,
