@@ -185,6 +185,30 @@ WHERE rnk <= 2
 """
 
 
+def q_sentence_split_documents(sf_dir: str):
+    """Sentence splitting (SURVEY §2.2: REL's segtok-style splitter inside
+    find_mentions): split → one row per sentence (flat_map, vectorized via
+    list-flatten instead of per-row Python)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        sents = pc.split_pattern_regex(t.column("text"), r"[.!?]+\s+")
+        lens = pc.list_value_length(sents)
+        doc_ids = t.column("doc_id").take(
+            pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                               np.asarray(lens, dtype=np.int64))))
+        return pa.table({"doc_id": doc_ids,
+                         "sentence": pc.list_flatten(sents)})
+
+    return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SENTENCE_SPLIT_DOCUMENTS = r"""
+SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS sentence
+FROM documents
+"""
+
+
 def q_union_sum(sf_dir: str):
     """Set-op parity (SURVEY §2.7: merge of prior sources with count-sum on
     overlap, REL:src/REL/wikipedia_yago_freq.py::compute_custom): two derived
@@ -617,6 +641,7 @@ QUERIES = {
     "grouped_topk_events": q_grouped_topk_events,
     "union_sum": q_union_sum,
     "sample_lineitem": q_sample_lineitem,
+    "sentence_split_documents": q_sentence_split_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "dup_pairs_documents": q_dup_pairs_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
@@ -643,6 +668,7 @@ ORACLE_SQL = {
     "events_reconstruct": SQL_EVENTS_RECONSTRUCT,
     "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
     "union_sum": SQL_UNION_SUM,
+    "sentence_split_documents": SQL_SENTENCE_SPLIT_DOCUMENTS,
     "exact_dedup_documents": SQL_EXACT_DEDUP_DOCUMENTS,
     "dup_pairs_documents": SQL_DUP_PAIRS_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,
