@@ -44,6 +44,26 @@ def jaro(s1: str, s2: str) -> float:
     return (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
 
 
+def sigmoid(x):
+    """Vectorized logistic squash for raw scores (REL:src/REL/utils.py /
+    torch sigmoid analog)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def softmax(x, axis=-1):
+    """Numerically-stable softmax over candidate score vectors
+    (REL ED candidate normalization analog)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    m = x.max(axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
 def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, max_prefix: int = 4) -> float:
     """Reference values: jaro_winkler("MARTHA","MARHTA") == 0.9611111..."""
     j = jaro(s1, s2)

@@ -104,3 +104,46 @@ def test_extract_mentions():
         pa.array(["ping Marvok Teldrin today", "no caps", "Dr Gwen Hald spoke", ""])
     )
     assert got.to_pylist() == ["Marvok Teldrin", "", "Dr Gwen Hald", ""]
+
+
+def test_word_ngram_codes_layout():
+    from rel_ray.functions.shingles import word_ngram_codes
+
+    arr = pa.array(["the quick brown fox", "the quick brown fox",
+                    "fox brown quick the", "", "one two", "single", None, "  "])
+    codes, splits = word_ngram_codes(arr, 3)
+    assert splits.tolist() == [0, 2, 4, 6, 6, 7, 8, 8, 8]
+    assert (codes[splits[0]:splits[1]] == codes[splits[1]:splits[2]]).all()
+    s0 = set(codes[splits[0]:splits[1]].tolist())
+    s2 = set(codes[splits[2]:splits[3]].tolist())
+    assert not (s0 & s2)  # word order matters
+
+
+def test_string_hash_u64_deterministic_and_distinct():
+    from rel_ray.functions.shingles import string_hash_u64
+
+    a = string_hash_u64(pa.array(["abc", "abd", "abc", "", "ab"]))
+    b = string_hash_u64(pa.array(["abc", "abd", "abc", "", "ab"]))
+    assert (a == b).all()
+    assert a[0] == a[2] and a[0] != a[1] and a[4] != a[0]
+
+
+def test_protocols_structural():
+    from rel_ray.config import DEFAULT_CONFIG
+    from rel_ray.protocols import Blocker, MentionDetector, PairScorer
+    from rel_ray.stages.blocking import BlockKeys
+    from rel_ray.stages.normalize import MentionTurns
+    from rel_ray.stages.scoring import PairScorer as ScorerImpl
+
+    assert isinstance(BlockKeys(DEFAULT_CONFIG), Blocker)
+    assert isinstance(ScorerImpl(DEFAULT_CONFIG), PairScorer)
+    assert isinstance(MentionTurns(DEFAULT_CONFIG), MentionDetector)
+
+
+def test_sigmoid_softmax():
+    from rel_ray.functions.strsim import sigmoid, softmax
+
+    assert sigmoid(0.0) == pytest.approx(0.5)
+    s = softmax(np.array([[1.0, 2.0, 3.0]]))
+    assert s.sum() == pytest.approx(1.0)
+    assert s[0, 2] > s[0, 1] > s[0, 0]
