@@ -615,6 +615,42 @@ def q_linkage_edges(sf_dir: str):
     return out["edges"]
 
 
+def q_best_match_per_record(sf_dir: str):
+    """Per-record argmax over incident candidate edges (SURVEY §2.6: REL's
+    per-mention final-entity argmax, REL:src/REL/entity_disambiguation.py::
+    predict). Ties break on (score desc, partner asc). Rows-only check."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+    from .linkage import run_linkage
+
+    out = run_linkage(transcripts_from_events(sf_dir), CFG)
+    edges = out["edges"]
+
+    def explode(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"rec": t.column("id_a"), "partner": t.column("id_b"),
+                      "score": t.column("score")}),
+            pa.table({"rec": t.column("id_b"), "partner": t.column("id_a"),
+                      "score": t.column("score")}),
+        ])
+
+    both = edges.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def argmax(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({"record_id": pa.array([], type=pa.string()),
+                             "best_partner": pa.array([], type=pa.string()),
+                             "best_score": pa.array([], type=pa.float32())})
+        starts = pa.array(segment_starts(bucket.column("rec")))
+        return pa.table({"record_id": bucket.column("rec").take(starts),
+                         "best_partner": bucket.column("partner").take(starts),
+                         "best_score": bucket.column("score").take(starts)})
+
+    return bucketed_group_apply(
+        both, "rec", argmax, num_buckets=64,
+        sort_cols=[("score", "descending"), ("partner", "ascending")])
+
+
 def q_conversation_windows(sf_dir: str):
     """Conversation reconstruction + context windows over the events-derived
     transcripts (rows-only; the in-group sort is oracle-checked separately by
@@ -658,6 +694,7 @@ QUERIES = {
     "textstats_documents": q_textstats_documents,
     "linkage_clusters": q_linkage_clusters,
     "linkage_edges": q_linkage_edges,
+    "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
 }
 
