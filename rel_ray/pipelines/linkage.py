@@ -170,8 +170,11 @@ def run_linkage(
     if rep_map.count() > broadcast_max_rows:
         return _run_linkage_cogroup(records0, turns, cfg, num_partitions)
 
+    _empty_rep = pa.table({"mention_norm": pa.array([], type=pa.string()),
+                           "record_id": pa.array([], type=pa.string())})
     rep_tab = pa.concat_tables(
-        [pa.table(b) for b in rep_map.iter_batches(batch_format="pyarrow")],
+        [_empty_rep] + [pa.table(b)
+                        for b in rep_map.iter_batches(batch_format="pyarrow")],
         promote_options="default")
     rep_dict = dict(zip(rep_tab.column("mention_norm").to_pylist(),
                         rep_tab.column("record_id").to_pylist()))

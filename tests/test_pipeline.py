@@ -40,3 +40,17 @@ def test_cluster_ids_are_min_member(linkage_result):
         by_cluster.setdefault(r["cluster_id"], []).append(r["record_id"])
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_empty_input_pipeline(ray_session):
+    """Regression: a fully-empty transcripts table must flow through the
+    whole pipeline (caught once by the verify probe: concat_tables([]))."""
+    import ray.data as rd
+
+    from rel_ray import schemas
+
+    empty = pa.table({f.name: pa.array([], type=f.type)
+                      for f in schemas.TRANSCRIPTS})
+    out = run_linkage(rd.from_arrow(empty), DEFAULT_CONFIG, num_partitions=2)
+    assert out["clusters"].count() == 0
+    assert out["edges"].count() == 0
