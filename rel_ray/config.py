@@ -47,7 +47,10 @@ class PipelineConfig:
     w_jaccard: float = 0.45
     w_jw: float = 0.35
     w_emb: float = 0.20
-    threshold: float = 0.52     # calibrated on the labels 'calib' split (see eval.py)
+    # calibrated on the labels 'calib' split (eval.fit_threshold): fitted
+    # optima across seeds land at 0.33–0.40 with F1=1.0 and the margin
+    # extends past 0.52 (test F1 ≈ 1.0 there too); 0.52 sits mid-margin
+    threshold: float = 0.52
     emb_dim: int = 64
 
     # --- transitive clustering (REL global-coherence analog) ---
