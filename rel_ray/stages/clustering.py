@@ -145,7 +145,9 @@ def connected_components(
         msgs = bucketed_group_apply(
             as_union_rows.union(topo), "node", _propagate_bucket,
             num_buckets=cfg.num_buckets, sort_cols=[("nbr", "ascending")])
-        new = msgs.groupby("dst").min("label").map_batches(
+        from ..functions.rayutil import grouped_min
+        new = grouped_min(msgs, "dst", "label",
+                          num_buckets=cfg.num_buckets).map_batches(
             lambda t: t.rename_columns(["node", "label"]),
             batch_format="pyarrow", zero_copy_batch=True).materialize()
         common = (
