@@ -54,3 +54,34 @@ def test_empty_input_pipeline(ray_session):
     out = run_linkage(rd.from_arrow(empty), DEFAULT_CONFIG, num_partitions=2)
     assert out["clusters"].count() == 0
     assert out["edges"].count() == 0
+
+
+def test_cogroup_fallback_paths_equivalent(ray_session, tiny_corpus):
+    """The broadcast fast path and the bucketed co-group fallback (used when
+    the mention vocabulary exceeds the object-store budget) must produce
+    identical clusters."""
+    import ray.data as rd
+
+    tr = rd.from_arrow(tiny_corpus["transcripts"])
+    fast = run_linkage(tr, DEFAULT_CONFIG, num_partitions=2)
+    slow = run_linkage(tr, DEFAULT_CONFIG, num_partitions=2,
+                       broadcast_max_rows=0)
+    f = {r["record_id"]: r["cluster_id"] for r in fast["clusters"].take_all()}
+    s = {r["record_id"]: r["cluster_id"] for r in slow["clusters"].take_all()}
+    assert f == s and len(f) > 0
+
+
+def test_distributed_cc_pipeline_equivalent(ray_session, tiny_corpus):
+    """Forcing the distributed label-propagation loop (cc_local_max_edges=0)
+    must give the same clusters as the driver union-find fast path."""
+    import dataclasses
+
+    import ray.data as rd
+
+    tr = rd.from_arrow(tiny_corpus["transcripts"])
+    fast = run_linkage(tr, DEFAULT_CONFIG, num_partitions=2)
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, cc_local_max_edges=0)
+    dist = run_linkage(tr, cfg2, num_partitions=2)
+    f = {r["record_id"]: r["cluster_id"] for r in fast["clusters"].take_all()}
+    d = {r["record_id"]: r["cluster_id"] for r in dist["clusters"].take_all()}
+    assert f == d and len(f) > 0
