@@ -133,6 +133,66 @@ def get_broadcast(ref):
     return v
 
 
+# broadcast-dict cache: the driver broadcasts the (zero-copy Arrow) map TABLE
+# and each worker builds the Python dict ONCE per process — moving the
+# O(vocabulary) dict construction off the driver's critical path and onto the
+# workers in parallel (it was a measured piece of the flagship's serial floor)
+_BROADCAST_DICT_CACHE: dict = {}
+
+
+def get_broadcast_dict(ref, key_col: str, val_col: str) -> dict:
+    import ray as _ray
+
+    ck = (ref.hex() if isinstance(ref, _ray.ObjectRef) else id(ref),
+          key_col, val_col)
+    d = _BROADCAST_DICT_CACHE.get(ck)
+    if d is None:
+        tab = get_broadcast(ref)
+        d = dict(zip(tab.column(key_col).to_pylist(),
+                     tab.column(val_col).to_pylist()))
+        _BROADCAST_DICT_CACHE[ck] = d
+    return d
+
+
+def collect_table(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a SMALL dataset into one driver-side Arrow table."""
+    tabs = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if empty_schema is not None:
+        tabs.insert(0, empty_schema.empty_table())
+    if not tabs:
+        raise ValueError("collect_table on empty dataset needs empty_schema")
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+_STRICT = object()
+
+
+def dict_lookup(col, mapping: dict, *, default=_STRICT,
+                default_to_key: bool = False) -> pa.Array:
+    """Map a string column through a Python dict at O(distinct) Python cost.
+
+    dictionary-encodes the column (C++ hash table), maps only the DISTINCT
+    values through the dict, then gathers with one vectorized take — per-batch
+    interpreter work drops from O(rows) to O(distinct-in-batch), which for
+    mention columns is typically 10–100× smaller. `default_to_key`: missing
+    keys map to themselves; with the default sentinel a missing key raises
+    (same strictness as mapping[k]).
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    keys = enc.dictionary.to_pylist()
+    if default_to_key:
+        vals = [mapping.get(k, k) for k in keys]
+    elif default is _STRICT:
+        vals = [mapping[k] for k in keys]
+    else:
+        vals = [mapping.get(k, default) for k in keys]
+    return pa.array(vals, type=pa.string()).take(enc.indices)
+
+
 def grouped_min(ds, key_col: str, val_col: str, *, num_buckets: int = 512):
     """(key, min(val)) per distinct key — bucketed segment-min.
 
@@ -147,8 +207,10 @@ def grouped_min(ds, key_col: str, val_col: str, *, num_buckets: int = 512):
     def seg_min(bucket: pa.Table) -> pa.Table:
         n = bucket.num_rows
         if n == 0:
-            return pa.table({key_col: pa.array([], type=pa.string()),
-                             val_col: pa.array([], type=pa.string())})
+            # derive empty schema from the input so non-string key/val
+            # columns union cleanly with non-empty bucket outputs
+            return pa.table({key_col: pa.array([], type=bucket.column(key_col).type),
+                             val_col: pa.array([], type=bucket.column(val_col).type)})
         starts = pa.array(segment_starts(bucket.column(key_col)))
         return pa.table({key_col: bucket.column(key_col).take(starts),
                          val_col: bucket.column(val_col).take(starts)})

@@ -28,16 +28,24 @@ from .linkage import _coref_edges
 
 
 def _input_fingerprint(input_path: str) -> str:
-    """Input lineage token: path + file sizes (content proxy, no full read)."""
+    """Input lineage token: path + per-file (size, mtime_ns) — no full read.
+
+    mtime_ns catches same-size content edits (easy with fixed-width records)
+    that a size-only proxy would silently resume past with stale checkpoints.
+    """
     import hashlib
+
+    def _stat(p: str) -> bytes:
+        st = os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}".encode()
 
     h = hashlib.sha256(input_path.encode())
     if os.path.isdir(input_path):
         for name in sorted(os.listdir(input_path)):
-            p = os.path.join(input_path, name)
-            h.update(f"{name}:{os.path.getsize(p)}".encode())
+            h.update(name.encode())
+            h.update(_stat(os.path.join(input_path, name)))
     elif os.path.exists(input_path):
-        h.update(str(os.path.getsize(input_path)).encode())
+        h.update(_stat(input_path))
     return h.hexdigest()[:20]
 
 

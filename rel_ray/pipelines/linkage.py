@@ -25,6 +25,10 @@ calls ray.init (driver contract).
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -35,6 +39,24 @@ from ..stages.conversation import conversation_stage
 from ..stages.normalize import mention_stage
 from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
+
+_PROFILE = os.environ.get("REL_RAY_PROFILE", "") not in ("", "0")
+
+
+class _phase_timer:
+    """stderr timing of driver-side phases (enabled via REL_RAY_PROFILE=1)."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        if _PROFILE:
+            print(f"[linkage-profile] {self.name}: {time.time() - self.t0:.3f}s",
+                  file=sys.stderr, flush=True)
 
 
 def _coref_edges(records, reps, num_partitions: int = 0, *,
@@ -55,25 +77,21 @@ def _coref_edges(records, reps, num_partitions: int = 0, *,
     if n_reps > broadcast_max_rows:
         return _coref_edges_cogroup(records, num_buckets=num_buckets)
 
-    lookup: dict[str, str] = {}
-    for b in reps.iter_batches(batch_format="pyarrow"):
-        t = pa.table(b)
-        lookup.update(zip(t.column("mention_norm").to_pylist(),
-                          t.column("record_id").to_pylist()))
-    ref = _ray.put(lookup)
+    from ..functions.rayutil import collect_table, dict_lookup, get_broadcast_dict
 
-    from ..functions.rayutil import get_broadcast
+    rep_schema = pa.schema([("mention_norm", pa.string()),
+                            ("record_id", pa.string())])
+    ref = _ray.put(collect_table(reps, rep_schema).select(
+        ["mention_norm", "record_id"]))
 
     def resolve(t: pa.Table) -> pa.Table:
         rows = t.filter(pc.not_equal(t.column("coref_prev_mn"), ""))
         if rows.num_rows == 0:
             return pa.table({"id_a": pa.array([], type=pa.string()),
                              "id_b": pa.array([], type=pa.string())})
-        table = get_broadcast(ref)
+        table = get_broadcast_dict(ref, "mention_norm", "record_id")
         rep_b = rows.column("rep_id")
-        rep_a = pa.array([table.get(mn, "") for mn in
-                          rows.column("coref_prev_mn").to_pylist()],
-                         type=pa.string())
+        rep_a = dict_lookup(rows.column("coref_prev_mn"), table, default="")
         lo = pc.min_element_wise(rep_a, rep_b)
         hi = pc.max_element_wise(rep_a, rep_b)
         out = pa.table({"id_a": lo, "id_b": hi})
@@ -161,33 +179,32 @@ def run_linkage(
     # coalesce: the bucket groupby emits ~num_buckets small blocks; merging
     # to ~64 keeps downstream per-task overhead low across the three passes
     # that re-read records0
-    records0 = records_stage(turns, cfg).repartition(64).materialize()
+    with _phase_timer("records0_materialize"):
+        records0 = records_stage(turns, cfg).repartition(64).materialize()
 
     from ..functions.rayutil import grouped_min
-    rep_map = grouped_min(records0, "mention_norm", "record_id",
-                          num_buckets=cfg.num_buckets).materialize()
+    with _phase_timer("rep_map_materialize"):
+        rep_map = grouped_min(records0, "mention_norm", "record_id",
+                              num_buckets=cfg.num_buckets).materialize()
 
     if rep_map.count() > broadcast_max_rows:
         return _run_linkage_cogroup(records0, turns, cfg, num_partitions)
 
-    _empty_rep = pa.table({"mention_norm": pa.array([], type=pa.string()),
-                           "record_id": pa.array([], type=pa.string())})
-    rep_tab = pa.concat_tables(
-        [_empty_rep] + [pa.table(b)
-                        for b in rep_map.iter_batches(batch_format="pyarrow")],
-        promote_options="default")
-    rep_dict = dict(zip(rep_tab.column("mention_norm").to_pylist(),
-                        rep_tab.column("record_id").to_pylist()))
-    rep_ref = _ray.put(rep_dict)
+    from ..functions.rayutil import collect_table, dict_lookup, get_broadcast_dict
 
-    from ..functions.rayutil import get_broadcast
+    _rep_schema = pa.schema([("mention_norm", pa.string()),
+                             ("record_id", pa.string())])
+    with _phase_timer("collect_rep_map"):
+        rep_tab = collect_table(rep_map, _rep_schema)
+    # broadcast the zero-copy Arrow TABLE; each worker builds the Python dict
+    # once per process (get_broadcast_dict) — the O(vocabulary) dict build
+    # runs on the workers in parallel, not on the driver's critical path
+    rep_ref = _ray.put(rep_tab)
 
     def attach_rep(t: pa.Table) -> pa.Table:
-        table = get_broadcast(rep_ref)
+        d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")
         return t.append_column(
-            "rep_id",
-            pa.array([table[m] for m in t.column("mention_norm").to_pylist()],
-                     type=pa.string()))
+            "rep_id", dict_lookup(t.column("mention_norm"), d))
 
     records = records0.map_batches(attach_rep, batch_format="pyarrow",
                                    zero_copy_batch=True)
@@ -202,7 +219,8 @@ def run_linkage(
     blocks = blocking_stage(reps, cfg)
     pairs = pairs_stage(blocks, cfg, num_partitions)
     # materialize edges: consumed twice (match filter + user output)
-    edges = scoring_stage(pairs, cfg).materialize()
+    with _phase_timer("score_edges_materialize"):
+        edges = scoring_stage(pairs, cfg).materialize()
 
     matched = edges.map_batches(
         lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
@@ -213,13 +231,9 @@ def run_linkage(
         if rows.num_rows == 0:
             return pa.table({"id_a": pa.array([], type=pa.string()),
                              "id_b": pa.array([], type=pa.string())})
-        table = get_broadcast(rep_ref)
-        rep_b = pa.array([table[m] for m in
-                          rows.column("mention_norm").to_pylist()],
-                         type=pa.string())
-        rep_a = pa.array([table.get(mn, "") for mn in
-                          rows.column("coref_prev_mn").to_pylist()],
-                         type=pa.string())
+        d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")
+        rep_b = dict_lookup(rows.column("mention_norm"), d)
+        rep_a = dict_lookup(rows.column("coref_prev_mn"), d, default="")
         lo = pc.min_element_wise(rep_a, rep_b)
         hi = pc.max_element_wise(rep_a, rep_b)
         out = pa.table({"id_a": lo, "id_b": hi})
@@ -230,28 +244,25 @@ def run_linkage(
                                  zero_copy_batch=True)
     all_edges = matched.union(coref)
 
-    rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
-                                        include_singletons=False)
+    with _phase_timer("connected_components"):
+        rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
+                                            include_singletons=False)
 
     # cluster expansion: rep→cluster is small (edge-touched reps only);
     # compose with the rep dict so records0 maps straight to clusters
-    rc = rep_clusters.materialize()
-    cl_dict: dict[str, str] = {}
-    for b in rc.iter_batches(batch_format="pyarrow"):
-        t = pa.table(b)
-        cl_dict.update(zip(t.column("record_id").to_pylist(),
-                           t.column("cluster_id").to_pylist()))
-    cl_ref = _ray.put(cl_dict)
+    _cl_schema = pa.schema([("record_id", pa.string()),
+                            ("cluster_id", pa.string())])
+    with _phase_timer("collect_rep_clusters"):
+        cl_ref = _ray.put(collect_table(rep_clusters, _cl_schema))
 
     def to_cluster(t: pa.Table) -> pa.Table:
-        reps_l = get_broadcast(rep_ref)
-        cls = get_broadcast(cl_ref)
-        out = []
-        for m in t.column("mention_norm").to_pylist():
-            r = reps_l[m]
-            out.append(cls.get(r, r))
+        reps_d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")
+        cls_d = get_broadcast_dict(cl_ref, "record_id", "cluster_id")
+        r = dict_lookup(t.column("mention_norm"), reps_d)
+        # reps missing from the cluster map are singletons → themselves
+        c = dict_lookup(r, cls_d, default_to_key=True)
         return pa.table({"record_id": t.column("record_id"),
-                         "cluster_id": pa.array(out, type=pa.string())})
+                         "cluster_id": c})
 
     clusters = records0.map_batches(to_cluster, batch_format="pyarrow",
                                     zero_copy_batch=True)

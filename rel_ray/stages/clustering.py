@@ -264,24 +264,23 @@ def expand_clusters(records_with_rep, rep_clusters, num_partitions: int = 0,
     """
     import ray as _ray
 
+    from ..functions.rayutil import collect_table, dict_lookup, get_broadcast_dict
+
     rc = rep_clusters.materialize()
     if rc.count() > broadcast_max_rows:
         return _expand_clusters_cogroup(records_with_rep, rc,
                                         num_buckets=num_buckets)
-    lookup: dict[str, str] = {}
-    for b in rc.iter_batches(batch_format="pyarrow"):
-        t = pa.table(b)
-        lookup.update(zip(t.column("record_id").to_pylist(),
-                          t.column("cluster_id").to_pylist()))
-    ref = _ray.put(lookup)
+    # broadcast the Arrow table; workers build the dict once per process
+    _schema = pa.schema([("record_id", pa.string()),
+                         ("cluster_id", pa.string())])
+    ref = _ray.put(collect_table(rc, _schema).select(["record_id", "cluster_id"]))
 
     def attach(t: pa.Table) -> pa.Table:
-        table = _ray.get(ref)
-        reps = t.column("rep_id").to_pylist()
+        d = get_broadcast_dict(ref, "record_id", "cluster_id")
         return pa.table({
             "record_id": t.column("record_id"),
-            "cluster_id": pa.array([table.get(r, r) for r in reps],
-                                   type=pa.string()),
+            "cluster_id": dict_lookup(t.column("rep_id"), d,
+                                      default_to_key=True),
         })
 
     return records_with_rep.map_batches(attach, batch_format="pyarrow",

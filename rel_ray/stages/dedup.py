@@ -32,12 +32,20 @@ def exact_dedup(ds, *, id_col: str, text_col: str):
     """Survivor id = min(id) per identical text. Vectorized groupby aggregate.
 
     Oracle-SQL equivalent: SELECT min(id) AS id FROM t GROUP BY text.
+
+    The survivor id is the NUMERIC min: ids are zero-padded to fixed width
+    before the string segment-min so lexicographic order == numeric order
+    (min('09','10') vs min('9','10') — unpadded string-min picks '10').
     """
     from ..functions.rayutil import grouped_min
 
     def as_str(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        assert pc.min(ids).as_py() is None or pc.min(ids).as_py() >= 0, \
+            "exact_dedup requires non-negative ids for padded ordering"
         return pa.table({text_col: pc.cast(t.column(text_col), pa.string()),
-                         "__id_str": pc.cast(t.column(id_col), pa.string())})
+                         "__id_str": pc.utf8_lpad(pc.cast(ids, pa.string()),
+                                                  20, "0")})
     surv = grouped_min(ds.map_batches(as_str, batch_format="pyarrow",
                                       zero_copy_batch=True),
                        text_col, "__id_str")

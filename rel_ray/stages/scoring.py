@@ -126,12 +126,17 @@ class PairScorer:
         with np.errstate(invalid="ignore", divide="ignore"):
             sim_j = np.where(union > 0, inter / union, 0.0).astype(np.float32)
 
-        # Jaro-Winkler is the expensive per-pair feature: gate it behind a
-        # cheap Jaccard screen. A pair with near-zero shingle overlap cannot
-        # clear the match threshold whatever its JW value (w_jw + w_emb < τ
-        # for sim_j ≈ 0), so scoring it 0 changes no decisions.
+        # Jaro-Winkler is the expensive per-pair feature: gate it EXACTLY.
+        # sim_j and sim_emb are already computed, so the pair's maximum
+        # possible score (with sim_jw = 1.0) is
+        # w_jaccard*sim_j + w_jw + w_emb*sim_emb; when that ceiling is below
+        # the match threshold, no JW value can flip the decision and scoring
+        # it 0 changes no is_match outcome — zero false negatives by
+        # construction, no tuned constant.
         sim_jw = np.zeros(n, dtype=np.float32)
-        candidates = np.nonzero(sim_j >= np.float32(0.12))[0]
+        ceiling = (cfg.w_jaccard * sim_j + np.float32(cfg.w_jw)
+                   + cfg.w_emb * sim_emb)
+        candidates = np.nonzero(ceiling >= np.float32(cfg.threshold))[0]
         if len(candidates):
             ci = pa.array(candidates)
             sim_jw[candidates] = self._jw_batch(mn_a.take(ci), mn_b.take(ci))
