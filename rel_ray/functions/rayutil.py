@@ -168,7 +168,8 @@ _STRICT = object()
 
 
 def dict_lookup(col, mapping: dict, *, default=_STRICT,
-                default_to_key: bool = False) -> pa.Array:
+                default_to_key: bool = False,
+                value_type: pa.DataType | None = None) -> pa.Array:
     """Map a string column through a Python dict at O(distinct) Python cost.
 
     dictionary-encodes the column (C++ hash table), maps only the DISTINCT
@@ -190,7 +191,41 @@ def dict_lookup(col, mapping: dict, *, default=_STRICT,
         vals = [mapping[k] for k in keys]
     else:
         vals = [mapping.get(k, default) for k in keys]
-    return pa.array(vals, type=pa.string()).take(enc.indices)
+    return pa.array(vals, type=value_type or pa.string()).take(enc.indices)
+
+
+class DropCounter:
+    """Distributed drop counter (SURVEY §2.3: skew caps must be *accounted*,
+    never silent): a zero-CPU named actor; workers fire-and-forget increments
+    only when drops actually happen, the driver reads totals after the
+    consuming execution. Works unchanged on a multi-node cluster."""
+
+    def __init__(self, name: str = "rel_ray_drop_counter"):
+        import ray as _ray
+
+        @_ray.remote(num_cpus=0)
+        class _Counter:
+            def __init__(self):
+                self.counts: dict = {}
+
+            def add(self, key: str, n: int):
+                self.counts[key] = self.counts.get(key, 0) + int(n)
+
+            def get(self) -> dict:
+                return dict(self.counts)
+
+        # named + get_if_exists: one shared counter per driver job (dies with
+        # the job; NOT detached, so tests/sessions never leak actors)
+        self._actor = _Counter.options(name=name, get_if_exists=True).remote()
+
+    def add(self, key: str, n: int) -> None:
+        if n:
+            self._actor.add.remote(key, n)
+
+    def totals(self) -> dict:
+        import ray as _ray
+
+        return _ray.get(self._actor.get.remote())
 
 
 def grouped_min(ds, key_col: str, val_col: str, *, num_buckets: int = 512):

@@ -21,7 +21,6 @@ from ..state.manifest import CheckpointContext
 from ..stages.blocking import blocking_stage, exact_precluster, records_stage
 from ..stages.clustering import connected_components, expand_clusters
 from ..stages.conversation import conversation_stage
-from ..stages.normalize import mention_stage
 from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
 from .linkage import _coref_edges
@@ -92,7 +91,10 @@ def run_linkage_checkpointed(
         all_edges = matched.union(_coref_edges(s_records.dataset, reps))
         rep_clusters = connected_components(reps, all_edges, cfg,
                                             include_singletons=False)
-        return expand_clusters(s_records.dataset, rep_clusters,
+        from .linkage import _cluster_conf_table
+        rep_conf = rd.from_arrow(
+            _cluster_conf_table(rep_clusters, s_edges.dataset))
+        return expand_clusters(s_records.dataset, rep_conf,
                                num_buckets=cfg.num_buckets)
 
     s_clusters = ctx.run_stage(

@@ -36,7 +36,6 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..stages.blocking import blocking_stage, exact_precluster, records_stage
 from ..stages.clustering import connected_components, expand_clusters
 from ..stages.conversation import conversation_stage
-from ..stages.normalize import mention_stage
 from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
 
@@ -100,6 +99,73 @@ def _coref_edges(records, reps, num_partitions: int = 0, *,
 
     return records.map_batches(resolve, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+_CONF_SCHEMA = pa.schema([("record_id", pa.string()),
+                          ("best_score", pa.float32()),
+                          ("n_links", pa.int32())])
+
+
+def _edge_confidence(edges, num_buckets: int = 64):
+    """Per-representative confidence from the scored candidate edges (REL
+    conf_ed analog, REL:src/REL/utils.py::process_results): best incident
+    edge score + count of incident MATCHED edges. Skinny bucketed argmax."""
+    import numpy as np
+
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def explode(t: pa.Table) -> pa.Table:
+        score = pc.cast(t.column("score"), pa.float32())
+        m = pc.cast(t.column("is_match"), pa.int32())
+        return pa.concat_tables([
+            pa.table({"rec": t.column("id_a"), "score": score, "m": m}),
+            pa.table({"rec": t.column("id_b"), "score": score, "m": m}),
+        ])
+
+    both = edges.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def agg(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return _CONF_SCHEMA.empty_table()
+        starts = segment_starts(bucket.column("rec"))
+        sa = pa.array(starts)
+        m_np = np.asarray(bucket.column("m"), dtype=np.int64)
+        n_links = np.add.reduceat(m_np, starts).astype(np.int32)
+        return pa.table({
+            "record_id": bucket.column("rec").take(sa),
+            "best_score": bucket.column("score").take(sa),  # sorted desc
+            "n_links": pa.array(n_links),
+        })
+
+    return bucketed_group_apply(both, "rec", agg, num_buckets=num_buckets,
+                                sort_cols=[("score", "descending")])
+
+
+def _cluster_conf_table(rep_clusters, edges) -> pa.Table:
+    """Driver-side merge of the (small) rep→cluster map with per-rep edge
+    confidence: (record_id, cluster_id, best_score, n_links), nulls filled
+    (cluster defaults to self, confidence to 0)."""
+    from ..functions.rayutil import collect_table
+
+    cl_schema = pa.schema([("record_id", pa.string()),
+                           ("cluster_id", pa.string())])
+    cl_tab = collect_table(rep_clusters, cl_schema)
+    conf_tab = collect_table(_edge_confidence(edges), _CONF_SCHEMA)
+    # pa.Table.join is the in-process Acero join on two SMALL driver tables —
+    # not Ray's Dataset.join (avoided engine-wide, see functions/rayutil.py)
+    merged = cl_tab.join(conf_tab, keys="record_id", join_type="full outer")
+    rid = merged.column("record_id")
+    return pa.table({
+        "record_id": rid,
+        "cluster_id": pc.coalesce(merged.column("cluster_id"), rid),
+        "best_score": pc.fill_null(
+            pc.cast(merged.column("best_score"), pa.float32()),
+            pa.scalar(0.0, pa.float32())),
+        "n_links": pc.fill_null(pc.cast(merged.column("n_links"), pa.int32()),
+                                pa.scalar(0, pa.int32())),
+    })
 
 
 def _coref_edges_cogroup(records, *, num_buckets: int = 64):
@@ -248,21 +314,28 @@ def run_linkage(
         rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
                                             include_singletons=False)
 
-    # cluster expansion: rep→cluster is small (edge-touched reps only);
-    # compose with the rep dict so records0 maps straight to clusters
-    _cl_schema = pa.schema([("record_id", pa.string()),
-                            ("cluster_id", pa.string())])
+    # cluster expansion: rep→cluster (+ per-rep edge confidence) is small
+    # (edge-touched reps only); compose with the rep dict so records0 maps
+    # straight to clusters
     with _phase_timer("collect_rep_clusters"):
-        cl_ref = _ray.put(collect_table(rep_clusters, _cl_schema))
+        cl_ref = _ray.put(_cluster_conf_table(rep_clusters, edges))
 
     def to_cluster(t: pa.Table) -> pa.Table:
         reps_d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")
         cls_d = get_broadcast_dict(cl_ref, "record_id", "cluster_id")
+        bs_d = get_broadcast_dict(cl_ref, "record_id", "best_score")
+        nl_d = get_broadcast_dict(cl_ref, "record_id", "n_links")
         r = dict_lookup(t.column("mention_norm"), reps_d)
         # reps missing from the cluster map are singletons → themselves
         c = dict_lookup(r, cls_d, default_to_key=True)
-        return pa.table({"record_id": t.column("record_id"),
-                         "cluster_id": c})
+        return pa.table({
+            "record_id": t.column("record_id"),
+            "cluster_id": c,
+            "best_score": dict_lookup(r, bs_d, default=0.0,
+                                      value_type=pa.float32()),
+            "n_links": dict_lookup(r, nl_d, default=0,
+                                   value_type=pa.int32()),
+        })
 
     clusters = records0.map_batches(to_cluster, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -296,7 +369,9 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
 
     rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
                                         include_singletons=False)
-    clusters = expand_clusters(records, rep_clusters, num_partitions,
+    import ray.data as rd
+    rep_conf = rd.from_arrow(_cluster_conf_table(rep_clusters, edges))
+    clusters = expand_clusters(records, rep_conf, num_partitions,
                                num_buckets=cfg.num_buckets)
     return {
         "turns": turns,

@@ -209,6 +209,39 @@ FROM documents
 """
 
 
+def q_extract_tokens_documents(sf_dir: str):
+    """Multi-match span exploder (the find_mentions-parity kernel,
+    REL:src/REL/mention_detection.py::MentionDetection.find_mentions): ALL
+    regex matches per document exploded to (doc_id, span_idx, token) rows.
+    Same kernel the flagship's multi-mention explosion uses
+    (functions.normalize.extract_all_matches)."""
+    from ..functions.normalize import extract_all_matches
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ml = extract_all_matches(t.column("text"), r"[a-z]{6,}")
+        lens = np.asarray(pc.list_value_length(ml), dtype=np.int64)
+        doc_ids = t.column("doc_id").take(
+            pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)))
+        starts = np.cumsum(lens) - lens
+        span = (np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(starts, lens))
+        return pa.table({"doc_id": doc_ids,
+                         "span_idx": pa.array(span + 1),  # 1-based (SQL parity)
+                         "token": pc.list_flatten(ml)})
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EXTRACT_TOKENS_DOCUMENTS = """
+SELECT doc_id,
+       generate_subscripts(regexp_extract_all(text, '[a-z]{6,}'), 1) AS span_idx,
+       unnest(regexp_extract_all(text, '[a-z]{6,}')) AS token
+FROM documents
+"""
+
+
 def q_union_sum(sf_dir: str):
     """Set-op parity (SURVEY §2.7: merge of prior sources with count-sum on
     overlap, REL:src/REL/wikipedia_yago_freq.py::compute_custom): two derived
@@ -656,9 +689,8 @@ def q_conversation_windows(sf_dir: str):
     transcripts (rows-only; the in-group sort is oracle-checked separately by
     q_events_reconstruct)."""
     from ..stages.conversation import conversation_stage
-    from ..stages.normalize import normalize_stage
     tr = transcripts_from_events(sf_dir)
-    out = conversation_stage(normalize_stage(tr, CFG), CFG)
+    out = conversation_stage(tr, CFG)
     return out.map_batches(
         lambda t: t.select(["record_id", "conv_id", "turn_idx", "mention",
                             "ctx_before", "ctx_after", "coref_prev"]),
@@ -678,6 +710,7 @@ QUERIES = {
     "union_sum": q_union_sum,
     "sample_lineitem": q_sample_lineitem,
     "sentence_split_documents": q_sentence_split_documents,
+    "extract_tokens_documents": q_extract_tokens_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "dup_pairs_documents": q_dup_pairs_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
@@ -706,6 +739,7 @@ ORACLE_SQL = {
     "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
     "union_sum": SQL_UNION_SUM,
     "sentence_split_documents": SQL_SENTENCE_SPLIT_DOCUMENTS,
+    "extract_tokens_documents": SQL_EXTRACT_TOKENS_DOCUMENTS,
     "exact_dedup_documents": SQL_EXACT_DEDUP_DOCUMENTS,
     "dup_pairs_documents": SQL_DUP_PAIRS_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,

@@ -251,6 +251,11 @@ def _local_components(all_nodes, topo, include_singletons=True) -> "ray.data.Dat
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+# optional per-rep confidence columns propagated through cluster expansion
+# (name → (arrow type, default)); see pipelines/linkage._cluster_conf_table
+_CONF_COLS = {"best_score": (pa.float32(), 0.0), "n_links": (pa.int32(), 0)}
+
+
 def expand_clusters(records_with_rep, rep_clusters, num_partitions: int = 0,
                     *, num_buckets: int = 64,
                     broadcast_max_rows: int = 2_000_000):
@@ -260,56 +265,81 @@ def expand_clusters(records_with_rep, rep_clusters, num_partitions: int = 0,
     that touched an edge); it is broadcast via ray.put and applied in a
     stateless map_batches — reps missing from the map are singletons and
     cluster to themselves. Above `broadcast_max_rows` a bucketed co-group of
-    the records table runs instead.
+    the records table runs instead. When `rep_clusters` carries the optional
+    confidence columns (best_score / n_links) they are propagated to every
+    member record, defaulting to 0 for edge-untouched reps.
     """
     import ray as _ray
 
     from ..functions.rayutil import collect_table, dict_lookup, get_broadcast_dict
 
     rc = rep_clusters.materialize()
+    extras = [c for c in _CONF_COLS if c in rc.schema().names]
     if rc.count() > broadcast_max_rows:
-        return _expand_clusters_cogroup(records_with_rep, rc,
+        return _expand_clusters_cogroup(records_with_rep, rc, extras,
                                         num_buckets=num_buckets)
     # broadcast the Arrow table; workers build the dict once per process
     _schema = pa.schema([("record_id", pa.string()),
-                         ("cluster_id", pa.string())])
-    ref = _ray.put(collect_table(rc, _schema).select(["record_id", "cluster_id"]))
+                         ("cluster_id", pa.string())]
+                        + [(c, _CONF_COLS[c][0]) for c in extras])
+    ref = _ray.put(collect_table(rc, _schema).select(
+        ["record_id", "cluster_id", *extras]))
 
     def attach(t: pa.Table) -> pa.Table:
         d = get_broadcast_dict(ref, "record_id", "cluster_id")
-        return pa.table({
+        out = {
             "record_id": t.column("record_id"),
             "cluster_id": dict_lookup(t.column("rep_id"), d,
                                       default_to_key=True),
-        })
+        }
+        for c in extras:
+            typ, dflt = _CONF_COLS[c]
+            cd = get_broadcast_dict(ref, "record_id", c)
+            out[c] = dict_lookup(t.column("rep_id"), cd, default=dflt,
+                                 value_type=typ)
+        return pa.table(out)
 
     return records_with_rep.map_batches(attach, batch_format="pyarrow",
                                         zero_copy_batch=True)
 
 
-def _expand_clusters_cogroup(records_with_rep, rep_clusters, *,
+def _expand_clusters_cogroup(records_with_rep, rep_clusters, extras=(), *,
                              num_buckets: int = 64):
     """Fallback for giant rep graphs: bucketed co-group on rep_id (cluster
-    rows sort first in each segment; members take the segment head's cluster,
-    defaulting to the rep itself for singleton segments)."""
-    members = records_with_rep.map_batches(
-        lambda t: pa.table({
-            "key": t.column("rep_id"),
-            "payload": t.column("record_id"),
-            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8))}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    crows = rep_clusters.map_batches(
-        lambda t: pa.table({
-            "key": t.column("record_id"),
-            "payload": t.column("cluster_id"),
-            "side": pa.array(np.ones(t.num_rows, dtype=np.int8))}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    rows sort first in each segment; members take the segment head's cluster
+    and confidence columns, defaulting to self/0 for singleton segments)."""
+    extras = list(extras)
+
+    def member_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = {"key": t.column("rep_id"),
+               "payload": t.column("record_id")}
+        for c in extras:
+            typ, dflt = _CONF_COLS[c]
+            out[c] = pa.array([dflt] * n, type=typ)
+        out["side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(out)
+
+    def cluster_side(t: pa.Table) -> pa.Table:
+        out = {"key": t.column("record_id"),
+               "payload": t.column("cluster_id")}
+        for c in extras:
+            out[c] = pc.cast(t.column(c), _CONF_COLS[c][0])
+        out["side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(out)
+
+    members = records_with_rep.map_batches(member_side, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    crows = rep_clusters.map_batches(cluster_side, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
     def assign(bucket: pa.Table) -> pa.Table:
         n = bucket.num_rows
         if n == 0:
-            return pa.table({"record_id": pa.array([], type=pa.string()),
-                             "cluster_id": pa.array([], type=pa.string())})
+            return pa.table(
+                {"record_id": pa.array([], type=pa.string()),
+                 "cluster_id": pa.array([], type=pa.string()),
+                 **{c: pa.array([], type=_CONF_COLS[c][0]) for c in extras}})
         starts = segment_starts(bucket.column("key"))
         lens = np.diff(np.append(starts, n))
         side = np.asarray(bucket.column("side"))
@@ -320,15 +350,22 @@ def _expand_clusters_cogroup(records_with_rep, rep_clusters, *,
         key_col = bucket.column("key")
         if isinstance(key_col, pa.ChunkedArray):
             key_col = key_col.combine_chunks()
-        seg_cluster = pc.if_else(
-            pa.array(seg_has_cluster),
-            payload.take(pa.array(starts)),
-            key_col.take(pa.array(starts)))
+        has = pa.array(seg_has_cluster)
+        sa = pa.array(starts)
+        seg_cluster = pc.if_else(has, payload.take(sa), key_col.take(sa))
         seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
         member_mask = side == 0
+        take_idx = pa.array(seg_idx[member_mask])
         rec = payload.filter(pa.array(member_mask))
-        cid = seg_cluster.take(pa.array(seg_idx[member_mask]))
-        return pa.table({"record_id": rec, "cluster_id": cid})
+        out = {"record_id": rec, "cluster_id": seg_cluster.take(take_idx)}
+        for c in extras:
+            typ, dflt = _CONF_COLS[c]
+            col = bucket.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            seg_val = pc.if_else(has, col.take(sa), pa.scalar(dflt, typ))
+            out[c] = seg_val.take(take_idx)
+        return pa.table(out)
 
     return bucketed_group_apply(
         members.union(crows), "key", assign,

@@ -4,7 +4,8 @@ REL analog: a document is an ordered token stream with per-mention 100-word
 context windows (``REL:src/REL/mention_detection.py::find_mentions``); here a
 conversation is reconstructed by an **in-group** sort (never a global
 ``ds.sort``), then per-turn context windows (previous/next `ctx_turns` turns,
-capped chars) and the `with_coref` analog
+capped chars), then the multi-mention explosion (one record per detected
+mention span — find_mentions parity) and the `with_coref` analog
 (``REL:src/REL/training_datasets.py::with_coref``): a later mention whose
 tokens all match an earlier mention's tokens (exact or dotted-prefix)
 inherits a deterministic coref edge via `coref_prev`.
@@ -61,20 +62,21 @@ class ReconstructConversation:
         self.cfg = cfg
 
     def __call__(self, bucket: pa.Table) -> pa.Table:
+        # input: RAW turn rows sorted by (conv_id, turn_idx, ts, role).
+        # Pipeline inside the bucket: turn-level context windows → mention
+        # explosion (one record per mention span) → order-sensitive coref
+        # scan over mention records. Mention detection runs HERE, after the
+        # shuffle: the conversation exchange is the engine's biggest byte
+        # mover and must not carry derivable columns.
+        from .normalize import MentionTurns
+
         cfg = self.cfg
         n = bucket.num_rows
-        if "mention_norm" not in bucket.column_names:
-            # mention detection runs HERE, after the shuffle: the conversation
-            # exchange is the engine's biggest byte mover and must not carry
-            # derivable columns (mention/mention_norm/record_id)
-            from .normalize import MentionTurns
-            bucket = MentionTurns(cfg)(bucket)
         if n == 0:
-            return bucket.append_column(
-                "ctx_before", pa.array([], type=pa.string())).append_column(
-                "ctx_after", pa.array([], type=pa.string())).append_column(
-                "coref_prev", pa.array([], type=pa.string())).append_column(
-                "coref_prev_mn", pa.array([], type=pa.string()))
+            out = MentionTurns(cfg)(bucket)
+            for c in ("ctx_before", "ctx_after", "coref_prev", "coref_prev_mn"):
+                out = out.append_column(c, pa.array([], type=pa.string()))
+            return out
         starts = segment_starts(bucket.column("conv_id"))
         lens = np.diff(np.append(starts, n))
         seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
@@ -100,33 +102,41 @@ class ReconstructConversation:
         ctx_after = pc.utf8_slice_codeunits(
             pc.utf8_trim_whitespace(ctx_after), start=0, stop=cfg.ctx_chars)
 
+        bucket = bucket.append_column("ctx_before", ctx_before)
+        bucket = bucket.append_column("ctx_after", ctx_after)
+
+        # mention explosion: one record per mention span, in (turn, span)
+        # order — conv_id segments stay contiguous, so the coref scan below
+        # recomputes boundaries on the exploded rows
+        exploded = MentionTurns(cfg)(bucket)
+        m = exploded.num_rows
+
         # with_coref: order-sensitive scan per conversation segment. Both the
         # earlier record's id AND its mention string are recorded — the
         # mention lets coref edges resolve to representatives via a broadcast
         # map instead of a corpus-wide co-group (stages/linkage).
-        mentions = bucket.column("mention_norm").to_pylist()
-        rids = bucket.column("record_id").to_pylist()
-        coref_prev = [""] * n
-        coref_prev_mn = [""] * n
-        seg_starts_set = set(starts.tolist())
+        ex_starts = segment_starts(exploded.column("conv_id"))
+        mentions = exploded.column("mention_norm").to_pylist()
+        rids = exploded.column("record_id").to_pylist()
+        coref_prev = [""] * m
+        coref_prev_mn = [""] * m
+        seg_starts_set = set(ex_starts.tolist())
         seen: list[tuple[list[str], str, str]] = []
-        for i in range(n):
+        for i in range(m):
             if i in seg_starts_set:
                 seen = []
-            m = mentions[i]
-            if not m:
+            mn = mentions[i]
+            if not mn:
                 continue
-            toks = m.split(" ")
+            toks = mn.split(" ")
             for etoks, erid, emn in reversed(seen):
                 if etoks != toks and _token_subset_match(toks, etoks):
                     coref_prev[i] = erid
                     coref_prev_mn[i] = emn
                     break
-            seen.append((toks, rids[i], m))
+            seen.append((toks, rids[i], mn))
 
-        out = bucket
-        out = out.append_column("ctx_before", ctx_before)
-        out = out.append_column("ctx_after", ctx_after)
+        out = exploded
         out = out.append_column("coref_prev", pa.array(coref_prev, type=pa.string()))
         out = out.append_column("coref_prev_mn",
                                 pa.array(coref_prev_mn, type=pa.string()))

@@ -18,11 +18,7 @@ import pyarrow.compute as pc
 
 from ..config import PipelineConfig
 from ..functions.normalize import normalize_strings
-from ..functions.shingles import (
-    char_ngram_codes,
-    exact_jaccard_sorted,
-    unique_shingle_sets,
-)
+from ..functions.shingles import char_ngram_codes
 from .blocking import blocking_stage, exact_precluster
 from .clustering import connected_components, expand_clusters
 from .pairs import pairs_stage
@@ -86,27 +82,19 @@ class JaccardVerifier:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        out_j = np.zeros(batch.num_rows, dtype=np.float32)
+        # reuses the scorer's whole-batch vectorized Jaccard (dictionary-
+        # encode → shingle distinct strings once → one global lexsort) —
+        # no per-pair Python loop
+        from .scoring import encode_pair_strings, pairwise_jaccard
+
         mn_a = batch.column("mn_a")
         mn_b = batch.column("mn_b")
         if isinstance(mn_a, pa.ChunkedArray):
             mn_a = mn_a.combine_chunks()
         if isinstance(mn_b, pa.ChunkedArray):
             mn_b = mn_b.combine_chunks()
-        if cfg.shingle_unit == "word":
-            from ..functions.shingles import word_ngram_codes
-            ca, sa = word_ngram_codes(mn_a, cfg.shingle_k)
-            cb, sb = word_ngram_codes(mn_b, cfg.shingle_k)
-        else:
-            ca, sa = char_ngram_codes(mn_a, cfg.shingle_k)
-            cb, sb = char_ngram_codes(mn_b, cfg.shingle_k)
-        ua = unique_shingle_sets(ca, sa)
-        ub = unique_shingle_sets(cb, sb)
-        va, oa = np.asarray(ua.values, dtype=np.uint64), np.asarray(ua.offsets, dtype=np.int64)
-        vb, ob = np.asarray(ub.values, dtype=np.uint64), np.asarray(ub.offsets, dtype=np.int64)
-        for i in range(batch.num_rows):
-            out_j[i] = exact_jaccard_sorted(va[oa[i]:oa[i + 1]], vb[ob[i]:ob[i + 1]])
+        idx_a, idx_b, ucodes, usplits = encode_pair_strings(mn_a, mn_b, self.cfg)
+        out_j = pairwise_jaccard(idx_a, idx_b, ucodes, usplits)
         return pa.table({
             "id_a": batch.column("id_a"),
             "id_b": batch.column("id_b"),
@@ -212,11 +200,24 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def near_dedup_simhash(ds, *, id_col: str, text_col: str, max_hamming: int = 3,
-                       num_partitions: int = 8, cfg: PipelineConfig | None = None):
+                       num_partitions: int = 8,
+                       cfg: PipelineConfig | None = None,
+                       block_cap: int = 512, counters=None):
     """SimHash near-dup: band the 64-bit simhash into 4×16-bit chunks
     (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), block on chunks,
-    verify hamming within blocks, CC over matches."""
+    verify hamming within blocks, CC over matches.
+
+    Execution follows the engine's shuffle rules (functions/rayutil): chunk
+    blocks run through ONE bucketed shuffle-reduce (not a per-distinct-key
+    map_groups over up to 4×65,536 keys), and band dedup is the sorted
+    adjacent-duplicate filter (pairs._dedup_bucket — measured 10× faster than
+    a multi-string-key Count aggregate). Segments larger than `block_cap`
+    keep the `block_cap` lowest record_ids; drops are COUNTED via `counters`
+    (a rayutil.DropCounter), never silent.
+    """
     from ..config import DEFAULT_CONFIG
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+    from .pairs import _dedup_bucket
     cfg = cfg or DEFAULT_CONFIG
 
     with_sh = ds.map_batches(SimHashStage(text_col, unit="word"),
@@ -241,29 +242,55 @@ def near_dedup_simhash(ds, *, id_col: str, text_col: str, max_hamming: int = 3,
 
     blocks = with_sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pair_gen(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("record_id", "ascending")])
-        n0 = g.num_rows
-        if n0 < 2:
-            return pa.table({"id_a": pa.array([], type=pa.string()),
-                             "id_b": pa.array([], type=pa.string())})
-        cap = min(n0, 512)  # deterministic skew cap (lowest record_ids kept)
-        g = g.slice(0, cap)
-        ids = np.asarray(g.column("record_id"))
-        sh = np.asarray(g.column("simhash"), dtype=np.int64).view(np.uint64)
-        # vectorized pairwise hamming: XOR matrix + popcount
-        ham = _popcount64(sh[:, None] ^ sh[None, :])
-        iu, ju = np.triu_indices(cap, k=1)
-        hit = ham[iu, ju] <= np.uint64(max_hamming)
-        a, b = ids[iu[hit]], ids[ju[hit]]
-        return pa.table({"id_a": pa.array(a.astype(object), type=pa.string()),
-                         "id_b": pa.array(b.astype(object), type=pa.string())})
+    def _empty_edges() -> pa.Table:
+        return pa.table({"id_a": pa.array([], type=pa.string()),
+                         "id_b": pa.array([], type=pa.string())})
 
-    edges = blocks.groupby("block_key").map_groups(pair_gen, batch_format="pyarrow")
-    from ray.data.aggregate import Count
-    edges = edges.groupby(["id_a", "id_b"]).aggregate(Count()).map_batches(
-        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow",
-        zero_copy_batch=True)
+    def pair_bucket(bucket: pa.Table) -> pa.Table:
+        # whole bucket sorted by (block_key, record_id); Python touches only
+        # real multi-member segments — same structure as pairs.PairGen
+        n = bucket.num_rows
+        if n == 0:
+            return _empty_edges()
+        starts = segment_starts(bucket.column("block_key"))
+        lens = np.diff(np.append(starts, n))
+        multi = np.nonzero(lens >= 2)[0]
+        if len(multi) == 0:
+            return _empty_edges()
+        sh = np.asarray(bucket.column("simhash"), dtype=np.int64).view(np.uint64)
+        xs_all, ys_all = [], []
+        dropped = 0
+        for si in multi:
+            s, ln = int(starts[si]), int(lens[si])
+            if ln > block_cap:
+                dropped += ln - block_cap  # lowest record_ids kept (sorted)
+                ln = block_cap
+            seg = sh[s:s + ln]
+            ham = _popcount64(seg[:, None] ^ seg[None, :])
+            iu, ju = np.triu_indices(ln, k=1)
+            hit = ham[iu, ju] <= np.uint64(max_hamming)
+            xs_all.append(s + iu[hit])
+            ys_all.append(s + ju[hit])
+        if dropped and counters is not None:
+            counters.add("simhash_block_cap_dropped", dropped)
+        ids = bucket.column("record_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "id_a": ids.take(pa.array(np.concatenate(xs_all))),
+            "id_b": ids.take(pa.array(np.concatenate(ys_all))),
+        })
+
+    raw_edges = bucketed_group_apply(
+        blocks, "block_key", pair_bucket,
+        num_buckets=cfg.num_buckets,
+        sort_cols=[("record_id", "ascending")])
+    # band dedup: duplicates of a pair always share id_a → bucket by id_a,
+    # adjacent-duplicate filter after the in-bucket (id_a, id_b) sort
+    edges = bucketed_group_apply(
+        raw_edges, "id_a", _dedup_bucket,
+        num_buckets=cfg.num_buckets,
+        sort_cols=[("id_b", "ascending")])
 
     nodes = ds.map_batches(
         lambda t: pa.table({"record_id": pc.cast(t.column(id_col), pa.string())}),

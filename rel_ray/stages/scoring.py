@@ -42,6 +42,64 @@ def _sign_embed(codes: np.ndarray, row_splits: np.ndarray) -> np.ndarray:
     return out / norms
 
 
+def encode_pair_strings(mn_a: pa.Array, mn_b: pa.Array, cfg: PipelineConfig):
+    """Dictionary-encode both sides of a pair batch together and shingle each
+    DISTINCT string once (reps of hot entities appear in many pairs).
+
+    Returns (idx_a, idx_b, ucodes, usplits): per-pair indices into the
+    distinct-string shingle sets (sorted-unique codes, ragged via usplits).
+    """
+    import pyarrow.compute as pc
+
+    n = len(mn_a)
+    both = pa.concat_arrays([mn_a, mn_b])
+    enc = pc.dictionary_encode(both)
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    uniq_strings = enc.dictionary
+    if cfg.shingle_unit == "word":
+        from ..functions.shingles import word_ngram_codes
+        codes, splits = word_ngram_codes(uniq_strings, cfg.shingle_k)
+    else:
+        codes, splits = char_ngram_codes(uniq_strings, cfg.shingle_k)
+    uniq = unique_shingle_sets(codes, splits)
+    return (idx[:n], idx[n:],
+            np.asarray(uniq.values, dtype=np.uint64),
+            np.asarray(uniq.offsets, dtype=np.int64))
+
+
+def pairwise_jaccard(idx_a: np.ndarray, idx_b: np.ndarray,
+                     ucodes: np.ndarray, usplits: np.ndarray) -> np.ndarray:
+    """Vectorized exact Jaccard for every pair: gather both sides'
+    sorted-unique shingle sets, ONE global lexsort, adjacent-equal count per
+    pair — no per-pair Python loop."""
+    n = len(idx_a)
+    set_lens = usplits[1:] - usplits[:-1]
+    la, lb = set_lens[idx_a], set_lens[idx_b]
+
+    def _ragged_gather(side_idx: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.uint64)
+        starts = usplits[:-1][side_idx]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        return ucodes[np.repeat(starts, lens) + pos]
+
+    vals = np.concatenate([_ragged_gather(idx_a, la), _ragged_gather(idx_b, lb)])
+    pair_ids = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), la),
+        np.repeat(np.arange(n, dtype=np.int64), lb)])
+    order = np.lexsort((vals, pair_ids))
+    pv, vv = pair_ids[order], vals[order]
+    dup = np.zeros(len(vv), dtype=np.int64)
+    if len(vv) > 1:
+        dup[1:] = ((pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])).astype(np.int64)
+    inter = np.bincount(pv, weights=dup, minlength=n)
+    union = la + lb - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(union > 0, inter / union, 0.0).astype(np.float32)
+
+
 class PairScorer:
     """Callable class for ``map_batches(PairScorer, concurrency=N)``."""
 
@@ -81,50 +139,10 @@ class PairScorer:
         if isinstance(mn_b, pa.ChunkedArray):
             mn_b = mn_b.combine_chunks()
 
-        # each distinct mention appears in many pairs (reps of hot entities):
-        # dictionary-encode both sides together, compute features once per
-        # distinct string, then gather per pair
-        import pyarrow.compute as pc
-        both = pa.concat_arrays([mn_a, mn_b])
-        enc = pc.dictionary_encode(both)
-        idx = np.asarray(enc.indices, dtype=np.int64)
-        idx_a, idx_b = idx[:n], idx[n:]
-        uniq_strings = enc.dictionary
-
-        codes, splits = char_ngram_codes(uniq_strings, cfg.shingle_k)
-        uniq = unique_shingle_sets(codes, splits)
-        ucodes = np.asarray(uniq.values, dtype=np.uint64)
-        usplits = np.asarray(uniq.offsets, dtype=np.int64)
+        idx_a, idx_b, ucodes, usplits = encode_pair_strings(mn_a, mn_b, cfg)
         emb = _sign_embed(ucodes, usplits)
         sim_emb = np.einsum("ij,ij->i", emb[idx_a], emb[idx_b]).astype(np.float32)
-
-        # vectorized exact Jaccard: gather both sides' sorted-unique shingle
-        # sets per pair, one global lexsort, adjacent-equal count per pair
-        set_lens = (usplits[1:] - usplits[:-1])
-        la, lb = set_lens[idx_a], set_lens[idx_b]
-
-        def _ragged_gather(side_idx: np.ndarray, lens: np.ndarray) -> np.ndarray:
-            total = int(lens.sum())
-            if total == 0:
-                return np.empty(0, dtype=np.uint64)
-            starts = usplits[:-1][side_idx]
-            pos = np.arange(total, dtype=np.int64) - np.repeat(
-                np.cumsum(lens) - lens, lens)
-            return ucodes[np.repeat(starts, lens) + pos]
-
-        vals = np.concatenate([_ragged_gather(idx_a, la), _ragged_gather(idx_b, lb)])
-        pair_ids = np.concatenate([
-            np.repeat(np.arange(n, dtype=np.int64), la),
-            np.repeat(np.arange(n, dtype=np.int64), lb)])
-        order = np.lexsort((vals, pair_ids))
-        pv, vv = pair_ids[order], vals[order]
-        dup = np.zeros(len(vv), dtype=np.int64)
-        if len(vv) > 1:
-            dup[1:] = ((pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])).astype(np.int64)
-        inter = np.bincount(pv, weights=dup, minlength=n)
-        union = la + lb - inter
-        with np.errstate(invalid="ignore", divide="ignore"):
-            sim_j = np.where(union > 0, inter / union, 0.0).astype(np.float32)
+        sim_j = pairwise_jaccard(idx_a, idx_b, ucodes, usplits)
 
         # Jaro-Winkler is the expensive per-pair feature: gate it EXACTLY.
         # sim_j and sim_emb are already computed, so the pair's maximum

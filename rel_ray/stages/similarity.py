@@ -100,120 +100,197 @@ def ann_topk(ds, queries: dict, *, k: int = 10, id_col: str = "vec_id",
     return local.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
-class SignLSHBuckets:
-    """Scale path: bucket vectors by the sign pattern of h random hyperplanes.
+def _lsh_planes(dim: int, n_tables: int, n_planes: int, seed: int) -> np.ndarray:
+    """(n_tables, dim, n_planes) hyperplanes — one narrow table per band.
 
-    Hyperplanes are derived from the seed in __init__ (once per actor);
-    vectors in the same bucket are ANN candidates. Emits (bucket, id, vec…)."""
-
-    def __init__(self, dim: int, n_planes: int, seed: int, id_col: str, vec_col: str):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _embedding_matrix(batch, self.vec_col)
-        signs = (m @ self.planes) > 0  # (n, p)
-        bucket = np.zeros(len(m), dtype=np.int64)
-        for j in range(signs.shape[1]):
-            bucket |= signs[:, j].astype(np.int64) << j
-        return pa.table({
-            "bucket": pa.array(bucket),
-            "vec_id": batch.column(self.id_col),
-            self.vec_col: batch.column(self.vec_col),
-        })
+    Banded like the MinHash 21×3 design: P(candidate | cos=s) =
+    1 - (1 - p(s)^n_planes)^n_tables with p(s) = 1 - arccos(s)/π, so recall
+    for high-similarity pairs stays near 1 while each table's 2^n_planes
+    buckets keep candidate groups small."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, dim, n_planes))
 
 
-def ann_topk_lsh(ds, queries: dict, *, k: int = 10, n_planes: int = 6,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 seed: int = 42):
-    """Scale-path ANN: sign-LSH bucket the corpus; each query searches only
-    its own bucket (plus nothing else — recall traded for a 2^n_planes
-    candidate reduction). Returns (query_id, vec_id, rank) like ann_topk."""
-    import numpy as np
+def _sign_keys(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_tables, n) int64 bucket keys: table_idx in the high bits, sign
+    pattern in the low bits."""
+    n_tables, _, n_planes = planes.shape
+    out = np.empty((n_tables, len(m)), dtype=np.int64)
+    for t in range(n_tables):
+        signs = (m @ planes[t]) > 0  # (n, p)
+        key = np.zeros(len(m), dtype=np.int64)
+        for j in range(n_planes):
+            key |= signs[:, j].astype(np.int64) << j
+        out[t] = key | (np.int64(t) << np.int64(n_planes))
+    return out
 
+
+def ann_topk_lsh(ds, queries: dict, *, k: int = 10, n_planes: int = 8,
+                 n_tables: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding", seed: int = 42,
+                 batch_size: int = 4096):
+    """Scale-path ANN: multi-table sign-LSH candidate filter + local top-k.
+
+    No bucket is ever materialized: the query key set (n_tables × nq keys)
+    is broadcast via ``ray.put``; every corpus batch computes its own keys,
+    keeps only rows colliding with a query in ≥1 table (vectorized isin),
+    scores candidates locally and emits its per-query local top-k — the
+    final reduce sees O(k · batches) rows exactly like the brute-force path.
+    Recall is tunable via (n_planes, n_tables) and measured in
+    tests/test_ops.py::test_ann_lsh_recall (≥0.9 @ k=10 on the fixture).
+    Designed for small-to-moderate query sets (the nq-wide match matrix is
+    per-batch); for huge query sets use ann_topk or an IVF partition.
+    """
     q_vecs = _l2_normalize(np.asarray(queries["vecs"], dtype=np.float64))
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first.column(vec_col)[0].as_py())
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = _lsh_planes(dim, n_tables, n_planes, seed)
+    q_keys = _sign_keys(q_vecs, planes)  # (T, nq)
+    state_ref = ray.put({"planes": planes, "q_keys": q_keys,
+                         "q_vecs": q_vecs,
+                         "q_ids": np.asarray(queries["ids"], dtype=np.int64)})
 
-    def bucket_of(m: np.ndarray) -> np.ndarray:
-        signs = (m @ planes) > 0
-        out = np.zeros(len(m), dtype=np.int64)
-        for j in range(signs.shape[1]):
-            out |= signs[:, j].astype(np.int64) << j
-        return out
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        from ..functions.rayutil import get_broadcast
 
-    q_buckets = bucket_of(q_vecs)
-    by_bucket: dict[int, list[int]] = {}
-    for qi, b in enumerate(q_buckets):
-        by_bucket.setdefault(int(b), []).append(qi)
-
-    bucketed = ds.map_batches(
-        SignLSHBuckets, fn_constructor_args=(dim, n_planes, seed, id_col, vec_col),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2))
-
-    query_ids = np.asarray(queries["ids"])
-
-    def search(group: pa.Table) -> pa.Table:
-        b = int(group.column("bucket")[0].as_py())
-        qis = by_bucket.get(b, [])
-        if not qis:
+        st = get_broadcast(state_ref)
+        m = _l2_normalize(_embedding_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col))
+        keys = _sign_keys(m, st["planes"])  # (T, n)
+        nq = st["q_keys"].shape[1]
+        # (n, nq): row i is a candidate for query q iff they collide in >=1 table
+        cand = np.zeros((len(m), nq), dtype=bool)
+        for t in range(st["planes"].shape[0]):
+            cand |= keys[t][:, None] == st["q_keys"][t][None, :]
+        ri, qi = np.nonzero(cand)
+        if len(ri) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),
-                             "rank": pa.array([], type=pa.int64())})
-        m = _l2_normalize(_embedding_matrix(group, vec_col))
-        ids = np.asarray(group.column("vec_id"))
-        out_q, out_v, out_r = [], [], []
-        for qi in qis:
-            sims = m @ q_vecs[qi]
-            order = np.lexsort((ids, -sims))[:k]
-            out_q.append(np.full(len(order), query_ids[qi]))
-            out_v.append(ids[order])
-            out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+                             "cosine": pa.array([], type=pa.float64())})
+        sims = np.einsum("ij,ij->i", m[ri], st["q_vecs"][qi])
+        # local top-k per query: lexsort by (query, -sim, id), keep first k
+        order = np.lexsort((ids[ri], -sims, qi))
+        qs, vs, ss = qi[order], ids[ri][order], sims[order]
+        pos = np.arange(len(qs)) - np.concatenate(
+            [[0], np.cumsum(np.bincount(qs, minlength=nq))])[qs]
+        keep = pos < k
         return pa.table({
-            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
-            "rank": pa.array(np.concatenate(out_r), type=pa.int64()),
+            "query_id": pa.array(st["q_ids"][qs[keep]], type=pa.int64()),
+            "vec_id": pa.array(vs[keep], type=pa.int64()),
+            "cosine": pa.array(ss[keep], type=pa.float64()),
         })
 
-    def search_fn(group: pa.Table) -> pa.Table:
-        return search(group)
+    local = ds.map_batches(local_candidates, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
 
-    return bucketed.groupby("bucket").map_groups(search_fn, batch_format="pyarrow")
+    def final_topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), ("vec_id", "ascending")])
+        g = g.slice(0, k)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "vec_id": g.column("vec_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)),
+        })
+
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
 def embedding_near_dup(ds, *, threshold: float = 0.95, n_planes: int = 8,
-                       dim: int | None = None, id_col: str = "vec_id",
-                       vec_col: str = "embedding", num_partitions: int = 8,
-                       cfg: PipelineConfig = DEFAULT_CONFIG, seed: int = 42):
-    """Embedding-cosine near-dup: sign-LSH buckets → in-bucket cosine ≥ τ
-    pairs → connected components. Returns (record_id, cluster_id)."""
+                       n_tables: int = 8, dim: int | None = None,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       num_partitions: int = 8,
+                       cfg: PipelineConfig = DEFAULT_CONFIG, seed: int = 42,
+                       window: int = 64, max_pairs_per_block: int = 4096,
+                       counters=None):
+    """Embedding-cosine near-dup: banded multi-table sign-LSH blocks →
+    WINDOWED in-block pairs (pairs.window_pair_indices — O(n·W), star
+    bridges keep components connected) → cosine ≥ τ verify → connected
+    components. Returns (record_id, cluster_id).
+
+    Blocks are processed through the engine's bucketed shuffle-reduce, never
+    a per-distinct-key map_groups, and no whole bucket is materialized as a
+    candidate matrix. Skew capping is the windowed pairing itself (bounded
+    pairs per block); nothing is dropped silently — pair-count reduction vs
+    all-pairs is reported through `counters` (rayutil.DropCounter).
+    """
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+    from .pairs import window_pair_indices
+
     if dim is None:
         first = ds.take_batch(1, batch_format="pyarrow")
         dim = len(first.column(vec_col)[0].as_py())
-    bucketed = ds.map_batches(
-        SignLSHBuckets, fn_constructor_args=(dim, n_planes, seed, id_col, vec_col),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    planes_ref = ray.put(_lsh_planes(dim, n_tables, n_planes, seed))
 
-    def pair_gen(group: pa.Table) -> pa.Table:
-        m = _l2_normalize(_embedding_matrix(group, vec_col))
-        ids = np.asarray(group.column("vec_id"))
-        order = np.argsort(ids)
-        m, ids = m[order], ids[order]
-        cap = min(len(ids), 1024)
-        m, ids = m[:cap], ids[:cap]
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sims[iu, ju] >= threshold
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.rayutil import get_broadcast
+
+        planes = get_broadcast(planes_ref)
+        m = _l2_normalize(_embedding_matrix(batch, vec_col)).astype(np.float32)
+        keys = _sign_keys(m.astype(np.float64), planes)  # (T, n)
+        n = len(m)
+        n_t = keys.shape[0]
+        row_idx = np.tile(np.arange(n, dtype=np.int64), n_t)
+        ids = pc.cast(batch.column(id_col), pa.string())
         return pa.table({
-            "id_a": pa.array(ids[iu[hit]].astype(str)),
-            "id_b": pa.array(ids[ju[hit]].astype(str)),
+            "block_key": pa.array(keys.reshape(-1)),
+            "record_id": ids.take(pa.array(row_idx)),
+            # float32 list payload: the vector must ride the shuffle for
+            # in-block verification; halve the bytes vs float64
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(m[row_idx].reshape(-1)), dim),
         })
 
-    edges = bucketed.groupby("bucket").map_groups(pair_gen, batch_format="pyarrow")
+    blocks = ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def _empty_edges() -> pa.Table:
+        return pa.table({"id_a": pa.array([], type=pa.string()),
+                         "id_b": pa.array([], type=pa.string())})
+
+    def pair_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return _empty_edges()
+        starts = segment_starts(bucket.column("block_key"))
+        lens = np.diff(np.append(starts, n))
+        multi = np.nonzero(lens >= 2)[0]
+        if len(multi) == 0:
+            return _empty_edges()
+        vecs = bucket.column("vec")
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        mat = np.asarray(vecs.values, dtype=np.float32).reshape(n, -1)
+        xs_all, ys_all = [], []
+        windowed_away = 0
+        for si in multi:
+            s, ln = int(starts[si]), int(lens[si])
+            xs, ys = window_pair_indices(ln, window, max_pairs_per_block)
+            windowed_away += ln * (ln - 1) // 2 - len(xs)
+            xs_all.append(s + xs)
+            ys_all.append(s + ys)
+        if windowed_away > 0 and counters is not None:
+            counters.add("embedding_lsh_pairs_windowed_away", windowed_away)
+        xi = np.concatenate(xs_all)
+        yi = np.concatenate(ys_all)
+        sims = np.einsum("ij,ij->i", mat[xi], mat[yi])
+        hit = sims >= np.float32(threshold)
+        ids = bucket.column("record_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"id_a": ids.take(pa.array(xi[hit])),
+                         "id_b": ids.take(pa.array(yi[hit]))})
+
+    raw_edges = bucketed_group_apply(
+        blocks, "block_key", pair_bucket,
+        num_buckets=cfg.num_buckets,
+        sort_cols=[("record_id", "ascending")])
+
+    from .pairs import _dedup_bucket
+    edges = bucketed_group_apply(
+        raw_edges, "id_a", _dedup_bucket,
+        num_buckets=cfg.num_buckets,
+        sort_cols=[("id_b", "ascending")])
+
     nodes = ds.map_batches(
         lambda t: pa.table({"record_id": pc.cast(t.column(id_col), pa.string())}),
         batch_format="pyarrow", zero_copy_batch=True)

@@ -49,6 +49,14 @@ _TEMPLATES = [
     "according to {m}, the vendor call moved to friday.",
 ]
 
+# two-mention turns (multi-mention explosion stressor): {m} always precedes
+# {m2} so span numbering is deterministic (span 000 = m, span 001 = m2)
+_TEMPLATES2 = [
+    "can {m} sync with {m2} before the demo?",
+    "per {m}, the handoff goes to {m2} next week.",
+    "loop in {m} and {m2} on the revised scope.",
+]
+
 _PLAIN = [
     "sounds good, let's sync later this week.",
     "no updates on my side for now.",
@@ -151,6 +159,11 @@ def generate_corpus(
     has_mention = is_chat & (rng.random(n) < 0.7)
     ent_pick = rng.choice(n_entities, size=n, p=zipf_p)
     var_u = rng.random(n)
+    # ~15% of mention turns carry a SECOND entity (multi-mention stressor)
+    two_mention = has_mention & (rng.random(n) < 0.15)
+    ent2_pick = rng.choice(n_entities, size=n, p=zipf_p)
+    var2_u = rng.random(n)
+    tmpl2_pick = rng.integers(0, len(_TEMPLATES2), size=n)
     tmpl_pick = rng.integers(0, len(_TEMPLATES), size=n)
     plain_pick = np.array(_PLAIN, dtype=object)[rng.integers(0, len(_PLAIN), size=n)]
     ts = base_ts + conv_offsets[conv_of_turn] + turn_idx * 60_000_000
@@ -171,13 +184,24 @@ def generate_corpus(
     texts[ti] = [blob_pick[i] + " " if blob_pad[i] else blob_pick[i] for i in ti]
     ci = np.nonzero(is_chat & ~has_mention)[0]
     texts[ci] = plain_pick[ci]
-    rec_entity: dict[str, int] = {}  # record_id -> entity_id
+    rec_entity: dict[str, int] = {}  # record_id (span-level) -> entity_id
+    mention_of: dict[str, str] = {}  # record_id -> injected surface form
     mi = np.nonzero(has_mention)[0]
     for i in mi:
         ent = entities[int(ent_pick[i])]
         variant = ent["variants"][int(var_u[i] * len(ent["variants"]))]
-        texts[i] = _TEMPLATES[tmpl_pick[i]].format(m=variant)
-        rec_entity[f"{conv_col[i]}#{turn_idx[i]:05d}"] = int(ent_pick[i])
+        rid0 = f"{conv_col[i]}#{turn_idx[i]:05d}#000"
+        if two_mention[i]:
+            ent2 = entities[int(ent2_pick[i])]
+            variant2 = ent2["variants"][int(var2_u[i] * len(ent2["variants"]))]
+            texts[i] = _TEMPLATES2[tmpl2_pick[i]].format(m=variant, m2=variant2)
+            rid1 = f"{conv_col[i]}#{turn_idx[i]:05d}#001"
+            rec_entity[rid1] = int(ent2_pick[i])
+            mention_of[rid1] = variant2
+        else:
+            texts[i] = _TEMPLATES[tmpl_pick[i]].format(m=variant)
+        rec_entity[rid0] = int(ent_pick[i])
+        mention_of[rid0] = variant
 
     perm = rng.permutation(n)  # rows written in shuffled order: sorting must be real
     transcripts = pa.table(
@@ -208,28 +232,24 @@ def generate_corpus(
 
     # ---- labels: same-block pairs under the shipped blocker config ----
     rids_sorted = sorted(rec_entity)
-    labels = _build_labels(rids_sorted, rec_entity, transcripts=transcripts, cfg=cfg,
+    labels = _build_labels(rids_sorted, rec_entity, mention_of=mention_of,
+                           cfg=cfg,
                            max_block_records=max_block_records_for_labels)
 
     return {"transcripts": transcripts, "gold_clusters": gold, "labels": labels}
 
 
-def _build_labels(rids_sorted, rec_entity, transcripts, cfg, max_block_records):
+def _build_labels(rids_sorted, rec_entity, mention_of, cfg, max_block_records):
     """Enumerate labeled pairs sharing an LSH block key under `cfg`.
 
     Uses the SAME kernels the pipeline ships (shingles/minhash/band_keys) so
-    the label set matches BASELINE.json:metric exactly.
+    the label set matches BASELINE.json:metric exactly. Mentions come from
+    the injection-time record (`mention_of`), span-aligned with the
+    pipeline's multi-mention explosion.
     """
-    from .functions.normalize import extract_mentions, normalize_mentions
+    from .functions.normalize import normalize_mentions
 
-    # recover each record's text from the (shuffled) transcripts table
-    conv = transcripts.column("conv_id").to_pylist()
-    tidx = transcripts.column("turn_idx").to_pylist()
-    txt = transcripts.column("text").to_pylist()
-    text_of = {f"{c}#{t:05d}": x for c, t, x in zip(conv, tidx, txt)}
-
-    mention_texts = pa.array([text_of[r] for r in rids_sorted], type=pa.string())
-    mentions = extract_mentions(mention_texts)
+    mentions = pa.array([mention_of[r] for r in rids_sorted], type=pa.string())
     mention_norm = normalize_mentions(mentions, nfkc=cfg.nfkc)
     codes, splits = char_ngram_codes(mention_norm, cfg.shingle_k)
     sig = minhash_signatures(codes, splits, cfg.num_perm, cfg.seed)

@@ -147,3 +147,38 @@ def test_sigmoid_softmax():
     s = softmax(np.array([[1.0, 2.0, 3.0]]))
     assert s.sum() == pytest.approx(1.0)
     assert s[0, 2] > s[0, 1] > s[0, 0]
+
+
+def test_extract_all_matches_known_answers():
+    from rel_ray.functions.normalize import MENTION_PATTERN, extract_all_matches
+
+    got = extract_all_matches(
+        pa.array(["ask Marva Hollen and Tobias Quent now",
+                  "no caps here", "", "Solo", "A B and C", None]),
+        MENTION_PATTERN).to_pylist()
+    assert got == [["Marva Hollen", "Tobias Quent"], [], [], ["Solo"],
+                   ["A B", "C"], []]
+    # generic pattern: lowercase token runs
+    toks = extract_all_matches(pa.array(["aaa bbbb cc ddddd"]),
+                               r"[a-z]{4,}").to_pylist()
+    assert toks == [["bbbb", "ddddd"]]
+
+
+def test_pairwise_jaccard_matches_per_pair_reference():
+    """The whole-batch lexsort Jaccard == the per-pair sorted-set reference."""
+    from rel_ray.config import DEFAULT_CONFIG
+    from rel_ray.stages.scoring import encode_pair_strings, pairwise_jaccard
+
+    mn_a = pa.array(["marvok teldrin", "marvok teldrin", "abc", "", "x y z"])
+    mn_b = pa.array(["marvok teldrin", "marvok tedlrin", "zzz", "abc", "x y"])
+    idx_a, idx_b, ucodes, usplits = encode_pair_strings(mn_a, mn_b, DEFAULT_CONFIG)
+    got = pairwise_jaccard(idx_a, idx_b, ucodes, usplits)
+    for i in range(len(mn_a)):
+        ca, sa = char_ngram_codes(mn_a.slice(i, 1), DEFAULT_CONFIG.shingle_k)
+        cb, sb = char_ngram_codes(mn_b.slice(i, 1), DEFAULT_CONFIG.shingle_k)
+        ua = unique_shingle_sets(ca, sa)
+        ub = unique_shingle_sets(cb, sb)
+        ref = exact_jaccard_sorted(
+            np.asarray(ua.values, dtype=np.uint64),
+            np.asarray(ub.values, dtype=np.uint64))
+        assert got[i] == pytest.approx(ref, abs=1e-7)

@@ -21,15 +21,19 @@ def test_normalize_preserves_raw_text(tiny_corpus):
     tr = rd.from_arrow(tiny_corpus["transcripts"])
     out = normalize_stage(tr, DEFAULT_CONFIG)
     tbl = pa.concat_tables(pa.table(b) for b in out.iter_batches(batch_format="pyarrow"))
-    assert tbl.num_rows == tiny_corpus["transcripts"].num_rows
-    # per-row invariant: raw text untouched (BASELINE.json:input_hint)
+    # explosion invariant: >= one record per turn (multi-mention turns add rows)
+    assert tbl.num_rows >= tiny_corpus["transcripts"].num_rows
+    # per-row invariant: raw text untouched (BASELINE.json:input_hint);
+    # every span record of a turn carries the turn's original text
     orig = dict(zip(
         pc.binary_join_element_wise(
             tiny_corpus["transcripts"].column("conv_id"),
             pc.utf8_lpad(pc.cast(tiny_corpus["transcripts"].column("turn_idx"),
                                  pa.string()), width=5, padding="0"), "#").to_pylist(),
         tiny_corpus["transcripts"].column("text").to_pylist()))
-    got = dict(zip(tbl.column("record_id").to_pylist(), tbl.column("text").to_pylist()))
+    got = dict(zip(
+        [r.rsplit("#", 1)[0] for r in tbl.column("record_id").to_pylist()],
+        tbl.column("text").to_pylist()))
     assert got == orig
     lower = tbl.column("text_norm").to_pylist()
     assert all(s == s.lower() for s in lower)
@@ -47,7 +51,7 @@ def test_conversation_ordering_and_ctx():
         "ts": pa.array([200, 0, 300, 100], type=pa.timestamp("us")),
     }
     ds = rd.from_arrow(pa.table(rows))
-    out = conversation_stage(normalize_stage(ds, cfg), cfg)
+    out = conversation_stage(ds, cfg)
     tbl = pa.concat_tables(pa.table(b) for b in out.iter_batches(batch_format="pyarrow"))
     tbl = tbl.sort_by([("turn_idx", "ascending")])
     assert tbl.column("ctx_before").to_pylist() == ["", "t0", "t1", "t2"]
@@ -67,10 +71,37 @@ def test_coref_prev_token_subset():
         "ts": pa.array([0, 1, 2], type=pa.timestamp("us")),
     }
     ds = rd.from_arrow(pa.table(rows))
-    out = conversation_stage(normalize_stage(ds, cfg), cfg)
+    out = conversation_stage(ds, cfg)
     tbl = pa.concat_tables(pa.table(b) for b in out.iter_batches(batch_format="pyarrow"))
     tbl = tbl.sort_by([("turn_idx", "ascending")])
-    assert tbl.column("coref_prev").to_pylist() == ["", "", "c1#00000"]
+    assert tbl.column("coref_prev").to_pylist() == ["", "", "c1#00000#000"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multi_mention_explosion():
+    """A turn naming two entities yields TWO records (find_mentions parity)."""
+    cfg = DEFAULT_CONFIG
+    rows = {
+        "conv_id": ["c1"] * 2,
+        "turn_idx": np.array([0, 1], dtype=np.int32),
+        "role": ["user", "assistant"],
+        "text": ["ask Marva Hollen and Tobias Quent about the budget",
+                 "no entities here"],
+        "tool": [""] * 2,
+        "ts": pa.array([0, 1], type=pa.timestamp("us")),
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    out = conversation_stage(ds, cfg)
+    tbl = pa.concat_tables(pa.table(b) for b in out.iter_batches(batch_format="pyarrow"))
+    tbl = tbl.sort_by([("record_id", "ascending")])
+    assert tbl.column("record_id").to_pylist() == [
+        "c1#00000#000", "c1#00000#001", "c1#00001#000"]
+    assert tbl.column("mention").to_pylist() == [
+        "Marva Hollen", "Tobias Quent", ""]
+    # both span records keep the turn's raw text + identical ctx windows
+    assert tbl.column("text").to_pylist()[0] == tbl.column("text").to_pylist()[1]
+    assert tbl.column("ctx_after").to_pylist()[0] == "no entities here"
+    assert tbl.column("ctx_after").to_pylist()[1] == "no entities here"
 
 
 def test_block_keys_dedup_and_sentinel():
@@ -158,7 +189,7 @@ def test_connected_components_hand_graphs(local_max):
 def test_exact_precluster_rep_assignment(tiny_corpus):
     cfg = DEFAULT_CONFIG
     tr = rd.from_arrow(tiny_corpus["transcripts"])
-    recs = records_stage(conversation_stage(normalize_stage(tr, cfg), cfg), cfg)
+    recs = records_stage(conversation_stage(tr, cfg), cfg)
     out = exact_precluster(recs, cfg, num_partitions=2)
     tbl = pa.concat_tables(pa.table(b) for b in out.iter_batches(batch_format="pyarrow"))
     by_mention = {}
