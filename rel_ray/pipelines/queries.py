@@ -185,6 +185,65 @@ WHERE rnk <= 2
 """
 
 
+def q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization (windowed streaming op a transcript pipeline
+    needs for conversation segmentation): a >30-minute silence within a user
+    starts a new session. Vectorized per bucket — cumsum of boundary flags +
+    running position since the last boundary, no per-row Python."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    GAP_US = 30 * 60 * 1_000_000
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessionize(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "session_idx": pa.array([], type=pa.int64()),
+                             "turn_in_session": pa.array([], type=pa.int64())})
+        starts = segment_starts(bucket.column("user_id"))
+        ts = np.asarray(bucket.column("ts")).view(np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > GAP_US
+        new[starts] = True  # first event of every user opens a session
+        sess = np.cumsum(new) - 1
+        lens = np.diff(np.append(starts, n))
+        sess_base = np.repeat(sess[starts], lens)
+        idx = np.arange(n, dtype=np.int64)
+        last_new = np.maximum.accumulate(np.where(new, idx, 0))
+        return pa.table({
+            "event_id": bucket.column("event_id"),
+            "user_id": bucket.column("user_id"),
+            "session_idx": pa.array(sess - sess_base),
+            "turn_in_session": pa.array(idx - last_new),
+        })
+
+    return bucketed_group_apply(
+        ds, "user_id", sessionize, num_buckets=64,
+        sort_cols=[("ts", "ascending"), ("event_id", "ascending")])
+
+
+SQL_SESSIONIZE_EVENTS = """
+SELECT event_id, user_id, session_idx,
+       CAST(row_number() OVER (PARTITION BY user_id, session_idx
+                               ORDER BY ts, event_id) - 1 AS BIGINT)
+         AS turn_in_session
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_idx
+  FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+"""
+
+
 def q_sentence_split_documents(sf_dir: str):
     """Sentence splitting (SURVEY §2.2: REL's segtok-style splitter inside
     find_mentions): split → one row per sentence (flat_map, vectorized via
@@ -525,11 +584,129 @@ def q_fingerprint_documents(sf_dir: str):
 
 
 def q_textstats_documents(sf_dir: str):
-    """Full text-analysis column set (floats included → rows-only check)."""
+    """Full text-analysis column set. The float columns are single IEEE-754
+    double operations over integer counts (divisions, *4.0, min, +, /3.0),
+    which numpy and DuckDB round identically — so the oracle is VALUE-EXACT.
+    doc_hash (splitmix-chained, not SQL-expressible) is excluded here; it is
+    exercised by fingerprint_documents."""
     from ..stages.textstats import TextStats
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    cols = ["doc_id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio",
+            "mean_word_len", "quality", "lang_pred", "n_subtokens"]
     return ds.map_batches(TextStats("doc_id", "text"), batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True).map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _textstats_sql() -> str:
+    """DuckDB twin of TextStats (minus doc_hash): same integer counts, same
+    double-precision formula graph, same argmax tie-break as _lang_sql."""
+    langs = list(_LANG_MARKERS)
+    count_exprs = []
+    for lang in langs:
+        pat = (r"\b(" + "|".join(_LANG_MARKERS[lang]) + r")\b").replace("'", "''")
+        count_exprs.append(
+            f"CAST(array_length(regexp_extract_all(lower(text), '{pat}')) AS BIGINT)"
+            f" AS c_{lang}")
+    case = ["CASE WHEN " + " AND ".join(f"c_{l} = 0" for l in langs)
+            + " THEN 'und'"]
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        cond = " AND ".join([f"c_{lang} >= c_{r}" for r in rest]) or "TRUE"
+        case.append(f"WHEN {cond} THEN '{lang}'")
+    case.append("END AS lang_pred")
+    stop_pat = _stop_pattern().replace("'", "''")
+    tok = (r"CAST(CASE WHEN trim(text) = '' THEN 0 "
+           r"ELSE array_length(regexp_split_to_array(trim(text), '\s+')) "
+           r"END AS BIGINT)")
+    return rf"""
+SELECT doc_id, n_chars, n_tokens,
+       punct_ratio, stop_ratio, mean_word_len,
+       (LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+        + (1.0 - LEAST(punct_ratio * 4.0, 1.0))
+        + LEAST(stop_ratio * 4.0, 1.0)) / 3.0 AS quality,
+       lang_pred, n_subtokens
+FROM (
+  SELECT doc_id, n_chars, n_tokens, n_subtokens,
+         CAST(n_punct AS DOUBLE) / GREATEST(CAST(n_chars AS DOUBLE), 1.0)
+           AS punct_ratio,
+         CAST(n_stop AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0)
+           AS stop_ratio,
+         (CAST(n_chars AS DOUBLE) - GREATEST(CAST(n_tokens AS DOUBLE) - 1.0, 0.0))
+           / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) AS mean_word_len,
+         {' '.join(case)}
+  FROM (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {tok} AS n_tokens,
+           CAST(length(text)
+                - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT)
+             AS n_punct,
+           CAST(array_length(regexp_extract_all(lower(text), '{stop_pat}'))
+                AS BIGINT) AS n_stop,
+           CAST(array_length(regexp_extract_all(text,
+                '[A-Za-z]+|\d+|[^\sA-Za-z\d]+')) AS BIGINT) AS n_subtokens,
+           {', '.join(count_exprs)}
+    FROM documents))
+"""
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal decode + frame-sample plumbing (rows-only: the fake decoder
+    is deterministic but not SQL-expressible). Synth media parquet is written
+    once per sf_dir under /tmp, then flows read_parquet → actor-pool decode
+    (small batches for binary payloads) → per-frame explode for videos."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.multimodal import decode_stage, frame_sample_stage, synth_media_table
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/relray_media_{tag}.parquet"
+    if not os.path.exists(path):
+        pq.write_table(synth_media_table(256, seed=42), path)
+    media = rd.read_parquet(path)
+    feats = decode_stage(media, fake=True, dim=32, batch_size=64)
+    frames = frame_sample_stage(rd.read_parquet(path), every_ms=5000)
+    frame_counts = frames.groupby("media_id").count().map_batches(
+        lambda t: t.rename_columns(["media_id", "n_frames"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # feature summary keeps the result hash-stable without list columns:
+    # mean feature value per media row (float32 sum of a fixed-size list)
+    def summarize(t: pa.Table) -> pa.Table:
+        f = t.column("features")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        m = np.asarray(f.values, dtype=np.float32).reshape(t.num_rows, -1)
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "kind": t.column("kind"),
+            "n_bytes": t.column("n_bytes"),
+            "feat_mean": pa.array(m.mean(axis=1)),
+        })
+
+    summary = feats.map_batches(summarize, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # broadcast the small frame-count table and attach (join-free)
+    import ray as _ray
+
+    from ..functions.rayutil import collect_table, dict_lookup, get_broadcast_dict
+    fc_schema = pa.schema([("media_id", pa.int64()), ("n_frames", pa.int64())])
+    fc_tab = collect_table(frame_counts, fc_schema)
+    fc_ref = _ray.put(pa.table({
+        "media_id": pc.cast(fc_tab.column("media_id"), pa.string()),
+        "n_frames": fc_tab.column("n_frames")}))
+
+    def attach(t: pa.Table) -> pa.Table:
+        d = get_broadcast_dict(fc_ref, "media_id", "n_frames")
+        nf = dict_lookup(pc.cast(t.column("media_id"), pa.string()), d,
+                         default=0, value_type=pa.int64())
+        return t.append_column("n_frames", nf)
+
+    return summary.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -684,6 +861,84 @@ def q_best_match_per_record(sf_dir: str):
         sort_cols=[("score", "descending"), ("partner", "ascending")])
 
 
+def q_context_windows_events(sf_dir: str):
+    """ORACLE-EXACT slice of the flagship's S1+S2: events → transcripts
+    derivation → conversation reconstruction → ctx windows → multi-mention
+    explosion → span record_ids. Only the order-sensitive coref scan is
+    excluded (not SQL-expressible); q_conversation_windows keeps it rows-only.
+    """
+    from ..stages.conversation import conversation_stage
+    tr = transcripts_from_events(sf_dir)
+    out = conversation_stage(tr, CFG)
+    return out.map_batches(
+        lambda t: t.select(["record_id", "conv_id", "turn_idx", "mention",
+                            "ctx_before", "ctx_after"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _context_windows_sql() -> str:
+    """DuckDB twin of q_context_windows_events: reproduces the deterministic
+    events→transcripts derivation (forms table inlined as VALUES), the
+    (ts, event_id) turn ordering, the 2-turn/240-char context windows, and
+    the sentinel-equivalent multi-mention explosion with span record ids."""
+    from ..synth import _make_entities
+
+    rng = np.random.default_rng(42)
+    entities = _make_entities(rng, 40)
+    forms: list[str] = []
+    for e in entities:
+        forms.append(e["variants"][0])
+        forms.append(e["variants"][1 % len(e["variants"])])
+        forms.append(e["variants"][2 % len(e["variants"])])
+    values = ", ".join(f"({i}, '{f}')" for i, f in enumerate(forms))
+    tpl_case = " ".join(
+        f"WHEN {i} THEN replace('{t}', '{{m}}', f.form)"
+        for i, t in enumerate(_EVENT_TEMPLATES))
+    # MENTION_PATTERN with the single quote doubled for SQL
+    pat = r"[A-Z][\w''.\-]*(?: [A-Z][\w''.\-]*)*"
+    return rf"""
+WITH forms(idx, form) AS (VALUES {values}),
+turns AS (
+  SELECT 'c' || lpad(CAST(e.user_id AS VARCHAR), 6, '0') AS conv_id,
+         CAST(row_number() OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts, e.event_id) - 1 AS INTEGER)
+           AS turn_idx,
+         CASE WHEN e.event_type = 'error' THEN '{{"status": "error", "code": 500}}'
+              ELSE CASE e.event_id % 5 {tpl_case} END
+         END AS text
+  FROM events e
+  LEFT JOIN forms f ON f.idx = (e.event_id % 40) * 3 + (e.event_id // 40) % 3
+),
+ctx AS (
+  SELECT conv_id, turn_idx, text,
+         trim(coalesce(lag(text, 2) OVER w, '') || ' '
+              || coalesce(lag(text, 1) OVER w, '')) AS cb,
+         trim(coalesce(lead(text, 1) OVER w, '') || ' '
+              || coalesce(lead(text, 2) OVER w, '')) AS ca
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+capped AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN length(cb) > 240 THEN substr(cb, length(cb) - 239) ELSE cb
+         END AS ctx_before,
+         substr(ca, 1, 240) AS ctx_after,
+         regexp_extract_all(text, '{pat}') AS ms
+  FROM ctx
+)
+SELECT conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 5, '0') || '#'
+         || lpad(CAST(generate_subscripts(ms, 1) - 1 AS VARCHAR), 3, '0')
+         AS record_id,
+       conv_id, turn_idx, unnest(ms) AS mention, ctx_before, ctx_after
+FROM capped WHERE len(ms) > 0
+UNION ALL
+SELECT conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 5, '0') || '#000'
+         AS record_id,
+       conv_id, turn_idx, '' AS mention, ctx_before, ctx_after
+FROM capped WHERE len(ms) = 0
+"""
+
+
 def q_conversation_windows(sf_dir: str):
     """Conversation reconstruction + context windows over the events-derived
     transcripts (rows-only; the in-group sort is oracle-checked separately by
@@ -707,6 +962,7 @@ QUERIES = {
     "customers_per_nation": q_customers_per_nation,
     "events_reconstruct": q_events_reconstruct,
     "grouped_topk_events": q_grouped_topk_events,
+    "sessionize_events": q_sessionize_events,
     "union_sum": q_union_sum,
     "sample_lineitem": q_sample_lineitem,
     "sentence_split_documents": q_sentence_split_documents,
@@ -725,10 +981,12 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "textstats_documents": q_textstats_documents,
+    "multimodal_features": q_multimodal_features,
     "linkage_clusters": q_linkage_clusters,
     "linkage_edges": q_linkage_edges,
     "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
+    "context_windows_events": q_context_windows_events,
 }
 
 ORACLE_SQL = {
@@ -737,6 +995,7 @@ ORACLE_SQL = {
     "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
     "events_reconstruct": SQL_EVENTS_RECONSTRUCT,
     "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "union_sum": SQL_UNION_SUM,
     "sentence_split_documents": SQL_SENTENCE_SPLIT_DOCUMENTS,
     "extract_tokens_documents": SQL_EXTRACT_TOKENS_DOCUMENTS,
@@ -747,4 +1006,6 @@ ORACLE_SQL = {
     "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
     "quality_counts_documents": SQL_QUALITY_COUNTS_DOCUMENTS,
     "lang_id_documents": _lang_sql(),
+    "textstats_documents": _textstats_sql(),
+    "context_windows_events": _context_windows_sql(),
 }

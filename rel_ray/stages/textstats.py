@@ -76,37 +76,64 @@ def bpe_ish_token_count(arr: pa.Array) -> pa.Array:
     """Approximate subword token count: a GPT-style pre-tokenizer regex
     (word pieces, numbers, punctuation runs) counted per string."""
     pat = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"
-    return pc.cast(pc.count_substring_regex(arr, pattern=pat), pa.int32())
+    return pc.cast(pc.count_substring_regex(arr, pattern=pat), pa.int64())
 
 
 def fingerprint_winnow(arr: pa.Array, k: int = 5, window: int = 4) -> pa.ListArray:
     """Winnowing document fingerprints (Schleimer et al. 2003): per string,
-    the set of per-window minima over rolling k-gram hashes, as list<int64>.
+    the sorted set of per-window minima over rolling k-gram hashes, as
+    list<int64>.
 
-    Vectorized rolling-hash; the window-min sweep uses a per-row stride trick.
+    Fully vectorized across the whole batch (no per-document loop): ONE
+    global sliding-window min over the concatenated codes array, in-row
+    window starts selected by a segment mask, short rows (< window codes)
+    covered by a segmented whole-row min, then one lexsort + adjacent-dedup
+    produces every row's unique fingerprint set (same trick as
+    functions.shingles.unique_shingle_sets).
     """
     codes, splits = char_ngram_codes(arr, k)
     n = len(splits) - 1
-    out_vals: list[np.ndarray] = []
-    out_lens = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        row = codes[splits[i]:splits[i + 1]]
-        if len(row) == 0:
-            continue
-        if len(row) <= window:
-            mins = np.array([row.min()], dtype=np.uint64)
-        else:
-            sw = np.lib.stride_tricks.sliding_window_view(row, window)
-            mins = np.unique(sw.min(axis=1))
-        out_vals.append(mins)
-        out_lens[i] = len(mins)
+    total = len(codes)
+    lens = splits[1:] - splits[:-1]
+    # windows per row: L-window+1 full windows (L > window), else one
+    # whole-row window for nonempty rows, zero for empty rows
+    w = np.where(lens > 0, np.maximum(lens - window + 1, 1), 0)
+    total_w = int(w.sum())
+    if total_w == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int64), type=pa.int64()),
+            pa.array(np.empty(0, dtype=np.int64), type=pa.int64()))
+    row_of = np.repeat(np.arange(n, dtype=np.int64), w)
+    w_starts = np.cumsum(w) - w
+    local = np.arange(total_w, dtype=np.int64) - np.repeat(w_starts, w)
+    global_start = np.repeat(splits[:-1], w) + local
+
+    mins = np.empty(total_w, dtype=np.uint64)
+    long_mask = lens[row_of] > window
+    if long_mask.any() and total >= window:
+        sw_min = np.lib.stride_tricks.sliding_window_view(
+            codes, window).min(axis=1)
+        mins[long_mask] = sw_min[global_start[long_mask]]
+    if (~long_mask).any():
+        # whole-row min for short rows: segmented reduceat over nonempty
+        # starts (empty rows have zero-length segments and are skipped)
+        nonempty = np.nonzero(lens > 0)[0]
+        rowmin = np.zeros(n, dtype=np.uint64)
+        rowmin[nonempty] = np.minimum.reduceat(codes, splits[:-1][nonempty])
+        mins[~long_mask] = rowmin[row_of[~long_mask]]
+
+    # sorted-unique per row: one lexsort + adjacent-dedup
+    order = np.lexsort((mins, row_of))
+    r, v = row_of[order], mins[order]
+    keep = np.ones(total_w, dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+    out_rows, out_vals = r[keep], v[keep]
+    out_lens = np.bincount(out_rows, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(out_lens, out=offsets[1:])
-    values = (np.concatenate(out_vals) if out_vals else
-              np.empty(0, dtype=np.uint64))
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int64()),
-        pa.array(values.view(np.int64), type=pa.int64()))
+        pa.array(out_vals.view(np.int64), type=pa.int64()))
 
 
 def rolling_text_hash(arr: pa.Array) -> pa.Array:

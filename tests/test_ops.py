@@ -264,3 +264,30 @@ def test_ann_lsh_recall():
     r1 = {r["query_id"]: r["vec_id"] for r in approx.to_pylist()
           if r["rank"] == 1}
     assert all(r1[q] == q for q in range(5))
+
+
+def test_fingerprint_winnow_matches_loop_reference():
+    """The batch-vectorized winnowing == the straightforward per-document
+    loop (Schleimer et al. windowed-min + unique) on varied row shapes."""
+    from rel_ray.functions.shingles import char_ngram_codes
+    from rel_ray.stages.textstats import fingerprint_winnow
+
+    texts = ["the quick brown fox jumps over the lazy dog repeatedly",
+             "", "abc", "abcd", "abcde", "abcdefgh",
+             "tiny", "a much longer document with plenty of rolling hash "
+                     "windows to winnow across the whole span of text"]
+    k, window = 5, 4
+    got = fingerprint_winnow(pa.array(texts), k, window).to_pylist()
+    codes, splits = char_ngram_codes(pa.array(texts), k)
+    for i, t in enumerate(texts):
+        row = codes[splits[i]:splits[i + 1]]
+        if len(row) == 0:
+            ref = []
+        elif len(row) <= window:
+            ref = [int(np.uint64(row.min()).view(np.int64))]
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(row, window)
+            # uint64 sort order, THEN the int64 bit-view (list order is the
+            # unsigned hash order, matching the kernel)
+            ref = [int(x) for x in np.unique(sw.min(axis=1)).view(np.int64)]
+        assert got[i] == ref, f"row {i}"
