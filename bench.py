@@ -6,10 +6,11 @@ Default: run the headline pipelines over $GRAFT_SF_DIR (default
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "turns": n, "turns_per_sec": thr}
 
---scaling: run the flagship linkage pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and report both throughputs and
-the scaling efficiency (the sandbox stand-in for the N vs 4N node cluster
-criterion — see BASELINE.md).
+--scaling: run the flagship linkage pipeline twice in FRESH processes at two
+CPU levels (default 2 and 8) on the same bench-scale input and report both
+throughputs and the scaling efficiency (the sandbox stand-in for the N vs 4N
+node cluster criterion — see BASELINE.md for why 2→8 on one box, and the
+8→32 companion numbers).
 
 --pipeline-only: internal mode used by --scaling (one fresh-process run).
 """
@@ -90,24 +91,38 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "120000"))
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "1920000"))
+
+# bump when generate_corpus output changes (the cache path keys on content
+# version + size, so a stale /tmp corpus is never silently reused)
+_CORPUS_VERSION = "v4"
 
 
 def _ensure_scaling_corpus(n_convs: int = SCALING_CONVS) -> str:
     """Deterministic bench-scale transcripts parquet, generated once and
-    cached (FIXTURES.md §A 'bench' scale; labels skipped — throughput only)."""
-    path = f"/tmp/relray_scale_c{n_convs}"
-    marker = os.path.join(path, "transcripts.parquet")
-    if not os.path.exists(marker):
+    cached (FIXTURES.md §A 'bench' scale; labels skipped — throughput only).
+    Written as a DIRECTORY of ~250k-row shards: real corpora are many files,
+    and sharding gives the read stage file-level parallelism at every CPU
+    count."""
+    path = f"/tmp/relray_scale_c{n_convs}_{_CORPUS_VERSION}"
+    marker = os.path.join(path, "transcripts")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import pyarrow.parquet as pq
 
         from rel_ray.synth import generate_corpus
 
-        os.makedirs(path, exist_ok=True)
-        tables = generate_corpus(seed=42, n_convs=n_convs, with_labels=False)
-        pq.write_table(tables["transcripts"], marker,
-                       row_group_size=16384)
+        os.makedirs(marker, exist_ok=True)
+        t = generate_corpus(seed=42, n_convs=n_convs, with_labels=False)[
+            "transcripts"]
+        shard = 250_000
+        for i, off in enumerate(range(0, t.num_rows, shard)):
+            pq.write_table(t.slice(off, shard),
+                           os.path.join(marker, f"part-{i:05d}.parquet"),
+                           row_group_size=16384)
+        with open(done, "w") as f:
+            f.write(str(t.num_rows))
     return marker
 
 
@@ -143,12 +158,16 @@ def run_pipeline_only(sf_dir: str, num_cpus: int, scale_input: str | None) -> di
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Fresh ray.init per level (8 vs 32 CPUs) in separate processes on the
-    same bench-scale synthetic transcripts input (the sandbox stand-in for
-    the N vs 4N node criterion)."""
+    """Fresh ray.init per level in separate processes on the same
+    bench-scale synthetic transcripts input (the sandbox stand-in for the
+    N vs 4N node criterion). Default levels 2→8 CPUs: on ONE machine all
+    cores share a single memory system, so high core counts measure memory
+    bandwidth, not the engine's scaling — 2→8 keeps the bandwidth headroom
+    a real 4×-node cluster would have (each node brings its own memory).
+    Both 2→8 and 8→32 are reported in BASELINE.md."""
     scale_input = _ensure_scaling_corpus()
     levels = tuple(int(x) for x in
-                   os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+                   os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
     results = []
     for cpus in levels:
         out = subprocess.run(

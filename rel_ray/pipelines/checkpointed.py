@@ -92,8 +92,12 @@ def run_linkage_checkpointed(
         rep_clusters = connected_components(reps, all_edges, cfg,
                                             include_singletons=False)
         from .linkage import _cluster_conf_table
+        matched_scored = s_edges.dataset.map_batches(
+            lambda t: t.filter(t.column("is_match")).select(
+                ["id_a", "id_b", "score"]),
+            batch_format="pyarrow", zero_copy_batch=True)
         rep_conf = rd.from_arrow(
-            _cluster_conf_table(rep_clusters, s_edges.dataset))
+            _cluster_conf_table(rep_clusters, matched_scored))
         return expand_clusters(s_records.dataset, rep_conf,
                                num_buckets=cfg.num_buckets)
 

@@ -106,53 +106,54 @@ _CONF_SCHEMA = pa.schema([("record_id", pa.string()),
                           ("n_links", pa.int32())])
 
 
-def _edge_confidence(edges, num_buckets: int = 64):
-    """Per-representative confidence from the scored candidate edges (REL
-    conf_ed analog, REL:src/REL/utils.py::process_results): best incident
-    edge score + count of incident MATCHED edges. Skinny bucketed argmax."""
+def _edge_confidence(matched_edges, num_buckets: int = 512):
+    """Per-representative confidence from the MATCHED edges (REL conf_ed
+    analog, REL:src/REL/utils.py::process_results — the score of the chosen
+    assignment): best accepted-edge score + accepted-edge degree. Operates
+    on the matched subset only — the full candidate-edge set is orders of
+    magnitude larger and shuffling it for a confidence column was a measured
+    28 s regression at 3.6M turns. Skinny bucketed argmax."""
     import numpy as np
 
     from ..functions.rayutil import bucketed_group_apply, segment_starts
 
     def explode(t: pa.Table) -> pa.Table:
         score = pc.cast(t.column("score"), pa.float32())
-        m = pc.cast(t.column("is_match"), pa.int32())
         return pa.concat_tables([
-            pa.table({"rec": t.column("id_a"), "score": score, "m": m}),
-            pa.table({"rec": t.column("id_b"), "score": score, "m": m}),
+            pa.table({"rec": t.column("id_a"), "score": score}),
+            pa.table({"rec": t.column("id_b"), "score": score}),
         ])
 
-    both = edges.map_batches(explode, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    both = matched_edges.map_batches(explode, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
     def agg(bucket: pa.Table) -> pa.Table:
         n = bucket.num_rows
         if n == 0:
             return _CONF_SCHEMA.empty_table()
         starts = segment_starts(bucket.column("rec"))
+        lens = np.diff(np.append(starts, n)).astype(np.int32)
         sa = pa.array(starts)
-        m_np = np.asarray(bucket.column("m"), dtype=np.int64)
-        n_links = np.add.reduceat(m_np, starts).astype(np.int32)
         return pa.table({
             "record_id": bucket.column("rec").take(sa),
             "best_score": bucket.column("score").take(sa),  # sorted desc
-            "n_links": pa.array(n_links),
+            "n_links": pa.array(lens),
         })
 
     return bucketed_group_apply(both, "rec", agg, num_buckets=num_buckets,
                                 sort_cols=[("score", "descending")])
 
 
-def _cluster_conf_table(rep_clusters, edges) -> pa.Table:
-    """Driver-side merge of the (small) rep→cluster map with per-rep edge
-    confidence: (record_id, cluster_id, best_score, n_links), nulls filled
-    (cluster defaults to self, confidence to 0)."""
+def _cluster_conf_table(rep_clusters, matched_edges) -> pa.Table:
+    """Driver-side merge of the (small) rep→cluster map with per-rep
+    matched-edge confidence: (record_id, cluster_id, best_score, n_links),
+    nulls filled (cluster defaults to self, confidence to 0)."""
     from ..functions.rayutil import collect_table
 
     cl_schema = pa.schema([("record_id", pa.string()),
                            ("cluster_id", pa.string())])
     cl_tab = collect_table(rep_clusters, cl_schema)
-    conf_tab = collect_table(_edge_confidence(edges), _CONF_SCHEMA)
+    conf_tab = collect_table(_edge_confidence(matched_edges), _CONF_SCHEMA)
     # pa.Table.join is the in-process Acero join on two SMALL driver tables —
     # not Ray's Dataset.join (avoided engine-wide, see functions/rayutil.py)
     merged = cl_tab.join(conf_tab, keys="record_id", join_type="full outer")
@@ -291,6 +292,10 @@ def run_linkage(
     matched = edges.map_batches(
         lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
+    matched_scored = edges.map_batches(
+        lambda t: t.filter(t.column("is_match")).select(
+            ["id_a", "id_b", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def coref_resolve(t: pa.Table) -> pa.Table:
         rows = t.filter(pc.not_equal(t.column("coref_prev_mn"), ""))
@@ -318,7 +323,7 @@ def run_linkage(
     # (edge-touched reps only); compose with the rep dict so records0 maps
     # straight to clusters
     with _phase_timer("collect_rep_clusters"):
-        cl_ref = _ray.put(_cluster_conf_table(rep_clusters, edges))
+        cl_ref = _ray.put(_cluster_conf_table(rep_clusters, matched_scored))
 
     def to_cluster(t: pa.Table) -> pa.Table:
         reps_d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")
@@ -365,12 +370,16 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
     matched = edges.map_batches(
         lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
+    matched_scored = edges.map_batches(
+        lambda t: t.filter(t.column("is_match")).select(
+            ["id_a", "id_b", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     all_edges = matched.union(_coref_edges(records, reps, num_partitions))
 
     rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
                                         include_singletons=False)
     import ray.data as rd
-    rep_conf = rd.from_arrow(_cluster_conf_table(rep_clusters, edges))
+    rep_conf = rd.from_arrow(_cluster_conf_table(rep_clusters, matched_scored))
     clusters = expand_clusters(records, rep_conf, num_partitions,
                                num_buckets=cfg.num_buckets)
     return {

@@ -130,21 +130,42 @@ GROUP BY n_name
 
 def q_events_reconstruct(sf_dir: str):
     """Stable in-group ordering (the conversation-reconstruction primitive,
-    SURVEY §2.6) over events: row_number + lag within user_id by (ts, event_id)."""
+    SURVEY §2.6) over events: row_number + lag within user_id by
+    (ts, event_id). Bucketed shuffle-reduce (one callback per bucket, all
+    key segments vectorized) — not a per-distinct-user map_groups."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
     ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def seq(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        n = g.num_rows
-        et = g.column("event_type").to_pylist()
+    def seq_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "turn_seq": pa.array([], type=pa.int64()),
+                "prev_event_type": pa.array([], type=pa.string())})
+        starts = segment_starts(bucket.column("user_id"))
+        lens = np.diff(np.append(starts, n))
+        seg_start = np.repeat(np.cumsum(lens) - lens, lens)
+        idx = np.arange(n, dtype=np.int64)
+        et = bucket.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        prev_src = np.maximum(idx - 1, 0)
+        prev = pc.if_else(pa.array(idx > seg_start),
+                          et.take(pa.array(prev_src)),
+                          pa.scalar("", type=pa.string()))
         return pa.table({
-            "event_id": g.column("event_id"),
-            "user_id": g.column("user_id"),
-            "turn_seq": pa.array(np.arange(1, n + 1, dtype=np.int64)),
-            "prev_event_type": pa.array([""] + et[:-1], type=pa.string()),
+            "event_id": bucket.column("event_id"),
+            "user_id": bucket.column("user_id"),
+            "turn_seq": pa.array(idx - seg_start + 1),
+            "prev_event_type": prev,
         })
 
-    return ds.groupby("user_id").map_groups(seq, batch_format="pyarrow")
+    return bucketed_group_apply(
+        ds, "user_id", seq_bucket, num_buckets=64,
+        sort_cols=[("ts", "ascending"), ("event_id", "ascending")])
 
 
 SQL_EVENTS_RECONSTRUCT = """
@@ -165,13 +186,28 @@ def q_grouped_topk_events(sf_dir: str):
         lambda t: t.rename_columns(["user_id", "event_type", "cnt"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    def topk(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("cnt", "descending"), ("event_type", "ascending")])
-        g = g.slice(0, 2)
-        return g.append_column("rnk",
-                               pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)))
+    # bucketed grouped top-k: segment positions < k after the in-bucket
+    # (user, cnt desc, event_type) sort — no per-distinct-user callbacks
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
 
-    return counts.groupby("user_id").map_groups(topk, batch_format="pyarrow")
+    def topk_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+                "rnk": pa.array([], type=pa.int64())})
+        starts = segment_starts(bucket.column("user_id"))
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens,
+                                                       lens)
+        kept = bucket.filter(pa.array(pos < 2))
+        return kept.append_column("rnk", pa.array(pos[pos < 2] + 1))
+
+    return bucketed_group_apply(
+        counts, "user_id", topk_bucket, num_buckets=64,
+        sort_cols=[("cnt", "descending"), ("event_type", "ascending")])
 
 
 SQL_GROUPED_TOPK_EVENTS = """

@@ -24,6 +24,48 @@ from .clustering import connected_components, expand_clusters
 from .pairs import pairs_stage
 
 
+def attach_singleton_clusters(ds, id_col: str, cc_labeled, *,
+                              broadcast_max_rows: int = 2_000_000,
+                              cfg: PipelineConfig | None = None,
+                              num_partitions: int = 0):
+    """(record_id, cluster_id) for EVERY row of `ds`: edge-touched labels come
+    from the (small) `cc_labeled` dataset via one broadcast map; everything
+    else is its own singleton. Replaces the union+count set-difference shuffle
+    of `connected_components(include_singletons=True)` — a measured fixed
+    cost on small inputs and an extra all-nodes exchange at scale. Falls back
+    to the shuffling path when the labeled set exceeds the broadcast budget.
+    """
+    import ray as _ray
+
+    from ..functions.rayutil import collect_table, dict_lookup, get_broadcast_dict
+
+    schema = pa.schema([("record_id", pa.string()),
+                        ("cluster_id", pa.string())])
+    lab = collect_table(cc_labeled.materialize(), schema)
+    if lab.num_rows > broadcast_max_rows:  # pragma: no cover - scale fallback
+        from ..config import DEFAULT_CONFIG
+        from .clustering import _expand_clusters_cogroup
+        members = ds.map_batches(
+            lambda t: pa.table({
+                "record_id": pc.cast(t.column(id_col), pa.string()),
+                "rep_id": pc.cast(t.column(id_col), pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return _expand_clusters_cogroup(
+            members, cc_labeled,
+            num_buckets=(cfg or DEFAULT_CONFIG).num_buckets)
+    ref = _ray.put(lab)
+
+    def attach(t: pa.Table) -> pa.Table:
+        d = get_broadcast_dict(ref, "record_id", "cluster_id")
+        rid = pc.cast(t.column(id_col), pa.string())
+        return pa.table({
+            "record_id": rid,
+            "cluster_id": dict_lookup(rid, d, default_to_key=True),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def exact_dedup(ds, *, id_col: str, text_col: str):
     """Survivor id = min(id) per identical text. Vectorized groupby aggregate.
 
@@ -295,5 +337,7 @@ def near_dedup_simhash(ds, *, id_col: str, text_col: str, max_hamming: int = 3,
     nodes = ds.map_batches(
         lambda t: pa.table({"record_id": pc.cast(t.column(id_col), pa.string())}),
         batch_format="pyarrow", zero_copy_batch=True)
-    cc = connected_components(nodes, edges, cfg, num_partitions)
-    return cc
+    cc = connected_components(nodes, edges, cfg, num_partitions,
+                              include_singletons=False)
+    return attach_singleton_clusters(ds, id_col, cc, cfg=cfg,
+                                     num_partitions=num_partitions)

@@ -291,7 +291,11 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, n_planes: int = 8,
         num_buckets=cfg.num_buckets,
         sort_cols=[("id_b", "ascending")])
 
+    from .dedup import attach_singleton_clusters
     nodes = ds.map_batches(
         lambda t: pa.table({"record_id": pc.cast(t.column(id_col), pa.string())}),
         batch_format="pyarrow", zero_copy_batch=True)
-    return connected_components(nodes, edges, cfg, num_partitions)
+    cc = connected_components(nodes, edges, cfg, num_partitions,
+                              include_singletons=False)
+    return attach_singleton_clusters(ds, id_col, cc, cfg=cfg,
+                                     num_partitions=num_partitions)

@@ -22,8 +22,12 @@ import pyarrow as pa
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .functions.shingles import band_keys, char_ngram_codes, minhash_signatures
 
-# wide syllable pool: at bench scale (10^4+ entities) a small pool saturates
-# the name space and artificially inflates cross-entity char-n-gram overlap
+# wide syllable pool: at bench scale (10^5+ entities) a small pool saturates
+# the name space — cross-entity char-3-gram overlap rises with vocabulary
+# size and LSH candidate pairs grow superlinearly (measured in round 1 at
+# 14.5M turns). The FULL onset×nucleus×coda product (5,460 syllables) keeps
+# per-syllable reuse ~2.7× lower than the old lexicographic [:2000] prefix,
+# making pair counts scale ~linearly with corpus size.
 _SYL_ONSETS = ["m", "v", "t", "dr", "qu", "z", "b", "n", "f", "gw", "h", "j",
                "k", "l", "p", "r", "s", "br", "cr", "st", "tr", "w", "x", "y",
                "ch", "sh", "th", "pl", "gr", "sn"]
@@ -32,7 +36,7 @@ _SYL_NUCLEI = ["a", "e", "i", "o", "u", "ar", "el", "in", "or", "un", "ae",
 _SYL_CODAS = ["", "k", "l", "m", "n", "r", "s", "t", "x", "nd", "rk", "st",
               "th", "ll"]
 _SYLLABLES = [o + n + c for o in _SYL_ONSETS for n in _SYL_NUCLEI
-              for c in _SYL_CODAS][:2000]
+              for c in _SYL_CODAS]
 
 _TEMPLATES = [
     "ok, i will check with {m} about the schedule tomorrow.",
@@ -82,19 +86,89 @@ _HONORIFICS = ["Dr", "Prof", "Ms", "Mr"]
 SCALES = {"tiny": 50, "small": 2000}
 
 
+_SYL_ARR = np.array(_SYLLABLES, dtype=object)
+
+
 def _make_entities(rng: np.random.Generator, n_entities: int) -> list[dict]:
-    """Entity registry with pairwise-disjoint token sets and 3-6 variant forms."""
+    """Entity registry with pairwise-disjoint token sets and 3-6 variant forms.
+
+    Token candidates are drawn in vectorized blocks (rng.integers into the
+    syllable array) — the per-call rng.choice(list) formulation converted the
+    5,460-syllable list to an array on EVERY draw and took >10 min at 192k
+    entities."""
     used_tokens: set[str] = set()
     entities = []
+    # first-token trigram sets per family (last token): a confusable's first
+    # name must be DISSIMILAR to every first name already in its family —
+    # accidental syllable overlap ("Zelnsnarkgwunk" / "Stunlneltgwunk")
+    # stacks on the engineered family-name share and pushes the pair over
+    # the match threshold (measured 0.534 at seed 7)
+    fam_firsts: dict[str, list[set]] = {}
+
+    def _tri(s: str) -> set:
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    def token_block(k: int) -> list[str]:
+        n_syl = rng.integers(2, 4, size=k)
+        idx = rng.integers(0, len(_SYL_ARR), size=(k, 3))
+        return ["".join(_SYL_ARR[idx[i, :n_syl[i]]]) for i in range(k)]
+
+    pool: list[str] = []
     for e in range(n_entities):
-        tokens = []
-        while len(tokens) < 2:
-            n_syl = int(rng.integers(2, 4))
-            tok = "".join(rng.choice(_SYLLABLES) for _ in range(n_syl))
-            if tok in used_tokens or tok in tokens or len(tok) < 5:
+        tokens: list[str] = []
+        # ~20% of entities are CONFUSABLES: share their LAST token with an
+        # earlier entity ("Marva Hollen" vs "Tobias Hollen" — same family
+        # name) — hard negatives that co-block under LSH at EVERY corpus
+        # scale, independent of how dense the global name space is (the
+        # round-1 fixture relied on accidental syllable collisions, which
+        # vanish as the pool widens). Sharing the LAST token keeps
+        # Jaro-Winkler low (prefix-weighted) so the scorer's margin holds.
+        shared_last = ""
+        if e == 1:
+            # entity #1 is ALWAYS a confusable of entity #0 (whose last token
+            # is forced short below): even the tiniest fixture carries
+            # labeled hard negatives, at every seed
+            shared_last = entities[0]["canonical"].split(" ")[1].lower()
+        elif e > 0 and rng.random() < 0.2:
+            # short shared token + a LONG fresh first token keeps the
+            # confusable's weighted score (Jaccard+JW+emb) safely below the
+            # match threshold — solvable-by-design calibration, asserted by
+            # tests/test_synth.py::test_noise_calibration_margin. Retry a few
+            # donors: at tiny fixture scales a single draw often fails the
+            # length filter and the label set would lose its negatives.
+            for _ in range(8):
+                donor = entities[int(rng.integers(0, e))]
+                cand = donor["canonical"].split(" ")[1].lower()
+                if len(cand) <= 6:
+                    shared_last = cand
+                    break
+        while len(tokens) < 1:
+            if not pool:
+                pool = token_block(max(1024, (n_entities - e) * 3))
+            tok = pool.pop()
+            if tok in used_tokens or tok == shared_last or len(tok) < 5 or \
+                    (shared_last and len(tok) < 10):
                 continue
+            if shared_last:
+                ts = _tri(tok)
+                if any(len(ts & o) / len(ts | o) > 0.08
+                       for o in fam_firsts.get(shared_last, [])):
+                    continue
             tokens.append(tok)
-        used_tokens.update(tokens)
+        if shared_last:
+            tokens.append(shared_last)
+        else:
+            while len(tokens) < 2:
+                if not pool:
+                    pool = token_block(max(1024, (n_entities - e) * 3))
+                tok = pool.pop()
+                if tok in used_tokens or tok in tokens or len(tok) < 5:
+                    continue
+                if e == 0 and len(tokens) == 1 and len(tok) > 6:
+                    continue  # entity #0's last token stays donor-eligible
+                tokens.append(tok)
+        used_tokens.update(t for t in tokens if t != shared_last)
+        fam_firsts.setdefault(tokens[1], []).append(_tri(tokens[0]))
         first, last = (t.capitalize() for t in tokens)
         canonical = f"{first} {last}"
         variants = [canonical]
@@ -102,12 +176,21 @@ def _make_entities(rng: np.random.Generator, n_entities: int) -> list[dict]:
         i = int(rng.integers(1, len(last) - 1))
         typo_last = last[:i] + last[i + 1] + last[i] + last[i + 2 :]
         variants.append(f"{first} {typo_last}")
-        # truncation abbreviation of the first token
-        variants.append(f"{first[:4]}. {last}")
+        # truncation abbreviation / token reorder — EXCEPT for confusables:
+        # truncating the (long, distinguishing) first name of two same-family
+        # entities leaves "Xxxx. Shared" vs "Yyyy. Shared" (measured score
+        # 0.78 > τ), and "{shared} {first}" puts the family name in JW's
+        # prefix position; both would make the fixture unsolvable by design
+        if not shared_last:
+            # length-aware abbreviation: a 4-char cut of a very long first
+            # name sheds too many shingles and the weighted score falls
+            # below the match threshold (measured 0.41 on a 15-char name)
+            cut = 4 if len(first) <= 9 else 7
+            variants.append(f"{first[:cut]}. {last}")
         # honorific
         variants.append(f"{rng.choice(_HONORIFICS)} {first} {last}")
-        # token reorder
-        variants.append(f"{last} {first}")
+        if not shared_last:
+            variants.append(f"{last} {first}")
         # char drop in first token (not first char)
         j = int(rng.integers(1, len(first)))
         variants.append(f"{first[:j] + first[j + 1 :]} {last}")
@@ -284,6 +367,27 @@ def _build_labels(rids_sorted, rec_entity, mention_of, cfg, max_block_records):
             bk.append(k)
             same.append(rec_entity[ra] == rec_entity[rb])
             split.append(sa)
+    if same and all(same):
+        # fixture hygiene: the label set must carry BOTH classes. At tiny
+        # scales the confusable entities' band-key collision is seed-luck;
+        # when no negative emerged from blocking, inject cross-entity pairs
+        # directly (block_key 0 marks them as forced). The pipeline puts
+        # them in different clusters, so F1 semantics are unchanged.
+        by_split_ent: dict[tuple[str, int], str] = {}
+        for rid in rids_sorted:
+            key = (conv_split(rid), rec_entity[rid])
+            by_split_ent.setdefault(key, rid)
+        for sp in ("calib", "test"):
+            ents_in = [(ent, rid) for (s, ent), rid in by_split_ent.items()
+                       if s == sp]
+            for (e1, r1), (e2, r2) in itertools.combinations(
+                    sorted(ents_in)[:4], 2):
+                a, b = sorted((r1, r2))
+                ia.append(a)
+                ib.append(b)
+                bk.append(0)
+                same.append(False)
+                split.append(sp)
     return pa.table(
         {
             "id_a": pa.array(ia, type=pa.string()),

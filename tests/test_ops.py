@@ -291,3 +291,66 @@ def test_fingerprint_winnow_matches_loop_reference():
             # unsigned hash order, matching the kernel)
             ref = [int(x) for x in np.unique(sw.min(axis=1)).view(np.int64)]
         assert got[i] == ref, f"row {i}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_duckdb_cross_check():
+    """Independent verification of near_dedup_minhash cluster memberships:
+    DuckDB computes exact word-3-gram Jaccard for every SAME-CLUSTER pair
+    (must be >= the verify threshold OR exact-duplicate text) — LSH proposes,
+    but nothing below the threshold may end up co-clustered (precision)."""
+    import duckdb
+
+    from rel_ray.stages.dedup import near_dedup_minhash
+
+    texts = [
+        "the nightly batch pipeline finished without errors and wrote summary tables",
+        "the nightly batch pipeline finished without errors and wrote summary table",
+        "the nightly batch pipeline completed without errors and wrote summary tables",
+        "a completely different story about gardens and furniture and sunshine",
+        "a completely different story about gardens and furniture and sunshine",
+        "neural entity linking with transformers for noisy conversational text",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = _collect(near_dedup_minhash(rd.from_arrow(tbl), id_col="doc_id",
+                                      text_col="text", cfg=DEFAULT_CONFIG,
+                                      threshold=0.5))
+    cl = dict(zip(out.column("record_id").to_pylist(),
+                  out.column("cluster_id").to_pylist()))
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    # exact word-3-gram Jaccard in SQL: trigram sets via list slicing
+    jac = con.execute("""
+      WITH grams AS (
+        SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in range(1, len(ws) - 1)]) AS gs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM docs))
+      SELECT a.doc_id, b.doc_id,
+             CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.gs, b.gs))) AS j
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    """).fetchall()
+    jmap = {(min(ia, ib), max(ia, ib)): j for ia, ib, j in jac}
+    assert cl["0"] == cl["1"] == cl["2"]   # near-dups co-cluster
+    assert cl["3"] == cl["4"]              # exact dups co-cluster
+    assert cl["5"] not in (cl["0"], cl["3"])
+    # reference clustering from DuckDB's exact Jaccard: transitive closure
+    # over >=0.5 pairs — the engine's clusters must match it EXACTLY
+    # (pair (1,2) is only 0.38 but chains through doc 0: a real transitive
+    # case, so the reference must be the closure, not the direct edges)
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (i, k), j in jmap.items():
+        if j >= 0.5:
+            parent[find(i)] = find(k)
+    for i in range(len(texts)):
+        for k in range(i + 1, len(texts)):
+            assert (cl[str(i)] == cl[str(k)]) == (find(i) == find(k)), (i, k)

@@ -34,3 +34,60 @@ def test_from_items_transcripts():
                  tool="", ts=1)]
     ds = from_items_transcripts(rows)
     assert ds.count() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_conll_reader_and_labels(tmp_path):
+    """AIDA/CoNLL-style import: gold mentions parsed with span-aligned record
+    ids; labels pair same-document mentions with same_entity from gold ids."""
+    import pyarrow as pa
+
+    from rel_ray.sources.conll import conll_labels, parse_conll_text, read_conll
+
+    conll = "\n".join([
+        "-DOCSTART- (doc1 NEWS)",
+        "The",
+        "meeting",
+        "with",
+        "Marva\tB\tMarva Hollen\tMarva_Hollen",
+        "Hollen\tI\tMarva Hollen\tMarva_Hollen",
+        "and",
+        "Tobias\tB\tTobias Quent\tTobias_Quent",
+        "Quent\tI\tTobias Quent\tTobias_Quent",
+        "went",
+        "well",
+        "",
+        "Hollen\tB\tHollen\tMarva_Hollen",
+        "agreed",
+        "-DOCSTART- (doc2 SPORT)",
+        "Quent\tB\tQuent\tTobias_Quent",
+        "scored",
+    ])
+    t = parse_conll_text(conll)
+    assert t.column("mention").to_pylist() == [
+        "Marva Hollen", "Tobias Quent", "Hollen", "Quent"]
+    assert t.column("record_id").to_pylist() == [
+        "doc1#00000#000", "doc1#00000#001", "doc1#00000#002",
+        "doc2#00000#000"]
+    assert t.column("gold_entity").to_pylist() == [
+        "Marva_Hollen", "Tobias_Quent", "Marva_Hollen", "Tobias_Quent"]
+
+    p = tmp_path / "shard0.conll"
+    p.write_text(conll)
+    import ray.data as rd  # noqa: F401
+    ds = read_conll(str(p))
+    recs = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    assert recs.num_rows == 4
+    assert recs.column("mention_norm").to_pylist()[0] == "marva hollen"
+
+    labels = pa.concat_tables(
+        pa.table(b) for b in
+        conll_labels(ds).iter_batches(batch_format="pyarrow"))
+    got = {(r["id_a"], r["id_b"]): r["same_entity"]
+           for r in labels.to_pylist()}
+    # doc1 has 3 mentions -> 3 pairs; doc2 has 1 -> none
+    key = lambda a, b: tuple(sorted((a, b)))
+    assert len(got) == 3
+    assert got[key("shard0.conll#doc1#00000#000", "shard0.conll#doc1#00000#002")] is True
+    assert got[key("shard0.conll#doc1#00000#000", "shard0.conll#doc1#00000#001")] is False
