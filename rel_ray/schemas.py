@@ -34,7 +34,7 @@ TURNS_NORM = pa.schema(
 # unit of linkage: one record per mention-bearing turn
 RECORDS = pa.schema(
     [
-        ("record_id", pa.string()),  # f"{conv_id}#{turn_idx:05d}"
+        ("record_id", pa.string()),  # f"{conv_id}#{turn_idx:05d}#{span_idx:03d}"
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("role", pa.string()),
@@ -71,6 +71,10 @@ CLUSTERS = pa.schema(
     [
         ("record_id", pa.string()),
         ("cluster_id", pa.string()),  # min record_id in the connected component
+        # per-representative matched-edge confidence (REL conf_ed analog):
+        # best accepted-edge score / accepted-edge degree; 0 for singletons
+        ("best_score", pa.float32()),
+        ("n_links", pa.int32()),
     ]
 )
 

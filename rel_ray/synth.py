@@ -113,7 +113,14 @@ def _make_entities(rng: np.random.Generator, n_entities: int) -> list[dict]:
         idx = rng.integers(0, len(_SYL_ARR), size=(k, 3))
         return ["".join(_SYL_ARR[idx[i, :n_syl[i]]]) for i in range(k)]
 
+    def long_token_block(k: int) -> list[str]:
+        # confusable FIRST names: always 3 syllables (long by construction
+        # so drawing from the general pool doesn't reject ~90% of tokens)
+        idx = rng.integers(0, len(_SYL_ARR), size=(k, 3))
+        return ["".join(_SYL_ARR[idx[i]]) for i in range(k)]
+
     pool: list[str] = []
+    long_pool: list[str] = []
     for e in range(n_entities):
         tokens: list[str] = []
         # ~20% of entities are CONFUSABLES: share their LAST token with an
@@ -139,21 +146,29 @@ def _make_entities(rng: np.random.Generator, n_entities: int) -> list[dict]:
             for _ in range(8):
                 donor = entities[int(rng.integers(0, e))]
                 cand = donor["canonical"].split(" ")[1].lower()
-                if len(cand) <= 6:
+                # family size capped at 4: bounds the dissimilarity scan AND
+                # the per-family hard-negative pair count
+                if len(cand) <= 6 and len(fam_firsts.get(cand, [])) < 4:
                     shared_last = cand
                     break
+        if shared_last:
+            fam = fam_firsts.get(shared_last, [])
+            while len(tokens) < 1:
+                if not long_pool:
+                    long_pool = long_token_block(4096)
+                tok = long_pool.pop()
+                if tok in used_tokens or tok == shared_last or len(tok) < 10:
+                    continue
+                ts = _tri(tok)
+                if any(len(ts & o) / len(ts | o) > 0.08 for o in fam):
+                    continue
+                tokens.append(tok)
         while len(tokens) < 1:
             if not pool:
                 pool = token_block(max(1024, (n_entities - e) * 3))
             tok = pool.pop()
-            if tok in used_tokens or tok == shared_last or len(tok) < 5 or \
-                    (shared_last and len(tok) < 10):
+            if tok in used_tokens or len(tok) < 5:
                 continue
-            if shared_last:
-                ts = _tri(tok)
-                if any(len(ts & o) / len(ts | o) > 0.08
-                       for o in fam_firsts.get(shared_last, [])):
-                    continue
             tokens.append(tok)
         if shared_last:
             tokens.append(shared_last)
