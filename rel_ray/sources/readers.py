@@ -44,3 +44,22 @@ def from_items_transcripts(rows: list[dict]):
     table = pa.table(
         {f.name: pa.array(arrays[f.name], type=f.type) for f in schemas.TRANSCRIPTS})
     return rd.from_arrow(table)
+
+
+def link_records(rows: list[dict], cfg=None) -> pa.Table:
+    """Interactive convenience (REL server-analog for a BATCH engine,
+    ``REL:src/REL/server.py``): a handful of in-memory transcript rows →
+    the full linkage pipeline → one driver-side clusters table
+    (record_id, cluster_id, best_score, n_links). For real corpora read
+    Parquet and consume ``run_linkage`` outputs as streaming Datasets —
+    this wrapper materializes and is meant for exploration and tests."""
+    from ..config import DEFAULT_CONFIG
+    from ..pipelines.linkage import run_linkage
+
+    out = run_linkage(from_items_transcripts(rows), cfg or DEFAULT_CONFIG)
+    tabs = [pa.table(b)
+            for b in out["clusters"].iter_batches(batch_format="pyarrow")]
+    if not tabs:
+        from .. import schemas as _s
+        return _s.CLUSTERS.empty_table()
+    return pa.concat_tables(tabs, promote_options="default")

@@ -91,3 +91,26 @@ def test_conll_reader_and_labels(tmp_path):
     assert len(got) == 3
     assert got[key("shard0.conll#doc1#00000#000", "shard0.conll#doc1#00000#002")] is True
     assert got[key("shard0.conll#doc1#00000#000", "shard0.conll#doc1#00000#001")] is False
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_records_interactive():
+    """The point-lookup convenience wrapper: rows in, clusters table out."""
+    from rel_ray.sources.readers import link_records
+
+    ts = 1_700_000_000_000_000
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "ask Marva Hollen about it", "tool": "", "ts": ts},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "Marva Hollen agreed", "tool": "", "ts": ts + 1},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user",
+         "text": "ping Tobias Quent today", "tool": "", "ts": ts + 2},
+    ]
+    t = link_records(rows)
+    cl = dict(zip(t.column("record_id").to_pylist(),
+                  t.column("cluster_id").to_pylist()))
+    assert cl["c1#00000#000"] == cl["c1#00001#000"]
+    assert cl["c2#00000#000"] != cl["c1#00000#000"]
+    assert set(t.column_names) == {"record_id", "cluster_id", "best_score",
+                                   "n_links"}
