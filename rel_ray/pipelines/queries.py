@@ -425,6 +425,45 @@ FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
 """
 
 
+def q_ngram_jaccard_pairs_documents(sf_dir: str):
+    """EXACT n-gram-Jaccard similarity self-join (AllPairs prefix filter):
+    every doc pair whose distinct word-trigram shingle sets have Jaccard
+    >= 0.5 — integer (inter, uni) so the DuckDB oracle hash-matches.
+
+    The deterministic counterpart of minhash_dedup (LSH proposes, this
+    proves); REL parity: exact candidate verification after pruning
+    (REL:src/REL/mention_detection.py candidate lookup + exact scoring)."""
+    from ..stages.simjoin import similarity_self_join
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return similarity_self_join(ds, id_col="doc_id", text_col="text",
+                                tau_num=1, tau_den=2,
+                                token_pattern="[a-z]+", ngram=3)
+
+
+SQL_NGRAM_JACCARD_PAIRS_DOCUMENTS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS s(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ovl
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(c.ovl AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - c.ovl AS BIGINT) AS uni
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE 2 * c.ovl >= (sa.sz + sb.sz - c.ovl)
+"""
+
+
 def q_minhash_dedup_documents(sf_dir: str):
     """MinHash/LSH near-dedup over documents (no SQL oracle: LSH keys)."""
     from ..stages.dedup import near_dedup_minhash
@@ -1005,6 +1044,7 @@ QUERIES = {
     "extract_tokens_documents": q_extract_tokens_documents,
     "exact_dedup_documents": q_exact_dedup_documents,
     "dup_pairs_documents": q_dup_pairs_documents,
+    "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "simhash_documents": q_simhash_documents,
     "simhash_dedup_documents": q_simhash_dedup_documents,
@@ -1037,6 +1077,7 @@ ORACLE_SQL = {
     "extract_tokens_documents": SQL_EXTRACT_TOKENS_DOCUMENTS,
     "exact_dedup_documents": SQL_EXACT_DEDUP_DOCUMENTS,
     "dup_pairs_documents": SQL_DUP_PAIRS_DOCUMENTS,
+    "ngram_jaccard_pairs_documents": SQL_NGRAM_JACCARD_PAIRS_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,
     "normalize_documents": SQL_NORMALIZE_DOCUMENTS,
     "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,

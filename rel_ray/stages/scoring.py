@@ -67,11 +67,16 @@ def encode_pair_strings(mn_a: pa.Array, mn_b: pa.Array, cfg: PipelineConfig):
             np.asarray(uniq.offsets, dtype=np.int64))
 
 
-def pairwise_jaccard(idx_a: np.ndarray, idx_b: np.ndarray,
-                     ucodes: np.ndarray, usplits: np.ndarray) -> np.ndarray:
-    """Vectorized exact Jaccard for every pair: gather both sides'
-    sorted-unique shingle sets, ONE global lexsort, adjacent-equal count per
-    pair — no per-pair Python loop."""
+def pairwise_overlap(idx_a: np.ndarray, idx_b: np.ndarray,
+                     ucodes: np.ndarray, usplits: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact (intersection, union) sizes for every pair as int64:
+    gather both sides' sorted-unique shingle sets, ONE global lexsort,
+    adjacent-equal count per pair — no per-pair Python loop.
+
+    Integer counts let callers apply a threshold predicate with exact integer
+    arithmetic (``den*inter >= num*union``) so a DuckDB oracle computing the
+    same distinct-set counts hash-matches bit-for-bit."""
     n = len(idx_a)
     set_lens = usplits[1:] - usplits[:-1]
     la, lb = set_lens[idx_a], set_lens[idx_b]
@@ -94,8 +99,15 @@ def pairwise_jaccard(idx_a: np.ndarray, idx_b: np.ndarray,
     dup = np.zeros(len(vv), dtype=np.int64)
     if len(vv) > 1:
         dup[1:] = ((pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])).astype(np.int64)
-    inter = np.bincount(pv, weights=dup, minlength=n)
-    union = la + lb - inter
+    inter = np.bincount(pv, weights=dup, minlength=n).astype(np.int64)
+    union = (la + lb - inter).astype(np.int64)
+    return inter, union
+
+
+def pairwise_jaccard(idx_a: np.ndarray, idx_b: np.ndarray,
+                     ucodes: np.ndarray, usplits: np.ndarray) -> np.ndarray:
+    """Vectorized exact Jaccard for every pair (see pairwise_overlap)."""
+    inter, union = pairwise_overlap(idx_a, idx_b, ucodes, usplits)
     with np.errstate(invalid="ignore", divide="ignore"):
         return np.where(union > 0, inter / union, 0.0).astype(np.float32)
 

@@ -354,3 +354,49 @@ def test_minhash_dedup_duckdb_cross_check():
     for i in range(len(texts)):
         for k in range(i + 1, len(texts)):
             assert (cl[str(i)] == cl[str(k)]) == (find(i) == find(k)), (i, k)
+
+
+def test_similarity_self_join_exact_vs_bruteforce():
+    """Prefix-filter join == brute-force all-pairs exact Jaccard (incl. the
+    short-doc and exact-dup edge cases) — pairs, inter and uni all equal."""
+    import itertools
+
+    from rel_ray.functions.shingles import unique_shingle_sets, word_ngram_codes
+    from rel_ray.stages.simjoin import similarity_self_join
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "bravo", "china", "delta", "eagle", "frank", "gamma",
+             "hotel", "igloo", "jolly"]
+    texts = []
+    base = [" ".join(rng.choice(vocab, size=12)) for _ in range(8)]
+    for b in base:
+        texts.append(b)
+        w = b.split()
+        w[3] = "zebra"            # near-dup: one token changed
+        texts.append(" ".join(w))
+    texts += [base[0],            # exact dup -> J=1 pair
+              "one two",          # <3 tokens: excluded entirely
+              ""]                 # empty
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                 "text": pa.array(texts)}))
+    out = similarity_self_join(ds, id_col="doc_id", text_col="text",
+                               tau_num=1, tau_den=2, num_buckets=8)
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+           for r in out.take_all()}
+
+    # brute force on the driver with the same kernels
+    codes, splits = word_ngram_codes(pa.array(texts), 3)
+    uniq = unique_shingle_sets(codes, splits)
+    sets = [np.asarray(uniq.values, dtype=np.uint64)[
+        uniq.offsets[i].as_py():uniq.offsets[i + 1].as_py()] for i in ids]
+    nwords = [len(t.split()) for t in texts]
+    want = {}
+    for i, k in itertools.combinations(ids, 2):
+        if nwords[i] < 3 or nwords[k] < 3:
+            continue
+        inter = len(np.intersect1d(sets[i], sets[k], assume_unique=True))
+        uni = len(sets[i]) + len(sets[k]) - inter
+        if uni > 0 and 2 * inter >= uni:
+            want[(i, k)] = (inter, uni)
+    assert got == want and len(want) >= 9  # 8 near-dup pairs + dup triangle
