@@ -221,6 +221,41 @@ WHERE rnk <= 2
 """
 
 
+def q_asof_join_events_orders(sf_dir: str):
+    """Distributed as-of join: each event → the latest order of the same
+    customer placed at-or-before the event timestamp (tie: max o_orderkey).
+    One bucket exchange + vectorized in-bucket merge (stages/temporal.py)."""
+    from ..stages.temporal import asof_join
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("o_custkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderkey": t.column("o_orderkey"),
+            "price_cents": _cents(t.column("o_totalprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(ev, orders, key="user_id", left_ts="ts",
+                     right_ts="o_orderdate",
+                     left_cols=["user_id", "event_id"],
+                     right_cols=["o_orderkey", "price_cents"],
+                     right_tie="o_orderkey")
+
+
+SQL_ASOF_JOIN_EVENTS_ORDERS = """
+SELECT user_id, event_id, o_orderkey, price_cents FROM (
+  SELECT e.user_id, e.event_id, o.o_orderkey,
+         CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (windowed streaming op a transcript pipeline
     needs for conversation segmentation): a >30-minute silence within a user
@@ -1038,6 +1073,7 @@ QUERIES = {
     "events_reconstruct": q_events_reconstruct,
     "grouped_topk_events": q_grouped_topk_events,
     "sessionize_events": q_sessionize_events,
+    "asof_join_events_orders": q_asof_join_events_orders,
     "union_sum": q_union_sum,
     "sample_lineitem": q_sample_lineitem,
     "sentence_split_documents": q_sentence_split_documents,
@@ -1072,6 +1108,7 @@ ORACLE_SQL = {
     "events_reconstruct": SQL_EVENTS_RECONSTRUCT,
     "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "asof_join_events_orders": SQL_ASOF_JOIN_EVENTS_ORDERS,
     "union_sum": SQL_UNION_SUM,
     "sentence_split_documents": SQL_SENTENCE_SPLIT_DOCUMENTS,
     "extract_tokens_documents": SQL_EXTRACT_TOKENS_DOCUMENTS,

@@ -400,3 +400,46 @@ def test_similarity_self_join_exact_vs_bruteforce():
         if uni > 0 and 2 * inter >= uni:
             want[(i, k)] = (inter, uni)
     assert got == want and len(want) >= 9  # 8 near-dup pairs + dup triangle
+
+
+def test_asof_join_interleaved_vs_reference():
+    """As-of semantics on interleaved timestamps: latest right <= left ts per
+    key, equal-ts counts, ties broken by max tie col, unmatched lefts drop,
+    keys never cross."""
+    from rel_ray.stages.temporal import asof_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 300
+    lk = rng.integers(0, 12, n_l)
+    lt = rng.integers(0, 1000, n_l)
+    rk = rng.integers(0, 14, n_r)          # some right-only keys
+    rt = rng.integers(0, 1000, n_r) // 10 * 10   # force equal-ts ties
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, type=pa.int64()),
+        "lts": pa.array(lt, type=pa.int64()),
+        "lid": pa.array(np.arange(n_l), type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk, type=pa.int64()),
+        "rts": pa.array(rt, type=pa.int64()),
+        "rid": pa.array(np.arange(n_r), type=pa.int64()),
+        "payload": pa.array(rng.integers(0, 99, n_r), type=pa.int64())}))
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    left_cols=["k", "lid", "lts"],
+                    right_cols=["rid", "payload"],
+                    right_tie="rid", num_buckets=8)
+    got = {r["lid"]: (r["rid"], r["payload"], r["k"], r["lts"])
+           for r in out.take_all()}
+
+    payloads = [r["payload"] for r in right.take_all()]
+    want = {}
+    for i in range(n_l):
+        best = None
+        for j in range(n_r):
+            if rk[j] == lk[i] and rt[j] <= lt[i]:
+                if best is None or (rt[j], j) > (rt[best], best):
+                    best = j
+        if best is not None:
+            want[i] = (best, payloads[best], int(lk[i]), int(lt[i]))
+    assert set(got) == set(want)
+    for lid, (rid, payload, k, lts) in got.items():
+        assert want[lid][0] == rid and want[lid][2] == k and want[lid][3] == lts
