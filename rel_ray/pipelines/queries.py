@@ -221,6 +221,129 @@ WHERE rnk <= 2
 """
 
 
+def q_grouped_quantiles_lineitem(sf_dir: str):
+    """Grouped discrete quantiles (p50/p90/p99 of price cents per flag/status):
+    explicit spec 'ceil(q*n)-th smallest, 1-indexed' so the SQL oracle is
+    deterministic. Low-cardinality groups → one bucketed segment pass; at
+    scale swap in a t-digest sketch (this exact path needs the in-group sort)."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                  "l_extendedprice"])
+    skinny = ds.map_batches(
+        lambda t: pa.table({"l_returnflag": t.column("l_returnflag"),
+                            "l_linestatus": t.column("l_linestatus"),
+                            "price_c": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    QS = (("p50", 50), ("p90", 90), ("p99", 99))
+
+    def seg_quantiles(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({"l_returnflag": pa.array([], type=pa.string()),
+                             "l_linestatus": pa.array([], type=pa.string()),
+                             **{name: pa.array([], type=pa.int64())
+                                for name, _ in QS}})
+        s1 = np.asarray(segment_starts(bucket.column("l_returnflag")))
+        s2 = np.asarray(segment_starts(bucket.column("l_linestatus")))
+        starts = np.union1d(s1, s2)
+        lens = np.diff(np.append(starts, n))
+        v = bucket.column("price_c").to_numpy()
+        take = pa.array(starts)
+        cols = {"l_returnflag": bucket.column("l_returnflag").take(take),
+                "l_linestatus": bucket.column("l_linestatus").take(take)}
+        for name, q in QS:
+            # ceil(q*n/100)-th smallest, 1-indexed -> offset ceil(q*len/100)-1
+            idx = starts + (q * lens + 99) // 100 - 1
+            cols[name] = pa.array(v[idx])
+        return pa.table(cols)
+
+    return bucketed_group_apply(skinny, ["l_returnflag", "l_linestatus"],
+                                seg_quantiles, num_buckets=16,
+                                sort_cols=[("price_c", "ascending")])
+
+
+SQL_GROUPED_QUANTILES_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       MAX(CASE WHEN rn = (50*cnt + 99) // 100 THEN price_c END) AS p50,
+       MAX(CASE WHEN rn = (90*cnt + 99) // 100 THEN price_c END) AS p90,
+       MAX(CASE WHEN rn = (99*cnt + 99) // 100 THEN price_c END) AS p99
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS cnt
+  FROM lineitem)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_terms_documents(sf_dir: str):
+    """Global term frequencies, top-20 by (count desc, term asc): the
+    combiner pattern — per-batch value_counts partial aggregation BEFORE the
+    vocab-sized groupby sum, so the shuffle moves O(vocab) not O(tokens)."""
+    from ..functions.normalize import extract_all_matches
+
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        ml = extract_all_matches(t.column("text"), "[a-z]+")
+        vc = pc.value_counts(pc.list_flatten(ml))
+        return pa.table({"term": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = (ds.map_batches(partial_counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("term").aggregate(Sum("cnt")))
+    agg = agg.map_batches(lambda t: t.rename_columns(["term", "cnt"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    return agg.sort(["cnt", "term"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_TERMS_DOCUMENTS = """
+SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS tok FROM documents)
+GROUP BY tok ORDER BY cnt DESC, term ASC LIMIT 20
+"""
+
+
+def q_pack_sequences_documents(sf_dir: str):
+    """Sequence packing (LLM-training op): documents → fixed 512-token
+    training packs by a distributed prefix scan (stages/packing.py) —
+    range-bucket sums, driver exclusive scan over num_buckets scalars,
+    broadcast offsets, in-bucket cumsum."""
+    from ..functions.normalize import extract_all_matches
+    from ..stages.packing import pack_sequences
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        ml = extract_all_matches(t.column("text"), "[a-z]+")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "tok_cnt": pa.array(
+                np.asarray(pc.list_value_length(ml), dtype=np.int64))})
+
+    counted = ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences(counted, id_col="doc_id", count_col="tok_cnt",
+                          budget=512)
+
+
+SQL_PACK_SEQUENCES_DOCUMENTS = """
+SELECT doc_id, tok_cnt, cum, (cum - tok_cnt) // 512 AS seq_id
+FROM (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS tok_cnt,
+         CAST(SUM(len(regexp_extract_all(text, '[a-z]+')))
+              OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM documents)
+"""
+
+
 def q_asof_join_events_orders(sf_dir: str):
     """Distributed as-of join: each event → the latest order of the same
     customer placed at-or-before the event timestamp (tie: max o_orderkey).
@@ -1074,6 +1197,9 @@ QUERIES = {
     "grouped_topk_events": q_grouped_topk_events,
     "sessionize_events": q_sessionize_events,
     "asof_join_events_orders": q_asof_join_events_orders,
+    "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
+    "top_terms_documents": q_top_terms_documents,
+    "pack_sequences_documents": q_pack_sequences_documents,
     "union_sum": q_union_sum,
     "sample_lineitem": q_sample_lineitem,
     "sentence_split_documents": q_sentence_split_documents,
@@ -1109,6 +1235,9 @@ ORACLE_SQL = {
     "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "asof_join_events_orders": SQL_ASOF_JOIN_EVENTS_ORDERS,
+    "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
+    "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,
+    "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
     "union_sum": SQL_UNION_SUM,
     "sentence_split_documents": SQL_SENTENCE_SPLIT_DOCUMENTS,
     "extract_tokens_documents": SQL_EXTRACT_TOKENS_DOCUMENTS,

@@ -443,3 +443,23 @@ def test_asof_join_interleaved_vs_reference():
     assert set(got) == set(want)
     for lid, (rid, payload, k, lts) in got.items():
         assert want[lid][0] == rid and want[lid][2] == k and want[lid][3] == lts
+
+
+def test_running_sum_and_packing_sparse_ids():
+    """Distributed prefix scan == numpy cumsum on sorted order, with sparse
+    non-contiguous ids arriving shuffled across blocks."""
+    from rel_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    ids = rng.choice(100000, size=500, replace=False).astype(np.int64)
+    cnt = rng.integers(0, 40, 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "tok_cnt": pa.array(cnt)})).repartition(7)
+    out = pack_sequences(ds, id_col="doc_id", count_col="tok_cnt",
+                         budget=128, num_buckets=16)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    order = np.argsort(ids)
+    want_cum = np.cumsum(cnt[order])
+    assert (df["cum"].to_numpy() == want_cum).all()
+    assert (df["seq_id"].to_numpy()
+            == (want_cum - cnt[order]) // 128).all()
