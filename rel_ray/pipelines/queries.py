@@ -698,6 +698,64 @@ def q_ann_topk_lsh_embeddings(sf_dir: str):
     return ann_topk_lsh(ds, queries, k=10)
 
 
+def q_ann_topk_ivf_embeddings(sf_dir: str):
+    """IVF ANN: spherical-kmeans cells + nprobe probing (rows-only —
+    recall-lossy by design; recall ≥0.9 measured in tests)."""
+    from ..stages.similarity import ann_topk_ivf
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.sort("vec_id").limit(5).take_all()
+    queries = {"ids": np.array([r["vec_id"] for r in qrows], dtype=np.int64),
+               "vecs": np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                                 for r in qrows])}
+    return ann_topk_ivf(ds, queries, k=10, n_cells=32, nprobe=6)
+
+
+def q_train_split_documents(sf_dir: str):
+    """Deterministic train/val/test split (reproducible across runs/workers:
+    pure function of doc_id, no RNG state)."""
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def split(t: pa.Table) -> pa.Table:
+        m = pc.cast(t.column("doc_id"), pa.int64()).to_numpy() % 10
+        lab = np.where(m < 8, "train", np.where(m == 8, "val", "test"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "split": pa.array(lab, type=pa.string())})
+
+    return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TRAIN_SPLIT_DOCUMENTS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_leakage_safe_split_documents(sf_dir: str):
+    """Leakage-safe split: near-duplicate documents (MinHash clusters) always
+    land in the SAME split — the split key is the cluster id, not the doc id.
+    The op a naive per-doc split silently gets wrong in training pipelines
+    (near-dup train/test contamination). Rows-only (LSH clustering)."""
+    from ..functions.shingles import string_hash_u64
+    from ..stages.dedup import near_dedup_minhash
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    clusters = near_dedup_minhash(ds, id_col="doc_id", text_col="text",
+                                  cfg=CFG, threshold=0.7)
+
+    def split(t: pa.Table) -> pa.Table:
+        h = np.asarray(string_hash_u64(t.column("cluster_id"))) % np.uint64(10)
+        lab = np.where(h < 8, "train", np.where(h == 8, "val", "test"))
+        return pa.table({"record_id": t.column("record_id"),
+                         "cluster_id": t.column("cluster_id"),
+                         "split": pa.array(lab, type=pa.string())})
+
+    return clusters.map_batches(split, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def q_normalize_documents(sf_dir: str):
     from ..functions.normalize import simple_normalize
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -1213,6 +1271,9 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ann_topk_lsh_embeddings": q_ann_topk_lsh_embeddings,
+    "ann_topk_ivf_embeddings": q_ann_topk_ivf_embeddings,
+    "train_split_documents": q_train_split_documents,
+    "leakage_safe_split_documents": q_leakage_safe_split_documents,
     "normalize_documents": q_normalize_documents,
     "token_count_documents": q_token_count_documents,
     "quality_counts_documents": q_quality_counts_documents,
@@ -1238,6 +1299,7 @@ ORACLE_SQL = {
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
+    "train_split_documents": SQL_TRAIN_SPLIT_DOCUMENTS,
     "union_sum": SQL_UNION_SUM,
     "sentence_split_documents": SQL_SENTENCE_SPLIT_DOCUMENTS,
     "extract_tokens_documents": SQL_EXTRACT_TOKENS_DOCUMENTS,

@@ -299,3 +299,96 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, n_planes: int = 8,
                               include_singletons=False)
     return attach_singleton_clusters(ds, id_col, cc, cfg=cfg,
                                      num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partitioned scale path
+# ---------------------------------------------------------------------------
+
+def _spherical_kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (the IVF
+    'train' step; sample is small — O(sample × dim), never the dataset)."""
+    rng = np.random.default_rng(seed)
+    X = _l2_normalize(np.asarray(sample, dtype=np.float64))
+    n_cells = min(n_cells, len(X))
+    C = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        acc = np.zeros_like(C)
+        np.add.at(acc, assign, X)
+        counts = np.bincount(assign, minlength=n_cells)
+        nz = counts > 0
+        C[nz] = acc[nz] / counts[nz, None]
+        C = _l2_normalize(C)
+    return C
+
+
+def ann_topk_ivf(ds, queries: dict, *, k: int = 10, n_cells: int = 32,
+                 nprobe: int = 4, sample_size: int = 2048,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42, batch_size: int = 4096):
+    """IVF ANN: coarse-quantize the corpus into n_cells centroid cells; each
+    query probes its nprobe nearest cells and only rows assigned to a probed
+    cell are scored.
+
+    Like ann_topk_lsh, no cell is ever materialized as a group: centroids +
+    probed-cell set are broadcast once (ray.put), every batch assigns its own
+    rows (one matmul + argmax), drops non-probed rows, and emits per-query
+    local top-k; the reduce sees O(k · batches) rows. The probed-cell set is
+    the UNION over queries — extra candidates only raise recall. Recall is
+    tuned by (n_cells, nprobe) and measured in tests (≥0.9 @ k=10).
+    """
+    from ..functions.rayutil import get_broadcast
+
+    train = ds.limit(sample_size).take_all()
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in train])
+    C = _spherical_kmeans(sample, n_cells, seed=seed)
+    q_vecs = _l2_normalize(np.asarray(queries["vecs"], dtype=np.float64))
+    np_probe = min(nprobe, len(C))
+    probe = np.argpartition(-(q_vecs @ C.T), np_probe - 1,
+                            axis=1)[:, :np_probe]
+    state_ref = ray.put({
+        "C": C, "cells": np.unique(probe),
+        "q_vecs": q_vecs,
+        "q_ids": np.asarray(queries["ids"], dtype=np.int64)})
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        st = get_broadcast(state_ref)
+        m = _l2_normalize(_embedding_matrix(batch, vec_col))
+        ids = np.asarray(batch.column(id_col))
+        assign = np.argmax(m @ st["C"].T, axis=1)
+        mask = np.isin(assign, st["cells"])
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64())})
+        if not mask.any():
+            return empty
+        m2, ids2 = m[mask], ids[mask]
+        sims = st["q_vecs"] @ m2.T
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        nq = sims.shape[0]
+        return pa.table({
+            "query_id": pa.array(np.repeat(st["q_ids"], kk), type=pa.int64()),
+            "vec_id": pa.array(ids2[idx.ravel()], type=pa.int64()),
+            "cosine": pa.array(
+                sims[np.repeat(np.arange(nq), kk), idx.ravel()],
+                type=pa.float64())})
+
+    local = ds.map_batches(local_candidates, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("cosine", "descending"), ("vec_id", "ascending")])
+        g = g.slice(0, k)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "vec_id": g.column("vec_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)),
+        })
+
+    return local.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pyarrow")

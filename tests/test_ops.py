@@ -463,3 +463,23 @@ def test_running_sum_and_packing_sparse_ids():
     assert (df["cum"].to_numpy() == want_cum).all()
     assert (df["seq_id"].to_numpy()
             == (want_cum - cnt[order]) // 128).all()
+
+
+def test_ann_ivf_recall():
+    """IVF recall@10 vs exact brute force on worst-case random vectors."""
+    from rel_ray.stages.similarity import ann_topk, ann_topk_ivf
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((2000, 32)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(2000), type=pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          type=pa.list_(pa.float32()))})
+    queries = {"ids": np.arange(8, dtype=np.int64),
+               "vecs": vecs[:8].astype(np.float64)}
+    ds = rd.from_arrow(tbl)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in _collect(ann_topk(ds, queries, k=10)).to_pylist()}
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in _collect(ann_topk_ivf(ds, queries, k=10, n_cells=32,
+                                          nprobe=8)).to_pylist()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, recall
