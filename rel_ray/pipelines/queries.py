@@ -1247,6 +1247,131 @@ def q_conversation_windows(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+def q_range_join_events(sf_dir: str):
+    """Attribution-window range join: every purchase within 1 hour at-or-after
+    a view by the same user. One bucket exchange + one vectorized composite
+    searchsorted per bucket (stages/temporal.py::range_join)."""
+    from ..stages.temporal import range_join
+
+    HOUR_US = 3_600_000_000
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: (lambda f: pa.table({
+            "user_id": f.column("user_id"),
+            "purchase_id": f.column("event_id"),
+            "ts_us": pc.cast(f.column("ts"), pa.int64())}))(
+                t.filter(pc.equal(t.column("event_type"), "purchase"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    views = ev.map_batches(
+        lambda t: (lambda f, s: pa.table({
+            "user_id": f.column("user_id"),
+            "view_id": f.column("event_id"),
+            "start_us": s,
+            "end_us": pc.add(s, HOUR_US)}))(
+                t.filter(pc.equal(t.column("event_type"), "view")),
+                pc.cast(t.filter(pc.equal(t.column("event_type"), "view"))
+                        .column("ts"), pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return range_join(purchases, views, key="user_id", left_ts="ts_us",
+                      right_start="start_us", right_end="end_us",
+                      left_cols=["user_id", "purchase_id"],
+                      right_cols=["view_id"])
+
+
+SQL_RANGE_JOIN_EVENTS = """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+"""
+
+
+def q_rolling_window_events(sf_dir: str):
+    """Per-user trailing 1-hour rolling count + cents-sum, SQL RANGE-frame
+    semantics (equal timestamps are peers). One bucket exchange, two
+    searchsorteds + one prefix sum per bucket (stages/temporal.py)."""
+    from ..stages.temporal import rolling_window_agg
+
+    HOUR_US = 3_600_000_000
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    prep = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return rolling_window_agg(prep, key="user_id", ts="ts", val_int="value_c",
+                              window=HOUR_US,
+                              carry_cols=["event_id", "user_id"])
+
+
+SQL_ROLLING_WINDOW_EVENTS = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS w_count,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT) AS w_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_customers_no_urgent_orders(sf_dir: str):
+    """Distributed anti join: customers with zero '1-URGENT' orders.
+    Tagged-union bucket exchange + vectorized membership test
+    (stages/joins.py::semi_anti_join) — right side never broadcast."""
+    from ..stages.joins import semi_anti_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    urgent = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    urgent = urgent.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+            .column("o_custkey")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return semi_anti_join(cust, urgent, key="c_custkey", anti=True)
+
+
+SQL_CUSTOMERS_NO_URGENT_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+TFIDF_QUERY = "fast merge sort dup window"
+
+
+def q_tfidf_topk_documents(sf_dir: str):
+    """Lexical retrieval: top-20 documents by quantized-idf TF-IDF against a
+    fixed query string. Integer-exact scoring (stages/retrieval.py) — two
+    streaming passes, no corpus shuffle, local top-k before the global sort."""
+    from ..stages.retrieval import tfidf_topk
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(ds, id_col="doc_id", text_col="text",
+                      query=TFIDF_QUERY, k=20)
+
+
+SQL_TFIDF_TOPK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+q(tok, tfq) AS (VALUES ('dup',1),('fast',1),('merge',1),('sort',1),('window',1)),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+df AS (SELECT q.tok, q.tfq, COUNT(DISTINCT t.doc_id) AS df
+       FROM q JOIN toks t USING (tok) GROUP BY 1, 2),
+w AS (SELECT tok, tfq, (SELECT n_docs FROM n) * 1048576 // df AS w
+      FROM df WHERE df > 0)
+SELECT t.doc_id, CAST(SUM(w.tfq * w.w) AS BIGINT) AS score
+FROM toks t JOIN w USING (tok)
+GROUP BY t.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "top_customers": q_top_customers,
@@ -1255,6 +1380,10 @@ QUERIES = {
     "grouped_topk_events": q_grouped_topk_events,
     "sessionize_events": q_sessionize_events,
     "asof_join_events_orders": q_asof_join_events_orders,
+    "range_join_events": q_range_join_events,
+    "rolling_window_events": q_rolling_window_events,
+    "customers_no_urgent_orders": q_customers_no_urgent_orders,
+    "tfidf_topk_documents": q_tfidf_topk_documents,
     "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
     "top_terms_documents": q_top_terms_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
@@ -1296,6 +1425,10 @@ ORACLE_SQL = {
     "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "asof_join_events_orders": SQL_ASOF_JOIN_EVENTS_ORDERS,
+    "range_join_events": SQL_RANGE_JOIN_EVENTS,
+    "rolling_window_events": SQL_ROLLING_WINDOW_EVENTS,
+    "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,
+    "tfidf_topk_documents": SQL_TFIDF_TOPK_DOCUMENTS,
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,

@@ -1,0 +1,124 @@
+"""Lexical retrieval: TF-IDF top-k document search over a text column.
+
+REL parity anchor: REL ranks candidate entities for a mention by a prior
+built from corpus statistics (REL:src/REL/db/generic.py p(e|m) counts); this
+stage is the corpus-statistics retrieval analog over the engine's own
+documents — rank documents against a query string by term-frequency ×
+inverse-document-frequency.
+
+Integer-exact scoring (house rule, see pipelines/queries.py): the idf weight
+is quantized to ``w(t) = (N * scale) // df(t)`` with INTEGER division, so the
+score ``sum_t tf(t,d) * tf(t,q) * w(t)`` is an int64 — bit-exact across
+engines and summation orders, hence DuckDB-oracle value-exact. (Overflow
+bound: ``max_tf * max_tf_q * N * scale // min_df`` must stay < 2^63 — with
+the default scale 2^20 that holds for corpora to ~10^9 docs; drop ``scale``
+for larger N.)
+
+Ray-Data-first plan (two streaming passes, no shuffle of the corpus):
+  1. df pass: per batch, count the docs containing each QUERY term (only
+     query terms matter for scoring — the global vocabulary is never
+     aggregated) plus the batch's doc count; reduce the tiny per-batch
+     (term_idx, df) tables with one small groupby-sum.
+  2. score pass: per batch, one ``pc.index_in`` against the broadcast query
+     terms + one weighted bincount gives every doc's score (a doc's score is
+     the sum of per-OCCURRENCE weights ``tf_q * w`` — no per-(doc,term)
+     grouping needed); local top-k per batch, then a global sort+limit over
+     the <= k-per-block survivors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tokenize_query(query: str, token_pattern: str) -> tuple[list[str], np.ndarray]:
+    """Query terms (distinct, sorted) and their tf_q counts."""
+    import re
+
+    toks = re.findall(token_pattern, query.lower())
+    terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    return [str(t) for t in terms], counts.astype(np.int64)
+
+
+def _match_terms(texts, token_pattern: str, terms: pa.Array):
+    """texts → (row_idx, term_idx) of every occurrence of a query term."""
+    from ..functions.normalize import extract_all_matches
+
+    ml = extract_all_matches(pc.utf8_lower(texts), token_pattern)
+    counts = np.asarray(pc.list_value_length(ml), dtype=np.int64)
+    flat = pc.list_flatten(ml)
+    qi = pc.index_in(flat, value_set=terms)
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    hit = np.asarray(pc.is_valid(qi))
+    return rows[hit], np.asarray(qi.drop_null(), dtype=np.int64)
+
+
+def compute_query_df(ds, *, text_col: str, token_pattern: str,
+                     terms: list[str]) -> tuple[np.ndarray, int]:
+    """(df per query term, corpus N) in ONE streaming pass.
+
+    Emits a (Q+1)-row partial table per batch (term_idx -1 counts docs) and
+    reduces with a tiny groupby-sum; nothing corpus-sized is materialized."""
+    q = len(terms)
+    term_arr = pa.array(terms, type=pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        rows, qi = _match_terms(texts, token_pattern, term_arr)
+        # distinct (doc, term) pairs -> df contribution
+        pair = np.unique(rows * q + qi)
+        dfp = np.bincount(pair % q, minlength=q).astype(np.int64)
+        return pa.table({
+            "term_idx": pa.array(np.arange(-1, q, dtype=np.int64)),
+            "n": pa.array(np.concatenate(([t.num_rows], dfp)))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("term_idx").sum("n"))
+    rows = {int(r["term_idx"]): int(r["sum(n)"]) for r in agg.take_all()}
+    n_docs = rows.pop(-1, 0)
+    df = np.zeros(q, dtype=np.int64)
+    for i, v in rows.items():
+        df[i] = v
+    return df, n_docs
+
+
+def tfidf_topk(ds, *, id_col: str, text_col: str, query: str, k: int = 20,
+               token_pattern: str = "[a-z]+", scale: int = 1 << 20,
+               batch_size: int = 4096):
+    """Top-k docs by quantized-idf TF-IDF score against ``query``.
+
+    Output: (id_col, score:int64), score desc / id asc, only score > 0.
+    ``ds`` is consumed twice (df pass + score pass) — pass a re-readable
+    dataset (e.g. straight from read_parquet), not an exhausted iterator."""
+    terms, tf_q = tokenize_query(query, token_pattern)
+    if not terms:
+        raise ValueError("query has no terms under token_pattern")
+    df, n_docs = compute_query_df(ds, text_col=text_col,
+                                  token_pattern=token_pattern, terms=terms)
+    w = np.where(df > 0, (n_docs * scale) // np.maximum(df, 1), 0)
+    occ_weight = (tf_q * w).astype(np.float64)  # exact: values < 2^53
+    term_arr = pa.array(terms, type=pa.string())
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        rows, qi = _match_terms(texts, token_pattern, term_arr)
+        s = np.bincount(rows, weights=occ_weight[qi],
+                        minlength=t.num_rows).astype(np.int64)
+        keep = s > 0
+        out = pa.table({id_col: t.column(id_col).filter(pa.array(keep)),
+                        "score": pa.array(s[keep])})
+        if out.num_rows > k:  # local top-k: global sort sees <= k per block
+            out = out.sort_by([("score", "descending"),
+                               (id_col, "ascending")]).slice(0, k)
+        return out
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+    return scored.sort(["score", id_col],
+                       descending=[True, False]).limit(k)

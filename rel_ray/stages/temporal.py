@@ -1,4 +1,4 @@
-"""Temporal joins: distributed as-of join (latest right row at-or-before).
+"""Temporal joins: as-of join, range (interval) join, rolling-window aggregate.
 
 REL parity anchor: REL keys every lookup to the *state of the store at
 processing time* (REL:src/REL/db/generic.py lookups against a fixed
@@ -119,3 +119,210 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
                           right_tag_schema=tag_schema)
     return bucketed_group_apply(merged, key, merge, num_buckets=num_buckets,
                                 sort_cols=sort_cols)
+
+# ---------------------------------------------------------------------------
+# composite (key, time) encoding — shared by range_join / rolling_window_agg
+# ---------------------------------------------------------------------------
+#
+# Within one bucket sorted by (key, t), pack (dense key code, time offset)
+# into ONE uint64 so a single vectorized np.searchsorted answers per-row
+# "first/last row of the same key within a time bound" — no per-key Python
+# loop, no per-row bisect. Key codes are per-bucket-dense (segment ordinals
+# over the sorted key column), so the bit budget scales with DISTINCT KEYS
+# PER BUCKET, not global cardinality: raising num_buckets shrinks it.
+
+
+def _dense_key_codes(key_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Sorted key column → dense int64 codes (0..n_distinct-1 per bucket)."""
+    from ..functions.rayutil import segment_starts
+
+    n = len(key_col)
+    starts = np.asarray(segment_starts(key_col), dtype=np.int64)
+    codes = np.zeros(n, dtype=np.int64)
+    codes[starts[1:]] = 1
+    return np.cumsum(codes)
+
+
+def _composite(codes: np.ndarray, toff: np.ndarray, t_bits: int) -> np.ndarray:
+    return (codes.astype(np.uint64) << np.uint64(t_bits)) | toff.astype(np.uint64)
+
+
+def _time_bits(max_off: int) -> int:
+    return max(1, int(max_off + 2).bit_length())
+
+
+def range_join(left, right, *, key: str, left_ts: str,
+               right_start: str, right_end: str,
+               left_cols: list[str], right_cols: list[str],
+               num_buckets: int = 256, max_matches: int = 0,
+               counter_name: str = "range_join_drops"):
+    """Inner interval join: every (left, right) pair with equal ``key`` and
+    ``right_start <= left_ts < right_end`` (end exclusive).
+
+    Ray-Data-first: ONE bucket exchange on the key (tagged union, same
+    pattern as asof_join), then per bucket a single searchsorted over the
+    composite (key code, time) order finds each interval's [lo, hi) slice of
+    left points — O(bucket log bucket), fully vectorized. Intervals are
+    assumed BOUNDED (attribution windows, session windows): output per
+    interval is hi-lo; ``max_matches`` caps it with a LOGGED drop counter
+    (0 = unlimited).
+
+    Scale: shuffle volume is |left|+|right| rows once; skewed hot keys land
+    in one bucket (salt upstream if a key exceeds a block). Composite bit
+    budget = log2(distinct keys per bucket) + log2(time span in input time
+    units); raise ``num_buckets`` if a bucket ever overflows 64 bits.
+    """
+    from ..functions.rayutil import DropCounter
+
+    l_schema, r_schema = left.schema(), right.schema()
+
+    def _type_of(schema, name):
+        return schema.base_schema.field(name).type
+
+    l_payload = [c for c in left_cols if c != key]
+    r_payload = [c for c in right_cols if c != key]
+    assert not set(l_payload) & set(r_payload), "payload columns must not overlap"
+    types = {key: _type_of(l_schema, key)}
+    types |= {c: _type_of(l_schema, c) for c in l_payload}
+    types |= {c: _type_of(r_schema, c) for c in r_payload}
+    _END = "__t_end"
+    ordered = [key, _T, _END, _SIDE, *l_payload, *r_payload]
+    tag_schema = pa.schema(
+        [pa.field(key, types[key]), pa.field(_T, pa.int64()),
+         pa.field(_END, pa.int64()), pa.field(_SIDE, pa.int8())]
+        + [pa.field(c, types[c]) for c in [*l_payload, *r_payload]])
+
+    def _proj(is_left: bool):
+        mine = set(l_payload if is_left else r_payload)
+        side_val = 0 if is_left else 1
+
+        def proj(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for c in ordered:
+                if c == key:
+                    cols[c] = t.column(key)
+                elif c == _T:
+                    src = left_ts if is_left else right_start
+                    cols[c] = pc.cast(t.column(src), pa.int64())
+                elif c == _END:
+                    cols[c] = (pa.nulls(n, type=pa.int64()) if is_left
+                               else pc.cast(t.column(right_end), pa.int64()))
+                elif c == _SIDE:
+                    cols[c] = pa.array(np.full(n, side_val, dtype=np.int8))
+                elif c in mine:
+                    cols[c] = t.column(c)
+                else:
+                    cols[c] = pa.nulls(n, type=types[c])
+            return pa.table(cols)
+
+        return proj
+
+    lp = left.map_batches(_proj(True), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rp = right.map_batches(_proj(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out_cols = [key, *l_payload, *r_payload]
+    counter = DropCounter(counter_name) if max_matches else None
+
+    def merge(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        empty = pa.table({c: pa.array([], type=types[c]) for c in out_cols})
+        if n == 0:
+            return empty
+        side = np.asarray(bucket.column(_SIDE))
+        t_all = np.asarray(bucket.column(_T))
+        l_pos = np.nonzero(side == 0)[0]
+        r_pos = np.nonzero(side == 1)[0]
+        if len(l_pos) == 0 or len(r_pos) == 0:
+            return empty
+        ends = np.asarray(pc.fill_null(bucket.column(_END), 0))
+        codes = _dense_key_codes(bucket.column(key))
+        t0 = int(t_all.min())
+        max_off = int(max(t_all.max(), ends[r_pos].max()) - t0)
+        t_bits = _time_bits(max_off)
+        if int(codes[-1]).bit_length() + t_bits > 63:
+            raise ValueError(
+                f"range_join composite overflow ({codes[-1]+1} keys x "
+                f"{max_off} time span in one bucket) — raise num_buckets")
+        l_comp = _composite(codes[l_pos], t_all[l_pos] - t0, t_bits)
+        r_start_off = np.maximum(t_all[r_pos] - t0, 0)
+        r_end_off = np.clip(ends[r_pos] - t0, 0, max_off + 1)
+        lo = np.searchsorted(l_comp, _composite(codes[r_pos], r_start_off, t_bits),
+                             side="left")
+        hi = np.searchsorted(l_comp, _composite(codes[r_pos], r_end_off, t_bits),
+                             side="left")
+        cnt = hi - lo
+        if max_matches:
+            over = cnt - max_matches
+            dropped = int(over[over > 0].sum())
+            if dropped:
+                counter.add("range_join_matches", dropped)
+            cnt = np.minimum(cnt, max_matches)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        r_sel = np.repeat(np.arange(len(r_pos), dtype=np.int64), cnt)
+        offs = np.cumsum(cnt) - cnt
+        l_sel_local = (np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+                       + np.repeat(lo, cnt))
+        la = pa.array(l_pos[l_sel_local], type=pa.int64())
+        ra = pa.array(r_pos[r_sel], type=pa.int64())
+        cols = {}
+        for c in out_cols:
+            src = la if (c == key or c in l_payload) else ra
+            cols[c] = bucket.column(c).take(src)
+        return pa.table(cols)
+
+    merged = tagged_union(lp, rp, left_tag_schema=tag_schema,
+                          right_tag_schema=tag_schema)
+    return bucketed_group_apply(merged, key, merge, num_buckets=num_buckets,
+                                sort_cols=[(_T, "ascending"),
+                                           (_SIDE, "ascending")])
+
+
+def rolling_window_agg(ds, *, key: str, ts: str, val_int: str,
+                       window: int, carry_cols: list[str],
+                       num_buckets: int = 256):
+    """Per-key rolling aggregate over a trailing time window, SQL ``RANGE
+    BETWEEN <window> PRECEDING AND CURRENT ROW`` semantics: for each row,
+    count and integer-sum of all same-key rows with ``row.ts - window <=
+    other.ts <= row.ts`` — equal timestamps are peers (all included), exactly
+    as the SQL RANGE frame defines.
+
+    ``val_int`` must be an int64 column (integer-exact house rule: round
+    currency to cents upstream). One bucket exchange; per bucket two
+    vectorized searchsorteds over the composite (key code, time) order plus
+    one prefix-sum — O(bucket log bucket), no per-key callbacks.
+
+    Output: carry_cols + (w_count:int64, w_sum:int64).
+    """
+    def agg(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        out_schema = {c: bucket.column(c).type for c in carry_cols}
+        if n == 0:
+            return pa.table(
+                {**{c: pa.array([], type=out_schema[c]) for c in carry_cols},
+                 "w_count": pa.array([], type=pa.int64()),
+                 "w_sum": pa.array([], type=pa.int64())})
+        t_all = np.asarray(pc.cast(bucket.column(ts), pa.int64()))
+        codes = _dense_key_codes(bucket.column(key))
+        t0 = int(t_all.min())
+        toff = t_all - t0
+        t_bits = _time_bits(int(toff.max()))
+        if int(codes[-1]).bit_length() + t_bits > 63:
+            raise ValueError("rolling_window_agg composite overflow — "
+                             "raise num_buckets")
+        comp = _composite(codes, toff, t_bits)
+        lo = np.searchsorted(comp, _composite(codes, np.maximum(toff - window, 0),
+                                              t_bits), side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        vals = np.asarray(bucket.column(val_int), dtype=np.int64)
+        prefix = np.concatenate(([0], np.cumsum(vals)))
+        cols = {c: bucket.column(c) for c in carry_cols}
+        cols["w_count"] = pa.array(hi - lo)
+        cols["w_sum"] = pa.array(prefix[hi] - prefix[lo])
+        return pa.table(cols)
+
+    return bucketed_group_apply(ds, key, agg, num_buckets=num_buckets,
+                                sort_cols=[(ts, "ascending")])

@@ -483,3 +483,113 @@ def test_ann_ivf_recall():
                                           nprobe=8)).to_pylist()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9, recall
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_known_answer_and_cap():
+    """Hand-computed interval join incl. end-exclusive boundary, key
+    isolation, and the logged max_matches cap."""
+    from rel_ray.stages.temporal import range_join
+
+    left = pa.table({  # points
+        "k": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        "lid": pa.array([10, 11, 12, 20, 30], type=pa.int64()),
+        "t": pa.array([5, 10, 15, 5, 99], type=pa.int64()),
+    })
+    right = pa.table({  # intervals [s, e)
+        "k": pa.array([1, 1, 2, 4], type=pa.int64()),
+        "rid": pa.array([100, 101, 200, 400], type=pa.int64()),
+        "s": pa.array([5, 11, 0, 0], type=pa.int64()),
+        "e": pa.array([15, 16, 100, 100], type=pa.int64()),
+    })
+    out = _collect(range_join(
+        rd.from_arrow(left), rd.from_arrow(right), key="k", left_ts="t",
+        right_start="s", right_end="e", left_cols=["k", "lid"],
+        right_cols=["rid"], num_buckets=4))
+    got = sorted(zip(out.column("lid").to_pylist(),
+                     out.column("rid").to_pylist()))
+    # rid=100 covers t in [5,15): lids 10,11 (15 excluded: end-exclusive)
+    # rid=101 covers [11,16): lid 12 (t=15), not 11 (t=10)
+    # rid=200 covers k=2 [0,100): lid 20; k=3/4 never match
+    assert got == [(10, 100), (11, 100), (12, 101), (20, 200)]
+
+    capped = _collect(range_join(
+        rd.from_arrow(left), rd.from_arrow(right), key="k", left_ts="t",
+        right_start="s", right_end="e", left_cols=["k", "lid"],
+        right_cols=["rid"], num_buckets=4, max_matches=1,
+        counter_name="test_rj_cap"))
+    assert capped.num_rows == 3  # rid=100 keeps only its first match
+    from rel_ray.functions.rayutil import DropCounter
+    assert DropCounter("test_rj_cap").totals()["range_join_matches"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_window_range_peers():
+    """SQL RANGE-frame semantics: equal timestamps are peers — every peer row
+    sees ALL peers (including sort-later ones) in its frame."""
+    from rel_ray.stages.temporal import rolling_window_agg
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "rid": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([100, 100, 105, 200, 100], type=pa.int64()),
+        "v": pa.array([1, 2, 4, 8, 16], type=pa.int64()),
+    })
+    out = _collect(rolling_window_agg(
+        rd.from_arrow(t), key="k", ts="ts", val_int="v", window=10,
+        carry_cols=["rid"], num_buckets=4)).sort_by("rid")
+    cnt = out.column("w_count").to_pylist()
+    s = out.column("w_sum").to_pylist()
+    # rid 0,1: peers at ts=100 -> both count 2 sum 3 (window [90,100])
+    # rid 2: ts=105 window [95,105] -> rows 0,1,2 -> count 3 sum 7
+    # rid 3: ts=200 window [190,200] -> itself only
+    # rid 4: other key
+    assert cnt == [2, 2, 3, 1, 1]
+    assert s == [3, 3, 7, 8, 16]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_join_partition():
+    """semi(left) and anti(left) partition left exactly; empty right."""
+    from rel_ray.stages.joins import semi_anti_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                     "payload": pa.array(list("abcde"))})
+    right = pa.table({"k": pa.array([2, 2, 4, 9], type=pa.int64())})
+    semi = _collect(semi_anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                                   key="k", anti=False, num_buckets=4))
+    anti = _collect(semi_anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                                   key="k", anti=True, num_buckets=4))
+    assert sorted(semi.column("k").to_pylist()) == [2, 4]
+    assert sorted(anti.column("k").to_pylist()) == [1, 3, 5]
+    assert semi.column_names == left.column_names
+    empty_r = rd.from_arrow(right.slice(0, 0))
+    assert _collect(semi_anti_join(rd.from_arrow(left), empty_r, key="k",
+                                   anti=True, num_buckets=4)).num_rows == 5
+    assert _collect(semi_anti_join(rd.from_arrow(left), empty_r, key="k",
+                                   anti=False, num_buckets=4)).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_topk_hand_computed():
+    """Quantized-idf TF-IDF against a hand-computed reference; absent query
+    terms get weight 0."""
+    from rel_ray.stages.retrieval import tfidf_topk
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "rare common common",          # tf(rare)=1 tf(common)=2
+            "common common common",        # tf(common)=3
+            "rare rare",                   # tf(rare)=2
+            "nothing relevant here",
+        ])})
+    out = _collect(tfidf_topk(rd.from_arrow(docs), id_col="doc_id",
+                              text_col="text",
+                              query="rare common ghostterm", k=10,
+                              scale=1 << 10))
+    # N=4, df(rare)=2, df(common)=2, df(ghostterm)=0 -> w = 4*1024//2 = 2048
+    # scores: d1 = 1*2048 + 2*2048 = 6144; d2 = 3*2048 = 6144; d3 = 2*2048
+    got = list(zip(out.column("doc_id").to_pylist(),
+                   out.column("score").to_pylist()))
+    assert got == [(1, 6144), (2, 6144), (3, 4096)]  # tie broken by doc_id
