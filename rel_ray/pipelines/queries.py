@@ -1341,6 +1341,60 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_revenue_by_mktsegment(sf_dir: str):
+    """Broadcast dim join (orders fact ⋈ customer dim) → grouped revenue.
+    The dim table is ray.put once and per-process cached; the fact side
+    streams with zero shuffles before the 5-group aggregate."""
+    import ray as _ray
+
+    from ..stages.joins import broadcast_inner_join
+    from ..functions.rayutil import collect_table
+
+    dim = collect_table(_pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    dim_ref = _ray.put(dim)
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    fact = orders.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("o_custkey"),
+                            "price_c": _cents(t.column("o_totalprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = broadcast_inner_join(fact, dim_ref, key="c_custkey",
+                                  val_cols=["c_mktsegment"])
+    agg = joined.groupby("c_mktsegment").aggregate(Sum("price_c"), Count())
+    return agg.map_batches(
+        lambda t: pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                            "revenue_cents": t.column("sum(price_c)"),
+                            "n_orders": t.column("count()")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_REVENUE_BY_MKTSEGMENT = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_stratified_sample_documents(sf_dir: str):
+    """Deterministic per-stratum hash sampling (en 20%, zh 50%, rest 10%):
+    membership depends only on doc_id, reproducible across engines/retries —
+    the SQL oracle reproduces the exact same integer hash."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, id_col="doc_id", stratum_col="lang",
+                             rates_permyriad={"en": 2000, "zh": 5000},
+                             default_permyriad=1000)
+
+
+SQL_STRATIFIED_SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % 2147483648) * 2654435761 % 2147483648) % 10000 <
+      CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 1000 END
+"""
+
+
 TFIDF_QUERY = "fast merge sort dup window"
 
 
@@ -1383,6 +1437,8 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "rolling_window_events": q_rolling_window_events,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
+    "revenue_by_mktsegment": q_revenue_by_mktsegment,
+    "stratified_sample_documents": q_stratified_sample_documents,
     "tfidf_topk_documents": q_tfidf_topk_documents,
     "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
     "top_terms_documents": q_top_terms_documents,
@@ -1428,6 +1484,8 @@ ORACLE_SQL = {
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "rolling_window_events": SQL_ROLLING_WINDOW_EVENTS,
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,
+    "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
+    "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "tfidf_topk_documents": SQL_TFIDF_TOPK_DOCUMENTS,
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,

@@ -93,3 +93,32 @@ def broadcast_semi_anti(left, right_keys_ref, *, key: str, anti: bool = False,
 
     return left.map_batches(filt, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size)
+
+
+def broadcast_inner_join(left, right_ref, *, key: str,
+                         val_cols: list[str], batch_size: int = 8192):
+    """Small-right inner equi-join: ``right_ref`` is a ``ray.put`` ObjectRef
+    of a pyarrow Table with UNIQUE ``key`` values (a dimension table).
+
+    One streaming pass over left, zero shuffles: per batch one
+    ``pc.index_in`` against the broadcast key column + one ``take`` per value
+    column (per-process cached via get_broadcast). Left rows with no match
+    are dropped (inner semantics). This is the explicit operator form of the
+    broadcast-dim-join pattern used throughout the engine (REL parity:
+    REL:src/REL/db/generic.py batch lookups against the loaded store).
+    """
+    from ..functions.rayutil import get_broadcast
+
+    def join(t: pa.Table) -> pa.Table:
+        dim = get_broadcast(right_ref)
+        idx = pc.index_in(t.column(key), value_set=dim.column(key))
+        hit = pc.is_valid(idx)
+        t = t.filter(hit)
+        idx = idx.filter(hit)
+        cols = {c: t.column(c) for c in t.column_names}
+        for c in val_cols:
+            cols[c] = dim.column(c).take(idx)
+        return pa.table(cols)
+
+    return left.map_batches(join, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)

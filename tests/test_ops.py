@@ -520,7 +520,13 @@ def test_range_join_known_answer_and_cap():
         counter_name="test_rj_cap"))
     assert capped.num_rows == 3  # rid=100 keeps only its first match
     from rel_ray.functions.rayutil import DropCounter
-    assert DropCounter("test_rj_cap").totals()["range_join_matches"] == 1
+    import time as _time
+    for _ in range(50):  # counter adds are fire-and-forget; allow them to land
+        totals = DropCounter("test_rj_cap").totals()
+        if totals.get("range_join_matches"):
+            break
+        _time.sleep(0.1)
+    assert totals["range_join_matches"] == 1
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -593,3 +599,46 @@ def test_tfidf_topk_hand_computed():
     got = list(zip(out.column("doc_id").to_pylist(),
                    out.column("score").to_pylist()))
     assert got == [(1, 6144), (2, 6144), (3, 4096)]  # tie broken by doc_id
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_inner_join():
+    import ray
+    from rel_ray.stages.joins import broadcast_inner_join
+
+    left = pa.table({"k": pa.array([1, 2, 9, 2], type=pa.int64()),
+                     "x": pa.array([10, 20, 90, 21], type=pa.int64())})
+    dim = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                    "name": pa.array(["a", "b", "c"])})
+    out = _collect(broadcast_inner_join(
+        rd.from_arrow(left), ray.put(dim), key="k", val_cols=["name"]))
+    got = sorted(zip(out.column("x").to_pylist(),
+                     out.column("name").to_pylist()))
+    assert got == [(10, "a"), (20, "b"), (21, "b")]  # k=9 dropped (inner)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_deterministic():
+    """Same rows on re-execution; per-stratum rates roughly honored; rate 0
+    and 10000 are exact."""
+    from rel_ray.stages.sampling import stratified_sample
+
+    n = 4000
+    t = pa.table({"id": pa.array(range(n), type=pa.int64()),
+                  "s": pa.array(["a", "b"] * (n // 2))})
+    rates = {"a": 10000, "b": 0}
+    out = _collect(stratified_sample(rd.from_arrow(t), id_col="id",
+                                     stratum_col="s", rates_permyriad=rates))
+    assert sorted(out.column("id").to_pylist()) == list(range(0, n, 2))
+
+    rates2 = {"a": 2500, "b": 5000}
+    r1 = sorted(_collect(stratified_sample(
+        rd.from_arrow(t), id_col="id", stratum_col="s",
+        rates_permyriad=rates2)).column("id").to_pylist())
+    r2 = sorted(_collect(stratified_sample(
+        rd.from_arrow(t), id_col="id", stratum_col="s",
+        rates_permyriad=rates2)).column("id").to_pylist())
+    assert r1 == r2 and len(r1) > 0
+    frac_a = sum(1 for i in r1 if i % 2 == 0) / (n / 2)
+    frac_b = sum(1 for i in r1 if i % 2 == 1) / (n / 2)
+    assert abs(frac_a - 0.25) < 0.05 and abs(frac_b - 0.5) < 0.05
