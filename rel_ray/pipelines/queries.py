@@ -1395,6 +1395,123 @@ WHERE ((doc_id % 2147483648) * 2654435761 % 2147483648) % 10000 <
 """
 
 
+def q_distinct_users_per_event_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): per-batch distinct (type, user) pairs
+    (combiner) → one bucket exchange dedups pairs globally → tiny count-sum.
+    Shuffle volume is distinct-ish pairs, never raw events."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        enc_t = pc.dictionary_encode(t.column("event_type").combine_chunks()
+                                     if isinstance(t.column("event_type"),
+                                                   pa.ChunkedArray)
+                                     else t.column("event_type"))
+        tc = np.asarray(enc_t.indices, dtype=np.int64)
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        if len(u) == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "user_id": pa.array([], type=pa.int64())})
+        base = u.max() + 1
+        pair = np.unique(tc * base + u)
+        return pa.table({
+            "event_type": enc_t.dictionary.take(pa.array(pair // base)),
+            "user_id": pa.array(pair % base)})
+
+    def bucket_count(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        ch_t = np.zeros(n, dtype=bool)
+        ch_t[np.asarray(segment_starts(bucket.column("event_type")))] = True
+        ch_u = np.zeros(n, dtype=bool)
+        ch_u[np.asarray(segment_starts(bucket.column("user_id")))] = True
+        first = ch_t | ch_u          # first row of each distinct pair
+        t_starts = np.asarray(segment_starts(bucket.column("event_type")))
+        seg_id = np.zeros(n, dtype=np.int64)
+        seg_id[t_starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        counts = np.bincount(seg_id[first], minlength=len(t_starts))
+        return pa.table({
+            "event_type": bucket.column("event_type").take(pa.array(t_starts)),
+            "n": pa.array(counts.astype(np.int64))})
+
+    partial = ds.map_batches(batch_distinct, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    per_bucket = bucketed_group_apply(partial, ["event_type", "user_id"],
+                                      bucket_count, num_buckets=64)
+    agg = per_bucket.groupby("event_type").sum("n")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_users"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DISTINCT_USERS_PER_EVENT_TYPE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog grouped distinct (p=12, ~1.6% expected error): the
+    mergeable-sketch combiner path for COUNT(DISTINCT) at 100-TB scale —
+    shuffle moves one 4-KiB sketch row per (group, batch), never the pairs.
+    rows-only (approximate by design); accuracy vs exact is pinned in
+    tests/test_ops.py::test_hll_accuracy."""
+    from ..stages.sketches import grouped_approx_distinct
+
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_approx_distinct(ds, group_col="event_type",
+                                   value_col="user_id", p=12)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events_per_user(sf_dir: str):
+    """Pivot: per-user event-type counts as columns. Per-batch bincount
+    partials (combiner) → groupby(user).sum — the shuffle moves one partial
+    row per (user, batch), pre-aggregated."""
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            t.column("user_id").combine_chunks()
+            if isinstance(t.column("user_id"), pa.ChunkedArray)
+            else t.column("user_id"))
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        users = enc.dictionary
+        et = t.column("event_type")
+        cols = {"user_id": users}
+        for name in _EVENT_TYPES:
+            mask = np.asarray(pc.equal(et, name), dtype=bool)
+            cols[f"n_{name}"] = pa.array(
+                np.bincount(codes[mask], minlength=len(users)).astype(np.int64))
+        return pa.table(cols)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("user_id")
+           .sum([f"n_{n}" for n in _EVENT_TYPES]))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["user_id"] +
+                                   [f"n_{n}" for n in _EVENT_TYPES]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PIVOT_EVENTS_PER_USER = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 TFIDF_QUERY = "fast merge sort dup window"
 
 
@@ -1439,6 +1556,9 @@ QUERIES = {
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "revenue_by_mktsegment": q_revenue_by_mktsegment,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "distinct_users_per_event_type": q_distinct_users_per_event_type,
+    "approx_distinct_users": q_approx_distinct_users,
+    "pivot_events_per_user": q_pivot_events_per_user,
     "tfidf_topk_documents": q_tfidf_topk_documents,
     "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
     "top_terms_documents": q_top_terms_documents,
@@ -1486,6 +1606,8 @@ ORACLE_SQL = {
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,
     "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
+    "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
+    "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,
     "tfidf_topk_documents": SQL_TFIDF_TOPK_DOCUMENTS,
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,

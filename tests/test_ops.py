@@ -642,3 +642,38 @@ def test_stratified_sample_deterministic():
     frac_a = sum(1 for i in r1 if i % 2 == 0) / (n / 2)
     frac_b = sum(1 for i in r1 if i % 2 == 1) / (n / 2)
     assert abs(frac_a - 0.25) < 0.05 and abs(frac_b - 0.5) < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_accuracy():
+    """Grouped HLL estimate within 5% of truth at p=12 (theory: ~1.6%),
+    merged across many batches; tiny groups are exact via linear counting."""
+    from rel_ray.stages.sketches import grouped_approx_distinct, hll_estimate, hll_fold
+
+    rng = np.random.default_rng(7)
+    vals_a = rng.integers(0, 10_000, size=60_000, dtype=np.int64)  # ~9950 distinct
+    vals_b = rng.integers(0, 37, size=5_000, dtype=np.int64)       # small: exact-ish
+    t = pa.table({
+        "g": pa.array(["a"] * len(vals_a) + ["b"] * len(vals_b)),
+        "v": pa.array(np.concatenate([vals_a, vals_b])),
+    })
+    out = _collect(grouped_approx_distinct(
+        rd.from_arrow(t), group_col="g", value_col="v", p=12,
+        num_buckets=8)).sort_by("g")
+    est = dict(zip(out.column("g").to_pylist(),
+                   out.column("approx_distinct").to_pylist()))
+    true_a = len(np.unique(vals_a))
+    true_b = len(np.unique(vals_b))
+    assert abs(est["a"] - true_a) / true_a < 0.05
+    assert abs(est["b"] - true_b) / true_b < 0.05
+
+    # kernel-level merge law: fold(x ++ y) == max(fold(x), fold(y))
+    from rel_ray.functions.hashing import splitmix64
+    h1 = splitmix64(np.arange(0, 3000, dtype=np.uint64))
+    h2 = splitmix64(np.arange(1500, 5000, dtype=np.uint64))
+    r1 = hll_fold(h1, np.zeros(len(h1), dtype=np.int64), 1, 12)
+    r2 = hll_fold(h2, np.zeros(len(h2), dtype=np.int64), 1, 12)
+    r12 = hll_fold(np.concatenate([h1, h2]),
+                   np.zeros(len(h1) + len(h2), dtype=np.int64), 1, 12)
+    assert np.array_equal(np.maximum(r1, r2), r12)
+    assert abs(hll_estimate(r12[0]) - 5000) / 5000 < 0.05
