@@ -1512,6 +1512,53 @@ FROM events GROUP BY user_id
 """
 
 
+def q_chunk_documents(sf_dir: str):
+    """RAG-style overlapping chunking (50-token windows every 40 tokens):
+    embarrassingly parallel, zero shuffles (stages/packing.py)."""
+    from ..stages.packing import chunk_documents
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, id_col="doc_id", text_col="text",
+                           chunk_size=50, stride=40)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr,
+         CAST(array_length(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS len
+  FROM documents)
+, starts AS (
+  SELECT doc_id, arr, len, unnest(range(0, len, 40)) AS gs
+  FROM toks WHERE len > 0)
+SELECT doc_id,
+       gs // 40 AS chunk_idx,
+       LEAST(gs + 50, len) - gs AS n_tokens,
+       array_to_string(arr[gs + 1 : LEAST(gs + 50, len)], ' ') AS chunk_text
+FROM starts
+"""
+
+
+def q_scrub_pii_documents(sf_dir: str):
+    """PII scrubbing (urls → emails → phone runs, RE2 both engines):
+    one streaming pass, byte-exact vs the SQL oracle
+    (stages/cleaning.py documents the rule order contract)."""
+    from ..stages.cleaning import scrub_pii
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return scrub_pii(ds, text_col="text", out_col="text_clean")
+
+
+SQL_SCRUB_PII_DOCUMENTS = r"""
+SELECT doc_id, text,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text_clean
+FROM documents
+"""
+
+
 TFIDF_QUERY = "fast merge sort dup window"
 
 
@@ -1559,6 +1606,8 @@ QUERIES = {
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
     "pivot_events_per_user": q_pivot_events_per_user,
+    "chunk_documents": q_chunk_documents,
+    "scrub_pii_documents": q_scrub_pii_documents,
     "tfidf_topk_documents": q_tfidf_topk_documents,
     "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
     "top_terms_documents": q_top_terms_documents,
@@ -1608,6 +1657,8 @@ ORACLE_SQL = {
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "scrub_pii_documents": SQL_SCRUB_PII_DOCUMENTS,
     "tfidf_topk_documents": SQL_TFIDF_TOPK_DOCUMENTS,
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,

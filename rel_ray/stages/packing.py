@@ -88,3 +88,64 @@ def pack_sequences(ds, *, id_col: str, count_col: str, budget: int,
 
     return scanned.map_batches(assign, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def chunk_documents(ds, *, id_col: str, text_col: str, chunk_size: int = 50,
+                    stride: int = 40, token_pattern: str = "[a-z]+",
+                    batch_size: int = 4096):
+    """RAG-style overlapping chunking: split each document's token sequence
+    into windows of ``chunk_size`` tokens starting every ``stride`` tokens
+    (overlap = chunk_size - stride), one output row per chunk.
+
+    Chunk starts are s = 0, stride, 2*stride, ... while s < n_tokens; the
+    last chunk may be short (it still has > overlap tokens unless the doc
+    ends inside the overlap). Zero-token docs emit no chunks. chunk_text is
+    the space-joined token window (normalized form, matching an ANSI-SQL
+    oracle built from regexp_extract_all + array slicing).
+
+    Fully vectorized per batch (ragged arange + one take + binary_join);
+    embarrassingly parallel — no shuffle at any scale. Output:
+    (id_col, chunk_idx:int64, n_tokens:int64, chunk_text:string).
+    """
+    from ..functions.normalize import extract_all_matches
+
+    assert 0 < stride <= chunk_size
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        ml = extract_all_matches(pc.utf8_lower(t.column(text_col)),
+                                 token_pattern)
+        if isinstance(ml, pa.ChunkedArray):
+            ml = ml.combine_chunks()
+        lens = np.asarray(pc.list_value_length(ml), dtype=np.int64)
+        tok_starts = np.asarray(ml.offsets, dtype=np.int64)[:-1]
+        n_chunks = (lens + stride - 1) // stride  # ceil(len/stride), 0 for empty
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "chunk_idx": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "chunk_text": pa.array([], type=pa.string())})
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+        offs = np.cumsum(n_chunks) - n_chunks
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_chunks)
+        s = cidx * stride
+        clen = np.minimum(s + chunk_size, lens[row]) - s
+        # gather token indices per chunk (overlap duplicates the window)
+        tot_toks = int(clen.sum())
+        crow = np.repeat(np.arange(total, dtype=np.int64), clen)
+        coffs = np.cumsum(clen) - clen
+        pos = np.arange(tot_toks, dtype=np.int64) - np.repeat(coffs, clen)
+        gather = np.repeat(tok_starts[row] + s, clen) + pos
+        chunk_toks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(clen))), type=pa.int32()),
+            ml.values.take(pa.array(gather)))
+        return pa.table({
+            id_col: ids.take(pa.array(row)),
+            "chunk_idx": pa.array(cidx),
+            "n_tokens": pa.array(clen),
+            "chunk_text": pc.binary_join(chunk_toks, " "),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)

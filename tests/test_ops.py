@@ -677,3 +677,61 @@ def test_hll_accuracy():
                    np.zeros(len(h1) + len(h2), dtype=np.int64), 1, 12)
     assert np.array_equal(np.maximum(r1, r2), r12)
     assert abs(hll_estimate(r12[0]) - 5000) / 5000 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_windows():
+    """Overlap windows: 0-token doc emits nothing; short doc one chunk; a
+    95-token doc with size=50/stride=40 gives chunks of 50/50/15."""
+    from rel_ray.stages.packing import chunk_documents
+
+    texts = ["", "three token doc", " ".join(f"w{i}" for i in range(95))]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = _collect(chunk_documents(rd.from_arrow(t), id_col="doc_id",
+                                   text_col="text", chunk_size=50, stride=40,
+                                   token_pattern="[a-z0-9]+")).sort_by(
+        [("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    rows = out.to_pylist()
+    assert [r["doc_id"] for r in rows] == [1, 2, 2, 2]
+    assert [r["n_tokens"] for r in rows] == [3, 50, 50, 15]
+    # overlap: chunk 1 of doc 2 starts at token 40
+    assert rows[2]["chunk_text"].split()[0] == "w40"
+    assert rows[2]["chunk_text"].split()[-1] == "w89"
+    assert rows[3]["chunk_text"].split() == [f"w{i}" for i in range(80, 95)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scrub_pii_rules():
+    """Rule order + placeholders; cross-checked against DuckDB's RE2 on the
+    same crafted strings (the oracle-identity contract)."""
+    import duckdb
+
+    from rel_ray.stages.cleaning import scrub_pii
+
+    texts = [
+        "contact me at alice.smith+work@example.co.uk today",
+        "see https://example.com/a?b=c&user=bob@mail.com for details",
+        "call +1 555-123 4567 or 08-1234-5678 now",
+        "no pii here at all",
+        "mixed: http://x.io/p bob@x.io +49 171 1234567",
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = _collect(scrub_pii(rd.from_arrow(t), text_col="text",
+                             out_col="clean")).sort_by("doc_id")
+    clean = out.column("clean").to_pylist()
+    assert clean[0] == "contact me at <EMAIL> today"
+    assert clean[1] == "see <URL> for details"          # email inside URL: once
+    assert "<PHONE>" in clean[2] and "555" not in clean[2]
+    assert clean[3] == texts[3]
+    assert clean[4] == "mixed: <URL> <EMAIL> <PHONE>"
+
+    con = duckdb.connect()
+    sql = con.execute(r"""
+      SELECT regexp_replace(regexp_replace(regexp_replace(t,
+        'https?://[^\s]+', '<URL>', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')
+      FROM (SELECT unnest(?) AS t)""", [texts]).fetchall()
+    assert [r[0] for r in sql] == clean
