@@ -1230,10 +1230,54 @@ FROM capped WHERE len(ms) = 0
 """
 
 
+def _conversation_windows_sql() -> str:
+    """DuckDB twin of q_conversation_windows — extends the context-windows
+    oracle with the order-sensitive `with_coref` scan
+    (REL:src/REL/training_datasets.py::with_coref): the latest earlier
+    record in the conversation whose normalized-mention token list differs
+    and token-subset-matches (exact or dotted-abbreviation prefix,
+    honorifics skipped on the later side). The engine's scan order equals
+    record_id lexicographic order (zero-padded conv/turn/span), so
+    "latest earlier match" is `max(earlier_id)` — a plain argmax join."""
+    inner = _context_windows_sql()
+    return rf"""
+WITH recs0 AS ({inner}),
+recs AS (
+  SELECT *,
+    regexp_replace(
+      trim(regexp_replace(lower(mention), '\s+', ' ', 'g')),
+      '^(dr|prof|ms|mr|mrs)\.? ', '') AS mn
+  FROM recs0
+),
+pairs AS (
+  SELECT l.record_id AS lid, e.record_id AS eid,
+         str_split(l.mn, ' ') AS ltoks, str_split(e.mn, ' ') AS etoks
+  FROM recs l JOIN recs e
+    ON e.conv_id = l.conv_id AND e.record_id < l.record_id
+  WHERE e.mn <> '' AND l.mn <> '' AND e.mn <> l.mn
+),
+coref AS (
+  SELECT lid AS record_id, max(eid) AS coref_prev
+  FROM pairs
+  WHERE len(list_filter(ltoks, lt ->
+          lt NOT IN ('dr','prof','ms','mr','mrs')
+          AND len(list_filter(etoks, et ->
+                et = lt OR (lt LIKE '%.'
+                            AND starts_with(et, left(lt, length(lt)-1)))
+              )) = 0
+        )) = 0
+  GROUP BY lid
+)
+SELECT r.record_id, r.conv_id, r.turn_idx, r.mention, r.ctx_before,
+       r.ctx_after, coalesce(c.coref_prev, '') AS coref_prev
+FROM recs r LEFT JOIN coref c USING (record_id)
+"""
+
+
 def q_conversation_windows(sf_dir: str):
-    """Conversation reconstruction + context windows over the events-derived
-    transcripts (rows-only; the in-group sort is oracle-checked separately by
-    q_events_reconstruct)."""
+    """Conversation reconstruction + context windows + `with_coref` scan over
+    the events-derived transcripts — ORACLE-EXACT including the coref column
+    (see _conversation_windows_sql)."""
     from ..stages.conversation import conversation_stage
     tr = transcripts_from_events(sf_dir)
     out = conversation_stage(tr, CFG)
@@ -1590,6 +1634,86 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+# shared gram CTE for the decontamination/repetition oracles: word 5-grams
+# per doc; docs with fewer than 5 tokens contribute one whole-doc gram,
+# empty docs none (word_ngram_codes contract)
+_SQL_GRAMS = r"""
+toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 5 THEN array_to_string(tk, ' ')
+              ELSE array_to_string(list_slice(tk, i, i + 4), ' ')
+         END AS gram
+  FROM toks,
+       unnest(CASE WHEN len(tk) = 0 THEN []
+                   WHEN len(tk) < 5 THEN [1]
+                   ELSE range(1, len(tk) - 3) END) AS u(i)
+)
+"""
+
+
+def q_decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 form the held-out
+    benchmark; every other doc is flagged iff it shares a word-5-gram with
+    any benchmark doc (broadcast gram set + per-batch isin, no shuffle)."""
+    from ..stages.dedup import flag_contaminated
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t.column("doc_id").to_numpy() % 50) == 0
+            return t.filter(pa.array(m if bench else ~m))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return flag_contaminated(corpus, bench, id_col="doc_id", text_col="text")
+
+
+SQL_DECONTAMINATE_DOCUMENTS = rf"""
+WITH {_SQL_GRAMS},
+contam AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g
+  JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0) b USING (gram)
+  WHERE g.doc_id % 50 <> 0
+)
+SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+FROM toks t LEFT JOIN contam c USING (doc_id)
+WHERE t.doc_id % 50 <> 0
+"""
+
+
+def q_repetition_documents(sf_dir: str):
+    """Within-doc n-gram repetition counts (total vs distinct word-5-grams):
+    the boilerplate/looping-output quality signal."""
+    from ..stages.dedup import ngram_repetition
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_repetition(docs, id_col="doc_id", text_col="text")
+
+
+SQL_REPETITION_DOCUMENTS = rf"""
+WITH {_SQL_GRAMS},
+agg AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS dist
+  FROM grams GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(a.total, 0) AS BIGINT) AS total_grams,
+       CAST(coalesce(a.dist, 0) AS BIGINT) AS distinct_grams
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "top_customers": q_top_customers,
@@ -1639,6 +1763,8 @@ QUERIES = {
     "linkage_edges": q_linkage_edges,
     "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
+    "decontaminate_documents": q_decontaminate_documents,
+    "repetition_documents": q_repetition_documents,
     "context_windows_events": q_context_windows_events,
 }
 
@@ -1677,4 +1803,7 @@ ORACLE_SQL = {
     "lang_id_documents": _lang_sql(),
     "textstats_documents": _textstats_sql(),
     "context_windows_events": _context_windows_sql(),
+    "conversation_windows": _conversation_windows_sql(),
+    "decontaminate_documents": SQL_DECONTAMINATE_DOCUMENTS,
+    "repetition_documents": SQL_REPETITION_DOCUMENTS,
 }

@@ -341,3 +341,78 @@ def near_dedup_simhash(ds, *, id_col: str, text_col: str, max_hamming: int = 3,
                               include_singletons=False)
     return attach_singleton_clusters(ds, id_col, cc, cfg=cfg,
                                      num_partitions=num_partitions)
+
+
+def flag_contaminated(corpus, benchmark, *, id_col: str, text_col: str,
+                      n: int = 5):
+    """Benchmark decontamination: flag every corpus doc sharing at least one
+    word-n-gram with any benchmark doc (the standard test-set-overlap filter
+    for training corpora; n-gram semantics per word_ngram_codes — docs with
+    fewer than n tokens contribute one whole-doc shingle).
+
+    Scale shape: the benchmark side is collected once on the driver
+    (benchmarks are small by definition — unique gram hashes, not text),
+    ``ray.put`` once, and each corpus batch runs one vectorized
+    ``np.isin`` + segment any-reduce. No shuffle at all on the corpus side.
+    """
+    import ray as _ray
+
+    from ..functions.rayutil import collect_table, get_broadcast
+    from ..functions.shingles import word_ngram_codes
+
+    bench_grams = benchmark.map_batches(
+        lambda t: pa.table(
+            {"g": word_ngram_codes(t.column(text_col).combine_chunks()
+                                   if isinstance(t.column(text_col),
+                                                 pa.ChunkedArray)
+                                   else t.column(text_col), n=n)[0]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    grams = np.unique(np.asarray(
+        collect_table(bench_grams,
+                      pa.schema([("g", pa.uint64())])).column("g"),
+        dtype=np.uint64))
+    ref = _ray.put(grams)
+
+    class Flagger:
+        def __init__(self):
+            self.grams = get_broadcast(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(text_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes, splits = word_ngram_codes(col, n=n)
+            hit = np.isin(codes, self.grams)
+            lens = np.diff(splits)
+            seg = np.zeros(len(lens), dtype=bool)
+            nz = lens > 0
+            if nz.any():
+                seg[nz] = np.logical_or.reduceat(hit, splits[:-1][nz])
+            return pa.table({id_col: t.column(id_col),
+                             "contaminated": pa.array(seg)})
+
+    return corpus.map_batches(Flagger, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 8))
+
+
+def ngram_repetition(ds, *, id_col: str, text_col: str, n: int = 5):
+    """Within-document n-gram repetition counts: (total word-n-grams,
+    distinct word-n-grams) per doc — the standard repetition-quality signal
+    (a doc with total >> distinct is boilerplate/looping output). Integer
+    outputs so the DuckDB oracle hashes exactly. Stateless map, no shuffle.
+    """
+    from ..functions.shingles import unique_shingle_sets, word_ngram_codes
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes, splits = word_ngram_codes(col, n=n)
+        uniq = unique_shingle_sets(codes, splits)
+        total = np.diff(splits)
+        distinct = np.diff(np.asarray(uniq.offsets, dtype=np.int64))
+        return pa.table({id_col: t.column(id_col),
+                         "total_grams": pa.array(total),
+                         "distinct_grams": pa.array(distinct)})
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)

@@ -326,3 +326,4 @@ def rolling_window_agg(ds, *, key: str, ts: str, val_int: str,
 
     return bucketed_group_apply(ds, key, agg, num_buckets=num_buckets,
                                 sort_cols=[(ts, "ascending")])
+

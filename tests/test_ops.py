@@ -735,3 +735,62 @@ def test_scrub_pii_rules():
         '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')
       FROM (SELECT unnest(?) AS t)""", [texts]).fetchall()
     assert [r[0] for r in sql] == clean
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flag_contaminated_ngram_overlap():
+    import ray.data as rd
+
+    from rel_ray.stages.dedup import flag_contaminated
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": [0],
+        "text": ["alpha beta gamma delta epsilon zeta"]}))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # shares 5-gram "beta gamma delta epsilon zeta"
+            "x beta gamma delta epsilon zeta y",
+            # same words, different order: no shared 5-gram
+            "zeta epsilon delta gamma beta alpha",
+            "totally unrelated words here now",
+            "",  # empty: never contaminated
+        ]}))
+    out = flag_contaminated(corpus, bench, id_col="doc_id", text_col="text")
+    got = dict(zip(*[out.to_pandas().sort_values("doc_id")[c].tolist()
+                     for c in ("doc_id", "contaminated")]))
+    assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flag_contaminated_short_doc_whole_gram():
+    import ray.data as rd
+
+    from rel_ray.stages.dedup import flag_contaminated
+
+    # both sides < 5 tokens: match iff the whole token sequence is equal
+    bench = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a b c"]}))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["a b c", "a b"]}))
+    out = flag_contaminated(corpus, bench, id_col="doc_id", text_col="text")
+    got = dict(zip(*[out.to_pandas().sort_values("doc_id")[c].tolist()
+                     for c in ("doc_id", "contaminated")]))
+    assert got == {1: True, 2: False}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_repetition_counts():
+    import ray.data as rd
+
+    from rel_ray.stages.dedup import ngram_repetition
+
+    out = ngram_repetition(rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b c d e a b c d e a b c d e",  # 15 tokens -> 11 grams, 5 distinct
+            "one two three",                   # short: 1 whole-doc gram
+            "",                                # empty: 0 grams
+        ]})), id_col="doc_id", text_col="text")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df.total_grams.tolist() == [11, 1, 0]
+    assert df.distinct_grams.tolist() == [5, 1, 0]
