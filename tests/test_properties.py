@@ -136,3 +136,29 @@ def test_string_hash_consistent_with_equality(rows):
             assert h[i] == h[byval[s]]
         else:
             byval[s] = i
+
+
+def _naive_winnow(s: str, k: int, window: int) -> list[int]:
+    """Textbook Schleimer et al. winnowing, one string at a time."""
+    codes = _naive_char_ngrams(s, k)
+    if not codes:
+        return []
+    if len(codes) <= window:
+        mins = [min(codes)]
+    else:
+        mins = [min(codes[i : i + window])
+                for i in range(len(codes) - window + 1)]
+    u64 = np.array(sorted(set(mins)), dtype=np.uint64)
+    return u64.view(np.int64).tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts, st.integers(min_value=2, max_value=6),
+       st.integers(min_value=2, max_value=6))
+def test_fingerprint_winnow_matches_naive(rows, k, window):
+    from rel_ray.stages.textstats import fingerprint_winnow
+
+    arr = pa.array(rows, type=pa.string())
+    fp = fingerprint_winnow(arr, k=k, window=window)
+    for i, s in enumerate(rows):
+        assert fp[i].as_py() == _naive_winnow(s, k, window), (s, k, window)
