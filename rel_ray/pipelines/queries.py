@@ -1714,8 +1714,75 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_tpch_q3_style(sf_dir: str):
+    """TPC-H Q3-style 3-table pipeline: filtered customers semi-join orders
+    (co-group, one exchange), qualifying orders inner-join lineitem
+    (cogroup_inner_join — large-large, unique right keys), integer-cents
+    revenue aggregate, top 10. Exercises the join operators composed, the
+    shape of every 'enrich the fact table' pipeline at scale."""
+    from ..stages.joins import cogroup_inner_join, semi_anti_join
+
+    CUT = pa.scalar(np.datetime64("1998-06-01", "us"))
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.equal(t.column("c_mktsegment"), "BUILDING")).column("c_custkey")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), CUT)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    qual = semi_anti_join(orders, cust, key="o_custkey",
+                          num_buckets=64).map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("o_orderkey"),
+                            "o_orderdate": t.column("o_orderdate"),
+                            "o_orderpriority": t.column("o_orderpriority")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount",
+              "l_shipdate"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "l_orderkey": f.column("l_orderkey"),
+            "rev_c": pc.multiply(
+                _cents(f.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _cents(f.column("l_discount"))))}))(
+            t.filter(pc.greater(t.column("l_shipdate"), CUT))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = cogroup_inner_join(
+        li, qual, key="l_orderkey",
+        right_cols=["o_orderdate", "o_orderpriority"], num_buckets=64)
+    agg = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("rev_c"))
+    top = agg.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate",
+                                    "o_orderpriority", "revenue_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+SQL_TPCH_Q3_STYLE = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
+    "tpch_q3_style": q_tpch_q3_style,
     "top_customers": q_top_customers,
     "customers_per_nation": q_customers_per_nation,
     "events_reconstruct": q_events_reconstruct,
@@ -1770,6 +1837,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "lineitem_agg": SQL_LINEITEM_AGG,
+    "tpch_q3_style": SQL_TPCH_Q3_STYLE,
     "top_customers": SQL_TOP_CUSTOMERS,
     "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
     "events_reconstruct": SQL_EVENTS_RECONSTRUCT,

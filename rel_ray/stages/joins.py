@@ -122,3 +122,77 @@ def broadcast_inner_join(left, right_ref, *, key: str,
 
     return left.map_batches(join, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size)
+
+
+def cogroup_inner_join(left, right, *, key: str, right_cols: list[str],
+                       num_buckets: int = 256):
+    """Large-large inner equi-join with UNIQUE right keys (fact ⋈ keyed
+    table at scale, when the right side is too big to broadcast).
+
+    Both sides are projected to one tagged schema, unioned, and exchanged
+    ONCE by ``key``; each bucket joins vectorized with a single
+    ``pc.index_in`` of left keys against the bucket's right keys (uniqueness
+    of right keys makes index_in a complete join — duplicate right keys
+    would need the segment expansion of temporal.range_join instead; an
+    assertion guards that contract). Left rows without a match are dropped.
+
+    Output schema: all left columns + ``right_cols``.
+    """
+    l_schema = left.schema()
+    left_cols = [f.name for f in l_schema.base_schema]
+    assert key in left_cols, f"key {key!r} must be a left column"
+    r_schema = right.schema()
+    r_types = {f.name: f.type for f in r_schema.base_schema}
+    out_cols = left_cols + right_cols
+
+    def proj_left(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in left_cols}
+        for c in right_cols:
+            cols[c] = pa.nulls(t.num_rows, type=r_types[c])
+        cols[_SIDE] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    l_types = {f.name: f.type for f in l_schema.base_schema}
+
+    def proj_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            if c == key:
+                cols[c] = pc.cast(t.column(key), l_types[key])
+            else:
+                cols[c] = pa.nulls(t.num_rows, type=l_types[c])
+        for c in right_cols:
+            cols[c] = t.column(c)
+        cols[_SIDE] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    lp = left.map_batches(proj_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rp = right.map_batches(proj_right, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def join(bucket: pa.Table) -> pa.Table:
+        side = np.asarray(bucket.column(_SIDE))
+        l_mask = side == 0
+        lt = bucket.filter(pa.array(l_mask))
+        rt = bucket.filter(pa.array(~l_mask))
+        rk = rt.column(key)
+        if isinstance(rk, pa.ChunkedArray):
+            rk = rk.combine_chunks()
+        if len(rk) != len(pc.unique(rk)):
+            raise ValueError("cogroup_inner_join requires unique right keys")
+        empty = pa.table({c: pa.array([], type=bucket.column(c).type)
+                          for c in out_cols})
+        if len(rk) == 0 or lt.num_rows == 0:
+            return empty
+        idx = pc.index_in(lt.column(key), value_set=rk)
+        hit = pc.is_valid(idx)
+        lt = lt.filter(hit)
+        idx = idx.filter(hit)
+        cols = {c: lt.column(c) for c in left_cols}
+        for c in right_cols:
+            cols[c] = rt.column(c).take(idx)
+        return pa.table(cols)
+
+    return bucketed_group_apply(lp.union(rp), key, join,
+                                num_buckets=num_buckets)

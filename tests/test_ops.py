@@ -794,3 +794,29 @@ def test_ngram_repetition_counts():
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert df.total_grams.tolist() == [11, 1, 0]
     assert df.distinct_grams.tolist() == [5, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cogroup_inner_join_basic_and_unique_guard():
+    import ray.data as rd
+
+    from rel_ray.stages.joins import cogroup_inner_join
+
+    left = rd.from_arrow(pa.table({
+        "k": [1, 2, 2, 3, 4], "lv": ["a", "b", "c", "d", "e"]}))
+    right = rd.from_arrow(pa.table({
+        "k": [1, 2, 3], "rv": [10, 20, 30]}))
+    out = cogroup_inner_join(left, right, key="k", right_cols=["rv"],
+                             num_buckets=8).to_pandas()
+    out = out.sort_values(["k", "lv"]).reset_index(drop=True)
+    # k=4 dropped (inner); duplicate left keys both joined
+    assert out.k.tolist() == [1, 2, 2, 3]
+    assert out.lv.tolist() == ["a", "b", "c", "d"]
+    assert out.rv.tolist() == [10, 20, 20, 30]
+
+    dup_right = rd.from_arrow(pa.table({"k": [1, 1], "rv": [10, 11]}))
+    import ray
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        cogroup_inner_join(left, dup_right, key="k", right_cols=["rv"],
+                           num_buckets=2).materialize()
