@@ -29,6 +29,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "linkage_clusters",        # flagship: full record-linkage pipeline
     "lineitem_agg",
+    "tpch_q3_style",           # 3-table join pipeline (semi + co-group inner)
     "events_reconstruct",
     "grouped_topk_events",
     "exact_dedup_documents",

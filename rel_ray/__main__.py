@@ -85,11 +85,20 @@ def cmd_dedup(args) -> int:
 
         out = exact_dedup(ds, id_col=args.id_col, text_col=args.text_col)
     elif args.method == "minhash":
-        from .stages.dedup import near_dedup_minhash
+        if args.ckpt:
+            from .pipelines.checkpointed import near_dedup_checkpointed
 
-        out = near_dedup_minhash(ds, id_col=args.id_col,
-                                 text_col=args.text_col,
-                                 threshold=args.threshold)
+            out, _lineage = near_dedup_checkpointed(
+                args.input, args.ckpt, id_col=args.id_col,
+                text_col=args.text_col, threshold=args.threshold)
+        else:
+            from .config import DEFAULT_CONFIG
+            from .stages.dedup import near_dedup_minhash
+
+            out = near_dedup_minhash(ds, id_col=args.id_col,
+                                     text_col=args.text_col,
+                                     cfg=DEFAULT_CONFIG,
+                                     threshold=args.threshold)
     else:
         from .stages.dedup import near_dedup_simhash
 
@@ -182,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--text-col", default="text")
     s.add_argument("--threshold", type=float, default=0.8)
     s.add_argument("--max-hamming", type=int, default=3)
+    s.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (minhash only, resumable)")
     s.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("synth", help="write synthetic transcript corpus")

@@ -228,6 +228,20 @@ class DropCounter:
         return _ray.get(self._actor.get.remote())
 
 
+def adaptive_buckets(nrows: int, max_buckets: int,
+                     target_rows: int = 2000) -> int:
+    """Bucket count for a known row count: ~target_rows per bucket, capped.
+
+    Hash-bucket semantics are correct for ANY bucket count (all same-key
+    rows land together); the count only trades per-group machinery cost
+    (measured ~15-20 ms per map_groups group in Ray 2.49 — 512 buckets on a
+    5k-row table cost 10 s where 32 cost 2.3 s) against per-bucket memory.
+    Callers that have a materialized input should pass its count here
+    instead of using a fixed bucket count.
+    """
+    return max(8, min(max_buckets, nrows // target_rows))
+
+
 def grouped_min(ds, key_col: str, val_col: str, *, num_buckets: int = 512):
     """(key, min(val)) per distinct key — bucketed segment-min.
 

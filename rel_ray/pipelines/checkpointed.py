@@ -105,3 +105,73 @@ def run_linkage_checkpointed(
         "clusters", [s_records.fingerprint, s_edges.fingerprint], build_clusters)
     ctx.write_lineage()
     return s_clusters.dataset, ctx.lineage
+
+
+def near_dedup_checkpointed(
+    input_path: str,
+    ckpt_dir: str | None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    threshold: float = 0.7,
+):
+    """Checkpointed/resumable MinHash near-dedup over a documents parquet —
+    same stage semantics as stages.dedup.near_dedup_minhash, same manifest
+    machinery as run_linkage_checkpointed: each stage writes per-partition
+    Parquet + a fingerprinted manifest; a rerun skips completed stages
+    (kill-after-stage resume for the 100-TB dedup job, not just linkage).
+
+    Returns (clusters_dataset, lineage).
+    """
+    import dataclasses
+
+    import ray.data as rd
+
+    from ..stages.dedup import JaccardVerifier, _as_records
+
+    cfg = dataclasses.replace(cfg, num_perm=64, bands=16, band_rows=4,
+                              shingle_unit="word")
+    ctx = CheckpointContext(ckpt_dir,
+                            f"{cfg.fingerprint()}:dedup:{threshold}")
+    in_fp = _input_fingerprint(input_path)
+
+    def build_records():
+        ds = rd.read_parquet(input_path)
+        recs = _as_records(ds, id_col=id_col, text_col=text_col, cfg=cfg)
+        return exact_precluster(recs, cfg)
+
+    s_records = ctx.run_stage("records", [in_fp], build_records)
+
+    def _reps():
+        return s_records.dataset.map_batches(
+            lambda t: t.filter(pc.equal(t.column("record_id"),
+                                        t.column("rep_id"))).select(
+                ["record_id", "mention_norm"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def build_matched():
+        pairs = pairs_stage(blocking_stage(_reps(), cfg), cfg)
+        verifier = JaccardVerifier(cfg, threshold)
+        edges = pairs.map_batches(lambda t: verifier(t),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=cfg.batch_size)
+        return edges.map_batches(
+            lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    s_matched = ctx.run_stage("matched", [s_records.fingerprint],
+                              build_matched)
+
+    def build_clusters():
+        rep_clusters = connected_components(_reps(), s_matched.dataset, cfg,
+                                            include_singletons=False)
+        return expand_clusters(s_records.dataset, rep_clusters,
+                               num_buckets=cfg.num_buckets)
+
+    s_clusters = ctx.run_stage(
+        "clusters", [s_records.fingerprint, s_matched.fingerprint],
+        build_clusters)
+    ctx.write_lineage()
+    return s_clusters.dataset, ctx.lineage

@@ -249,10 +249,12 @@ def run_linkage(
     with _phase_timer("records0_materialize"):
         records0 = records_stage(turns, cfg).repartition(64).materialize()
 
-    from ..functions.rayutil import grouped_min
+    from ..functions.rayutil import adaptive_buckets, grouped_min
     with _phase_timer("rep_map_materialize"):
-        rep_map = grouped_min(records0, "mention_norm", "record_id",
-                              num_buckets=cfg.num_buckets).materialize()
+        rep_map = grouped_min(
+            records0, "mention_norm", "record_id",
+            num_buckets=adaptive_buckets(records0.count(),
+                                         cfg.num_buckets)).materialize()
 
     if rep_map.count() > broadcast_max_rows:
         return _run_linkage_cogroup(records0, turns, cfg, num_partitions)

@@ -54,9 +54,15 @@ def exact_precluster(records, cfg: PipelineConfig, num_partitions: int = 0,
     """
     import ray as _ray
 
-    from ..functions.rayutil import grouped_min
+    from ..functions.rayutil import adaptive_buckets, grouped_min
+    # materialize first: the rep-map aggregate AND the attach pass below both
+    # consume records; count() on the materialized set is free and sizes the
+    # bucket exchange to the data (512 buckets on a 5k-row table is pure
+    # per-group machinery cost — see adaptive_buckets)
+    records = records.materialize()
+    nb = adaptive_buckets(records.count(), cfg.num_buckets)
     rep_map = grouped_min(records, "mention_norm", "record_id",
-                          num_buckets=cfg.num_buckets).materialize()
+                          num_buckets=nb).materialize()
     if rep_map.count() > broadcast_max_rows:
         return _exact_precluster_cogroup(records, cfg)
 

@@ -96,6 +96,17 @@ class CheckpointContext:
             import shutil
             shutil.rmtree(data_dir)
         ds.write_parquet(data_dir)
+        if not os.path.isdir(data_dir) or not os.listdir(data_dir):
+            # empty dataset: write_parquet emits no files — persist an
+            # explicit zero-row file so resume reads get the right schema
+            # instead of FileNotFoundError
+            import pyarrow.parquet as _pq
+
+            os.makedirs(data_dir, exist_ok=True)
+            schema = ds.schema()
+            base = getattr(schema, "base_schema", schema)
+            _pq.write_table(base.empty_table(),
+                            os.path.join(data_dir, "empty.parquet"))
         out = rd.read_parquet(data_dir)
         rows = out.count()
         # per-partition lineage: one entry per written parquet file

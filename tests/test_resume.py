@@ -65,3 +65,42 @@ def test_lineage_written(corpus_path, tmp_path):
     assert {r["stage"] for r in lineage} == {"records", "edges", "clusters"}
     for r in lineage:
         assert r["rows"] > 0 and "fingerprint" in r
+
+
+def test_near_dedup_checkpointed_resume(ray_session, tmp_path):
+    from rel_ray.pipelines.checkpointed import near_dedup_checkpointed
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), type=pa.int64()),
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 0
+            "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 0
+            "one two three four five six seven eight",
+            "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+            "one two three four five six seven nine",         # near-dup of 3
+            "completely different words in this document here",
+            "",
+        ]})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    ds1, lin1 = near_dedup_checkpointed(p, ckpt, threshold=0.7)
+    t1 = _sorted_table(ds1)
+    assert [r["resumed"] for r in lin1] == [False, False, False]
+    clusters = dict(zip(t1.column("record_id").to_pylist(),
+                        t1.column("cluster_id").to_pylist()))
+    assert clusters["0"] == clusters["1"] == clusters["2"]
+    assert clusters["3"] == clusters["5"]
+    assert clusters["4"] != clusters["3"]
+
+    # crash after matched stage
+    shutil.rmtree(os.path.join(ckpt, "clusters"))
+    ds2, lin2 = near_dedup_checkpointed(p, ckpt, threshold=0.7)
+    assert [r["resumed"] for r in lin2] == [True, True, False]
+    assert _sorted_table(ds2).equals(t1)
+
+    # changed threshold: stale, full recompute
+    _, lin3 = near_dedup_checkpointed(p, ckpt, threshold=0.9)
+    assert [r["resumed"] for r in lin3] == [False, False, False]
