@@ -1675,7 +1675,11 @@ def q_decontaminate_documents(sf_dir: str):
                              zero_copy_batch=True)
     corpus = docs.map_batches(split(False), batch_format="pyarrow",
                               zero_copy_batch=True)
-    return flag_contaminated(corpus, bench, id_col="doc_id", text_col="text")
+    flagged = flag_contaminated(corpus, bench, id_col="doc_id",
+                                text_col="text")
+    return flagged.map_batches(
+        lambda t: t.select(["doc_id", "contaminated"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_DECONTAMINATE_DOCUMENTS = rf"""
@@ -1780,9 +1784,111 @@ LIMIT 10
 """
 
 
+def q_corpus_prep_documents(sf_dir: str):
+    """Flagship training-data-prep composition, end-to-end ORACLE-EXACT:
+    lang-ID filter (en) → quality filter (≥20 tokens) → exact dedup
+    (min doc_id per text) → benchmark decontamination (word-5-gram overlap
+    vs held-out doc_id%50==0 docs) → RAG chunking (50-token windows every
+    40). Every step is an existing operator; the composition runs as ONE
+    streaming pipeline with a single skinny exchange (the dedup grouped_min)
+    plus the broadcast gram set."""
+    from ..functions.normalize import token_counts
+    from ..functions.rayutil import grouped_min
+    from ..stages.dedup import flag_contaminated
+    from ..stages.packing import chunk_documents
+    from ..stages.textstats import lang_id
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.equal(lang_id(t.column("text")), "en"),
+                    pc.greater_equal(token_counts(t.column("text")),
+                                     pa.scalar(20, pa.int32()))),
+            pa.array((t.column("doc_id").to_numpy() % 50) != 0))
+        return t.filter(mask)
+
+    kept = docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # exact dedup keeping (text, min doc_id) — text carries through the
+    # skinny aggregate, so no join back is needed
+    deduped = grouped_min(kept, "text", "doc_id", num_buckets=64)
+
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array((t.column("doc_id").to_numpy() % 50) == 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    clean = flag_contaminated(deduped, bench, id_col="doc_id",
+                              text_col="text").map_batches(
+        lambda t: t.filter(pc.invert(t.column("contaminated"))).select(
+            ["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return chunk_documents(clean, id_col="doc_id", text_col="text",
+                           chunk_size=50, stride=40)
+
+
+def _corpus_prep_sql() -> str:
+    lang = _lang_sql()
+    return rf"""
+WITH lang AS ({lang}),
+ntok AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM documents),
+kept AS (
+  SELECT t.doc_id, t.text
+  FROM ntok t JOIN lang l USING (doc_id)
+  WHERE l.lang_pred = 'en' AND t.n_tokens >= 20 AND t.doc_id % 50 <> 0),
+dedup AS (SELECT MIN(doc_id) AS doc_id, text FROM kept GROUP BY text),
+btoks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents WHERE doc_id % 50 = 0),
+bgrams AS (
+  SELECT DISTINCT CASE WHEN len(tk) < 5 THEN array_to_string(tk, ' ')
+              ELSE array_to_string(list_slice(tk, i, i + 4), ' ') END AS gram
+  FROM btoks,
+       unnest(CASE WHEN len(tk) = 0 THEN []
+                   WHEN len(tk) < 5 THEN [1]
+                   ELSE range(1, len(tk) - 3) END) AS u(i)),
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk, text
+  FROM dedup),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id,
+               CASE WHEN len(tk) < 5 THEN array_to_string(tk, ' ')
+                    ELSE array_to_string(list_slice(tk, i, i + 4), ' ')
+               END AS gram
+        FROM ctoks,
+             unnest(CASE WHEN len(tk) < 5 THEN [1]
+                         ELSE range(1, len(tk) - 3) END) AS u(i)) g
+  JOIN bgrams b USING (gram)),
+clean AS (
+  SELECT d.doc_id, d.text FROM dedup d
+  LEFT JOIN contam c USING (doc_id) WHERE c.doc_id IS NULL),
+toks2 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr,
+         CAST(array_length(regexp_extract_all(lower(text), '[a-z]+'))
+              AS BIGINT) AS len
+  FROM clean),
+starts AS (
+  SELECT doc_id, arr, len, unnest(range(0, len, 40)) AS gs
+  FROM toks2 WHERE len > 0)
+SELECT doc_id,
+       gs // 40 AS chunk_idx,
+       LEAST(gs + 50, len) - gs AS n_tokens,
+       array_to_string(arr[gs + 1 : LEAST(gs + 50, len)], ' ') AS chunk_text
+FROM starts
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
+    "corpus_prep_documents": q_corpus_prep_documents,
     "top_customers": q_top_customers,
     "customers_per_nation": q_customers_per_nation,
     "events_reconstruct": q_events_reconstruct,
@@ -1838,6 +1944,7 @@ QUERIES = {
 ORACLE_SQL = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "tpch_q3_style": SQL_TPCH_Q3_STYLE,
+    "corpus_prep_documents": _corpus_prep_sql(),
     "top_customers": SQL_TOP_CUSTOMERS,
     "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
     "events_reconstruct": SQL_EVENTS_RECONSTRUCT,

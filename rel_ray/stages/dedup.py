@@ -388,8 +388,7 @@ def flag_contaminated(corpus, benchmark, *, id_col: str, text_col: str,
             nz = lens > 0
             if nz.any():
                 seg[nz] = np.logical_or.reduceat(hit, splits[:-1][nz])
-            return pa.table({id_col: t.column(id_col),
-                             "contaminated": pa.array(seg)})
+            return t.append_column("contaminated", pa.array(seg))
 
     return corpus.map_batches(Flagger, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(1, 8))
