@@ -555,22 +555,36 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 
 
 def q_dup_pairs_documents(sf_dir: str):
-    """Exact-duplicate pairs: in-group pair enumeration (the CC edge oracle)."""
+    """Exact-duplicate pairs: segment pair enumeration inside hash buckets
+    (the CC edge oracle). Bucketed — no per-distinct-text map_groups; the
+    Python loop runs only over multi-row segments (actual duplicate groups),
+    never over distinct keys."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
+    def pairs(bucket: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        n = bucket.num_rows
+        if n == 0:
+            return empty
+        starts = segment_starts(bucket.column("text"))
+        lens = np.diff(np.append(starts, n))
+        ids = bucket.column("doc_id").to_numpy()  # asc within segment
         ia, ib = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ia.append(ids[i])
-                ib.append(ids[j])
-        return pa.table({"id_a": pa.array(ia, type=pa.int64()),
-                         "id_b": pa.array(ib, type=pa.int64())})
+        for s, ln in zip(starts[lens > 1], lens[lens > 1]):
+            seg = ids[s : s + ln]
+            iu, ju = np.triu_indices(int(ln), k=1)
+            ia.append(seg[iu])
+            ib.append(seg[ju])
+        if not ia:
+            return empty
+        return pa.table({"id_a": pa.array(np.concatenate(ia)),
+                         "id_b": pa.array(np.concatenate(ib))})
 
-    out = ds.groupby("text").map_groups(pairs, batch_format="pyarrow")
-    # materialize to a pa.Table with an explicit schema base: when no dup
-    # groups exist Ray yields zero blocks and the schema would be lost
+    out = bucketed_group_apply(ds, "text", pairs, num_buckets=64,
+                               sort_cols=[("doc_id", "ascending")])
     base = pa.table({"id_a": pa.array([], type=pa.int64()),
                      "id_b": pa.array([], type=pa.int64())})
     tabs = [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]

@@ -820,3 +820,21 @@ def test_cogroup_inner_join_basic_and_unique_guard():
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         cogroup_inner_join(left, dup_right, key="k", right_cols=["rv"],
                            num_buckets=2).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_pairs_bucketed_emission(tmp_path):
+    import pyarrow.parquet as pq
+
+    from rel_ray.pipelines.queries import q_dup_pairs_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([5, 1, 3, 2, 9, 7], type=pa.int64()),
+        "text": ["same", "same", "same", "other", "other", "unique"]})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = q_dup_pairs_documents(str(d))
+    got = sorted(zip(out.column("id_a").to_pylist(),
+                     out.column("id_b").to_pylist()))
+    assert got == [(1, 3), (1, 5), (2, 9), (3, 5)]
