@@ -1733,25 +1733,34 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 
 
 def q_tpch_q3_style(sf_dir: str):
-    """TPC-H Q3-style 3-table pipeline: filtered customers semi-join orders
-    (co-group, one exchange), qualifying orders inner-join lineitem
+    """TPC-H Q3-style 3-table pipeline: filtered customer KEYS broadcast
+    semi-join orders (keys-only small side: ~8 B/customer, broadcastable at
+    any realistic scale — the co-group `semi_anti_join` remains the general
+    path and has its own query), qualifying orders inner-join lineitem
     (cogroup_inner_join — large-large, unique right keys), integer-cents
     revenue aggregate, top 10. Exercises the join operators composed, the
     shape of every 'enrich the fact table' pipeline at scale."""
-    from ..stages.joins import cogroup_inner_join, semi_anti_join
+    import ray as _ray
+
+    from ..functions.rayutil import collect_table
+    from ..stages.joins import broadcast_semi_anti, cogroup_inner_join
 
     CUT = pa.scalar(np.datetime64("1998-06-01", "us"))
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+    cust_keys = _pq(sf_dir, "customer",
+                    ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: pa.table({"o_custkey": t.filter(
             pc.equal(t.column("c_mktsegment"), "BUILDING")).column("c_custkey")}),
         batch_format="pyarrow", zero_copy_batch=True)
+    keys_ref = _ray.put(collect_table(
+        cust_keys, pa.schema([("o_custkey", pa.int64())])).column(
+        "o_custkey").combine_chunks())
     orders = _pq(sf_dir, "orders",
                  ["o_orderkey", "o_custkey", "o_orderdate",
                   "o_orderpriority"]).map_batches(
         lambda t: t.filter(pc.less(t.column("o_orderdate"), CUT)),
         batch_format="pyarrow", zero_copy_batch=True)
-    qual = semi_anti_join(orders, cust, key="o_custkey",
-                          num_buckets=64).map_batches(
+    qual = broadcast_semi_anti(orders, keys_ref,
+                               key="o_custkey").map_batches(
         lambda t: pa.table({"l_orderkey": t.column("o_orderkey"),
                             "o_orderdate": t.column("o_orderdate"),
                             "o_orderpriority": t.column("o_orderpriority")}),
