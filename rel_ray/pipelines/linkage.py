@@ -235,8 +235,20 @@ def run_linkage(
     records table is shuffled exactly once (the conversation stage). Larger
     vocabularies fall back to the bucketed co-group stages.
     """
+    import dataclasses
+
     import ray as _ray
     import ray.data as rd
+
+    from ..functions.rayutil import adaptive_buckets
+
+    # size every bucket exchange to the corpus: parquet-read count() is a
+    # metadata fast path, and 512 buckets over a 100k-turn input is pure
+    # per-group machinery cost (~15-20 ms/group in Ray 2.49). At >=1M turns
+    # this leaves cfg unchanged.
+    cfg = dataclasses.replace(
+        cfg, num_buckets=adaptive_buckets(transcripts.count(),
+                                          cfg.num_buckets))
 
     # mentions are derived inside the conversation buckets (post-shuffle):
     # the conv_id exchange carries only the six raw transcript columns

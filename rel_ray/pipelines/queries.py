@@ -26,6 +26,12 @@ def _pq(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _pq_nrows(sf_dir: str, table: str) -> int:
+    """Row count straight from parquet footer metadata (no read)."""
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def _cents(x) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(x, 100)), pa.int64())
 
@@ -605,11 +611,15 @@ def q_ngram_jaccard_pairs_documents(sf_dir: str):
     The deterministic counterpart of minhash_dedup (LSH proposes, this
     proves); REL parity: exact candidate verification after pruning
     (REL:src/REL/mention_detection.py candidate lookup + exact scoring)."""
+    from ..functions.rayutil import adaptive_buckets
     from ..stages.simjoin import similarity_self_join
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # prefix index explodes each doc ~16x; size the exchange to that
+    nb = adaptive_buckets(_pq_nrows(sf_dir, "documents") * 16, 256)
     return similarity_self_join(ds, id_col="doc_id", text_col="text",
                                 tau_num=1, tau_den=2,
-                                token_pattern="[a-z]+", ngram=3)
+                                token_pattern="[a-z]+", ngram=3,
+                                num_buckets=nb)
 
 
 SQL_NGRAM_JACCARD_PAIRS_DOCUMENTS = """

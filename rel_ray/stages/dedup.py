@@ -164,6 +164,9 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
                               shingle_unit="word")
     records = _as_records(ds, id_col=id_col, text_col=text_col, cfg=cfg)
     records = exact_precluster(records, cfg, num_partitions).materialize()
+    from ..functions.rayutil import adaptive_buckets
+    cfg = dataclasses.replace(
+        cfg, num_buckets=adaptive_buckets(records.count(), cfg.num_buckets))
     reps = records.map_batches(
         lambda t: t.filter(pc.equal(t.column("record_id"), t.column("rep_id"))).select(
             ["record_id", "mention_norm"]),
