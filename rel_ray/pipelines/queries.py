@@ -1184,7 +1184,13 @@ def q_context_windows_events(sf_dir: str):
     """
     from ..stages.conversation import conversation_stage
     tr = transcripts_from_events(sf_dir)
-    out = conversation_stage(tr, CFG)
+    import dataclasses
+
+    from ..functions.rayutil import adaptive_buckets
+    cfg = dataclasses.replace(
+        CFG, num_buckets=adaptive_buckets(_pq_nrows(sf_dir, "events"),
+                                          CFG.num_buckets))
+    out = conversation_stage(tr, cfg)
     return out.map_batches(
         lambda t: t.select(["record_id", "conv_id", "turn_idx", "mention",
                             "ctx_before", "ctx_after"]),
@@ -1304,7 +1310,13 @@ def q_conversation_windows(sf_dir: str):
     (see _conversation_windows_sql)."""
     from ..stages.conversation import conversation_stage
     tr = transcripts_from_events(sf_dir)
-    out = conversation_stage(tr, CFG)
+    import dataclasses
+
+    from ..functions.rayutil import adaptive_buckets
+    cfg = dataclasses.replace(
+        CFG, num_buckets=adaptive_buckets(_pq_nrows(sf_dir, "events"),
+                                          CFG.num_buckets))
+    out = conversation_stage(tr, cfg)
     return out.map_batches(
         lambda t: t.select(["record_id", "conv_id", "turn_idx", "mention",
                             "ctx_before", "ctx_after", "coref_prev"]),
