@@ -238,6 +238,12 @@ def adaptive_buckets(nrows: int, max_buckets: int,
     5k-row table cost 10 s where 32 cost 2.3 s) against per-bucket memory.
     Callers that have a materialized input should pass its count here
     instead of using a fixed bucket count.
+
+    ONLY for overhead-dominated group functions (segment min/max, vectorized
+    shifts, membership filters). A compute-heavy group fn (quadratic pair
+    generation like simjoin.SegmentAllPairs) wants MANY small buckets for
+    load balancing — measured 3x slower at 40 buckets than 256 on the same
+    input when the per-bucket work is the cost.
     """
     return max(8, min(max_buckets, nrows // target_rows))
 

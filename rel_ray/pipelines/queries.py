@@ -611,15 +611,14 @@ def q_ngram_jaccard_pairs_documents(sf_dir: str):
     The deterministic counterpart of minhash_dedup (LSH proposes, this
     proves); REL parity: exact candidate verification after pruning
     (REL:src/REL/mention_detection.py candidate lookup + exact scoring)."""
-    from ..functions.rayutil import adaptive_buckets
     from ..stages.simjoin import similarity_self_join
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    # prefix index explodes each doc ~16x; size the exchange to that
-    nb = adaptive_buckets(_pq_nrows(sf_dir, "documents") * 16, 256)
+    # NOT adaptive-bucketed: SegmentAllPairs is compute-heavy (quadratic per
+    # shared-prefix segment), so many small buckets are load-balancing, not
+    # overhead — measured 3x slower at 40 buckets than at 256 on sf0.1
     return similarity_self_join(ds, id_col="doc_id", text_col="text",
                                 tau_num=1, tau_den=2,
-                                token_pattern="[a-z]+", ngram=3,
-                                num_buckets=nb)
+                                token_pattern="[a-z]+", ngram=3)
 
 
 SQL_NGRAM_JACCARD_PAIRS_DOCUMENTS = """
