@@ -294,3 +294,29 @@ def segment_starts(col: pa.ChunkedArray | pa.Array) -> "object":
     neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
     change[1:] = np.asarray(pc.fill_null(neq, True))
     return np.nonzero(change)[0]
+
+
+def global_topk(ds, sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
+    """Global top-k rows WITHOUT a global sort: per-batch local top-k (one
+    in-memory sort_by per batch, slice k) then one driver-side reduce over
+    at most k × num_blocks rows.
+
+    The scale-correct replacement for ``ds.sort(...).limit(k)`` — a full
+    sort moves every block through an all-to-all exchange to keep k rows;
+    this moves k rows per block. Deterministic for deterministic sort_keys
+    (callers must include a unique tie-break column).
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            t = t.sort_by(sort_keys).slice(0, k)
+        return t
+
+    pruned = ds.map_batches(local, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    tabs = [pa.table(b) for b in pruned.iter_batches(batch_format="pyarrow")]
+    if not tabs:
+        base = ds.schema()
+        return getattr(base, "base_schema", base).empty_table()
+    out = pa.concat_tables(tabs, promote_options="default")
+    return out.sort_by(sort_keys).slice(0, k)

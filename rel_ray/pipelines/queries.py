@@ -79,7 +79,8 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_customers(sf_dir: str):
-    """Grouped sum → global top-10 (sort + limit), id tie-break."""
+    """Grouped sum → global top-10 via per-batch local top-k + tiny reduce
+    (rayutil.global_topk — no all-to-all sort), id tie-break."""
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     total = (ds.map_batches(
         lambda t: pa.table({"o_custkey": t.column("o_custkey"),
@@ -89,8 +90,9 @@ def q_top_customers(sf_dir: str):
     total = total.map_batches(
         lambda t: t.rename_columns(["o_custkey", "total_cents"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    return total.sort(["total_cents", "o_custkey"],
-                      descending=[True, False]).limit(10)
+    from ..functions.rayutil import global_topk
+    return global_topk(total, [("total_cents", "descending"),
+                               ("o_custkey", "ascending")], 10)
 
 
 SQL_TOP_CUSTOMERS = """
@@ -1803,12 +1805,13 @@ def q_tpch_q3_style(sf_dir: str):
     agg = joined.groupby(
         ["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
         Sum("rev_c"))
-    top = agg.map_batches(
-        lambda t: t.rename_columns(["l_orderkey", "o_orderdate",
-                                    "o_orderpriority", "revenue_cents"]),
-        batch_format="pyarrow", zero_copy_batch=True).sort(
-        ["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
-    return top
+    from ..functions.rayutil import global_topk
+    return global_topk(
+        agg.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_orderdate",
+                                        "o_orderpriority", "revenue_cents"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        [("revenue_cents", "descending"), ("l_orderkey", "ascending")], 10)
 
 
 SQL_TPCH_Q3_STYLE = """

@@ -838,3 +838,26 @@ def test_dup_pairs_bucketed_emission(tmp_path):
     got = sorted(zip(out.column("id_a").to_pylist(),
                      out.column("id_b").to_pylist()))
     assert got == [(1, 3), (1, 5), (2, 9), (3, 5)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_topk_matches_sort_limit():
+    import ray.data as rd
+
+    from rel_ray.functions.rayutil import global_topk
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, size=500)
+    tab = pa.table({"id": pa.array(np.arange(500, dtype=np.int64)),
+                    "v": pa.array(vals.astype(np.int64))})
+    ds = rd.from_arrow(tab).repartition(13)
+    got = global_topk(ds, [("v", "descending"), ("id", "ascending")], 7)
+    import pandas as pd
+
+    expect = (tab.to_pandas().sort_values(["v", "id"],
+                                          ascending=[False, True]).head(7))
+    assert got.column("id").to_pylist() == expect["id"].tolist()
+    assert got.column("v").to_pylist() == expect["v"].tolist()
+
+    empty = rd.from_arrow(tab.slice(0, 0))
+    assert global_topk(empty, [("v", "descending")], 5).num_rows == 0
