@@ -307,7 +307,8 @@ def q_top_terms_documents(sf_dir: str):
            .groupby("term").aggregate(Sum("cnt")))
     agg = agg.map_batches(lambda t: t.rename_columns(["term", "cnt"]),
                           batch_format="pyarrow", zero_copy_batch=True)
-    return agg.sort(["cnt", "term"], descending=[True, False]).limit(20)
+    from ..functions.rayutil import global_topk
+    return global_topk(agg, [("cnt", "descending"), ("term", "ascending")], 20)
 
 
 SQL_TOP_TERMS_DOCUMENTS = """
@@ -687,10 +688,11 @@ def q_ann_topk_embeddings(sf_dir: str):
     """Brute-force cosine top-10 for the 5 lowest vec_ids (rank-only output)."""
     from ..stages.similarity import ann_topk
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = ds.sort("vec_id").limit(5).take_all()
-    queries = {"ids": np.array([r["vec_id"] for r in qrows], dtype=np.int64),
-               "vecs": np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                                 for r in qrows])}
+    from ..functions.rayutil import global_topk
+    qt = global_topk(ds, [("vec_id", "ascending")], 5)
+    queries = {"ids": qt.column("vec_id").to_numpy().astype(np.int64),
+               "vecs": np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in qt.column("embedding").to_pylist()])}
     return ann_topk(ds, queries, k=10)
 
 
@@ -716,10 +718,11 @@ def q_ann_topk_lsh_embeddings(sf_dir: str):
     traded for candidate reduction, so no exact oracle)."""
     from ..stages.similarity import ann_topk_lsh
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = ds.sort("vec_id").limit(5).take_all()
-    queries = {"ids": np.array([r["vec_id"] for r in qrows], dtype=np.int64),
-               "vecs": np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                                 for r in qrows])}
+    from ..functions.rayutil import global_topk
+    qt = global_topk(ds, [("vec_id", "ascending")], 5)
+    queries = {"ids": qt.column("vec_id").to_numpy().astype(np.int64),
+               "vecs": np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in qt.column("embedding").to_pylist()])}
     return ann_topk_lsh(ds, queries, k=10)
 
 
@@ -728,10 +731,11 @@ def q_ann_topk_ivf_embeddings(sf_dir: str):
     recall-lossy by design; recall ≥0.9 measured in tests)."""
     from ..stages.similarity import ann_topk_ivf
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = ds.sort("vec_id").limit(5).take_all()
-    queries = {"ids": np.array([r["vec_id"] for r in qrows], dtype=np.int64),
-               "vecs": np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                                 for r in qrows])}
+    from ..functions.rayutil import global_topk
+    qt = global_topk(ds, [("vec_id", "ascending")], 5)
+    queries = {"ids": qt.column("vec_id").to_numpy().astype(np.int64),
+               "vecs": np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in qt.column("embedding").to_pylist()])}
     return ann_topk_ivf(ds, queries, k=10, n_cells=32, nprobe=6)
 
 

@@ -120,5 +120,6 @@ def tfidf_topk(ds, *, id_col: str, text_col: str, query: str, k: int = 20,
 
     scored = ds.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size)
-    return scored.sort(["score", id_col],
-                       descending=[True, False]).limit(k)
+    from ..functions.rayutil import global_topk
+    return global_topk(scored, [("score", "descending"),
+                                (id_col, "ascending")], k)
