@@ -11,6 +11,8 @@ from rel_ray.config import DEFAULT_CONFIG
 
 
 def _collect(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):  # global_topk-style ops return a Table
+        return ds
     tabs = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
     if not tabs:
         return pa.table({})
