@@ -162,3 +162,24 @@ def test_fingerprint_winnow_matches_naive(rows, k, window):
     fp = fingerprint_winnow(arr, k=k, window=window)
     for i, s in enumerate(rows):
         assert fp[i].as_py() == _naive_winnow(s, k, window), (s, k, window)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", "dd", "e e", ""]),
+                min_size=1, max_size=30))
+def test_dict_lookup_matches_python_dict(rows):
+    from rel_ray.functions.rayutil import dict_lookup
+
+    mapping = {"a": "1", "b": "2", "dd": "3", "e e": "4"}
+    col = pa.array(rows, type=pa.string())
+    # default_to_key: missing keys map to themselves
+    got = dict_lookup(col, mapping, default_to_key=True).to_pylist()
+    assert got == [mapping.get(r, r) for r in rows]
+    # explicit default
+    got = dict_lookup(col, mapping, default="x").to_pylist()
+    assert got == [mapping.get(r, "x") for r in rows]
+    # strict mode raises on any missing key
+    if any(r not in mapping for r in rows):
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            dict_lookup(col, mapping)
