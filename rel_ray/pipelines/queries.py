@@ -739,6 +739,28 @@ def q_ann_topk_ivf_embeddings(sf_dir: str):
     return ann_topk_ivf(ds, queries, k=10, n_cells=32, nprobe=6)
 
 
+def q_label_centroids_embeddings(sf_dir: str):
+    """Per-label embedding centroid (integer-exact partial sums; combiner
+    → tiny merge groupby — the vectors never shuffle)."""
+    from ..stages.similarity import grouped_centroids
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+    return grouped_centroids(ds, group_col="label", vec_col="embedding")
+
+
+SQL_LABEL_CENTROIDS_EMBEDDINGS = """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS grp,
+         UNNEST(generate_series(1, len(embedding))) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+)
+SELECT grp AS "group", CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+       COUNT(*) AS n
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_train_split_documents(sf_dir: str):
     """Deterministic train/val/test split (reproducible across runs/workers:
     pure function of doc_id, no RNG state)."""
@@ -1974,6 +1996,7 @@ QUERIES = {
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ann_topk_lsh_embeddings": q_ann_topk_lsh_embeddings,
     "ann_topk_ivf_embeddings": q_ann_topk_ivf_embeddings,
+    "label_centroids_embeddings": q_label_centroids_embeddings,
     "train_split_documents": q_train_split_documents,
     "leakage_safe_split_documents": q_leakage_safe_split_documents,
     "normalize_documents": q_normalize_documents,
@@ -2023,6 +2046,7 @@ ORACLE_SQL = {
     "dup_pairs_documents": SQL_DUP_PAIRS_DOCUMENTS,
     "ngram_jaccard_pairs_documents": SQL_NGRAM_JACCARD_PAIRS_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,
+    "label_centroids_embeddings": SQL_LABEL_CENTROIDS_EMBEDDINGS,
     "normalize_documents": SQL_NORMALIZE_DOCUMENTS,
     "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
     "quality_counts_documents": SQL_QUALITY_COUNTS_DOCUMENTS,

@@ -392,3 +392,67 @@ def ann_topk_ivf(ds, queries: dict, *, k: int = 10, n_cells: int = 32,
 
     return local.groupby("query_id").map_groups(final_topk,
                                                 batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Grouped vector centroids (per-label embedding mean, combiner pattern)
+# ---------------------------------------------------------------------------
+
+def grouped_centroids(ds, *, group_col: str = "label",
+                      vec_col: str = "embedding", scale: int = 1_000_000,
+                      batch_size: int = 8192):
+    """Per-group vector centroid as integer-exact partial sums.
+
+    Output (long format): one row per (group, dim) with
+    ``sum_scaled`` = sum over the group of round(component * scale) and
+    ``n`` = group size; centroid component = sum_scaled / (scale * n).
+
+    Combiner pattern (same shape as the repo's count→normalize
+    aggregations): each batch reduces its rows to O(groups_in_batch × dim)
+    partial-sum rows with ONE np.add.at over the whole (rows × dim) matrix,
+    so the groupby that merges partials only sees tiny tables — no
+    all-to-all over the vectors themselves. Components are integer-scaled
+    BEFORE summation, making the result order-independent (int64 addition
+    is associative) and DuckDB-oracle-exact — the same trick as
+    queries._cents. REL parity anchor: the mean-embedding-per-entity step
+    of REL's embedding store build (REL:src/REL/generate_train_test.py
+    entity-vector aggregation analog).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column(vec_col)
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        n = len(e)
+        if n == 0:
+            return pa.table({
+                "group": pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "sum_scaled": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64())})
+        # float32 → float64 BEFORE scaling so the arithmetic matches a SQL
+        # oracle's CAST(v AS DOUBLE) * scale; pc.round matches DuckDB ROUND
+        vals = pc.cast(e.values, pa.float64())
+        scaled = np.asarray(
+            pc.cast(pc.round(pc.multiply(vals, float(scale))), pa.int64()))
+        d = len(scaled) // n
+        groups = np.asarray(pc.cast(batch.column(group_col), pa.int64()))
+        uniq, inv = np.unique(groups, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, scaled.reshape(n, d))
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        g = len(uniq)
+        return pa.table({
+            "group": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), g)),
+            "sum_scaled": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, d))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    agg = partials.groupby(["group", "dim"]).aggregate(
+        Sum("sum_scaled"), Sum("n"))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["group", "dim", "sum_scaled", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True)

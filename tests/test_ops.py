@@ -863,3 +863,24 @@ def test_global_topk_matches_sort_limit():
 
     empty = rd.from_arrow(tab.slice(0, 0))
     assert global_topk(empty, [("v", "descending")], 5).num_rows == 0
+
+
+def test_grouped_centroids_known_answer():
+    """Integer-scaled per-label vector sums match a hand computation, across
+    multiple partitions (the combiner must merge partials exactly)."""
+    import ray.data as rd
+
+    from rel_ray.stages.similarity import grouped_centroids
+
+    vecs = pa.array([[1.0, 2.0], [3.0, 4.0], [0.5, -0.25], [1.5, 0.75]],
+                    type=pa.list_(pa.float32()))
+    tab = pa.table({"label": pa.array([1, 2, 1, 2], type=pa.int32()),
+                    "embedding": vecs})
+    ds = rd.from_arrow(tab).repartition(3)
+    out = grouped_centroids(ds, group_col="label", vec_col="embedding")
+    df = out.to_pandas().sort_values(["group", "dim"]).reset_index(drop=True)
+    # label 1: (1+0.5, 2-0.25) = (1.5, 1.75); label 2: (4.5, 4.75)
+    assert df["group"].tolist() == [1, 1, 2, 2]
+    assert df["sum_scaled"].tolist() == [1_500_000, 1_750_000,
+                                         4_500_000, 4_750_000]
+    assert df["n"].tolist() == [2, 2, 2, 2]
