@@ -38,6 +38,14 @@ class PipelineConfig:
     #     REL:src/REL/wikipedia_yago_freq.py) ---
     block_cap: int = 128        # max window width inside a block
     max_pairs_per_block: int = 4096
+    # hot-key salting (stages/salting.py): keys estimated above hot_key_min
+    # rows split into ≤ hot_max_shards bridge-linked shard blocks, detected
+    # from a 1-in-hot_sample_mod deterministic sample of the blocking input
+    salt_hot_keys: bool = True
+    hot_key_min: int = 50_000
+    hot_max_shards: int = 64
+    hot_sample_mod: int = 64
+    hot_bridge_per_shard: int = 8
 
     # --- conversation / context (REL 100-word ctx window analog) ---
     ctx_turns: int = 2

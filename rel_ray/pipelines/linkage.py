@@ -297,7 +297,9 @@ def run_linkage(
     reps = rd.from_arrow([rep_sel.slice(i, chunk)
                           for i in range(0, max(rep_sel.num_rows, 1), chunk)])
 
-    blocks = blocking_stage(reps, cfg)
+    from ..stages.salting import salted_blocking
+    blocks = salted_blocking(reps, cfg,
+                             est_rows=rep_sel.num_rows * cfg.bands)
     pairs = pairs_stage(blocks, cfg, num_partitions)
     # materialize edges: consumed twice (match filter + user output)
     with _phase_timer("score_edges_materialize"):
@@ -377,7 +379,9 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
             ["record_id", "mention_norm"]),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    blocks = blocking_stage(reps, cfg)
+    from ..stages.salting import salted_blocking
+    blocks = salted_blocking(reps, cfg,
+                             est_rows=records.count() * cfg.bands)
     pairs = pairs_stage(blocks, cfg, num_partitions)
     edges = scoring_stage(pairs, cfg).materialize()
 

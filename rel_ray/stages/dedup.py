@@ -171,7 +171,9 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
         lambda t: t.filter(pc.equal(t.column("record_id"), t.column("rep_id"))).select(
             ["record_id", "mention_norm"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    blocks = blocking_stage(reps, cfg)
+    from .salting import salted_blocking
+    blocks = salted_blocking(reps, cfg,
+                             est_rows=records.count() * cfg.bands)
     pairs = pairs_stage(blocks, cfg, num_partitions)
     verifier = JaccardVerifier(cfg, threshold)
     edges = pairs.map_batches(

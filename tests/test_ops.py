@@ -884,3 +884,109 @@ def test_grouped_centroids_known_answer():
     assert df["sum_scaled"].tolist() == [1_500_000, 1_750_000,
                                          4_500_000, 4_750_000]
     assert df["n"].tolist() == [2, 2, 2, 2]
+
+
+# ---------------------------------------------------------------------------
+# hot-key salting (stages/salting.py)
+# ---------------------------------------------------------------------------
+
+def _uf_components(pairs: pa.Table, ids: list[str]) -> dict[str, str]:
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("id_a").to_pylist(),
+                    pairs.column("id_b").to_pylist()):
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_key_salting_connectivity():
+    """A hot block key is split into bridge-linked shards: every member stays
+    in ONE connected component, per-key segment sizes drop to ~est/shards,
+    and non-hot keys' pairs are untouched."""
+    import dataclasses
+
+    from rel_ray.stages.pairs import pairs_stage
+    from rel_ray.stages.salting import hot_key_table, salt_blocks, sample_rows
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, hot_key_min=128, hot_sample_mod=4, hot_max_shards=8,
+        hot_bridge_per_shard=8, num_buckets=16)
+
+    n_hot = 1200
+    hot_ids = [f"h{i:05d}" for i in range(n_hot)]
+    cold_keys, cold_ids = [], []
+    for k in range(40):
+        for j in range(3):
+            cold_keys.append(10_000 + k)
+            cold_ids.append(f"c{k:03d}_{j}")
+    blocks_tab = pa.table({
+        "block_key": pa.array([777] * n_hot + cold_keys, type=pa.int64()),
+        "record_id": pa.array(hot_ids + cold_ids),
+        "mention_norm": pa.array(["x"] * (n_hot + len(cold_ids))),
+    })
+    blocks = rd.from_arrow(blocks_tab).repartition(4)
+
+    hot = hot_key_table(sample_rows(blocks, "record_id", cfg.hot_sample_mod),
+                        cfg)
+    assert hot.num_rows == 1 and hot.column("key").to_pylist() == [777]
+    n_shards = hot.column("n_shards")[0].as_py()
+    assert 2 <= n_shards <= cfg.hot_max_shards
+
+    salted = salt_blocks(blocks, hot)
+    st = _collect(salted)
+    # the hot key itself is gone; per-key segment sizes are balanced
+    import collections
+    sizes = collections.Counter(st.column("block_key").to_pylist())
+    assert 777 not in sizes
+    hot_rows = {k: v for k, v in sizes.items() if v > 10}
+    assert len(hot_rows) >= n_shards  # shards + bridge block
+    assert max(hot_rows.values()) < n_hot / 2
+
+    pairs_salted = _collect(pairs_stage(salted, cfg))
+    comp = _uf_components(pairs_salted, hot_ids)
+    assert len(set(comp.values())) == 1, "shards must stay bridge-connected"
+
+    # cold keys: pair sets identical with and without salting
+    pairs_plain = _collect(pairs_stage(blocks, cfg))
+
+    def cold_pairs(t):
+        return sorted((a, b) for a, b in zip(t.column("id_a").to_pylist(),
+                                             t.column("id_b").to_pylist())
+                      if a.startswith("c"))
+    assert cold_pairs(pairs_salted) == cold_pairs(pairs_plain)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_blocking_gates_small_inputs():
+    """Below hot_key_min the salting path must add zero stages (same plan as
+    plain blocking) and detection must not run."""
+    import dataclasses
+
+    from rel_ray.stages.blocking import blocking_stage
+    from rel_ray.stages.salting import salted_blocking
+
+    reps = rd.from_arrow(pa.table({
+        "record_id": pa.array([f"r{i}" for i in range(20)]),
+        "mention_norm": pa.array([f"name {i}" for i in range(20)]),
+    }))
+    cfg = DEFAULT_CONFIG
+    out = _collect(salted_blocking(reps, cfg, est_rows=20 * cfg.bands))
+    ref = _collect(blocking_stage(reps, cfg))
+    assert out.sort_by([("block_key", "ascending"),
+                        ("record_id", "ascending")]).equals(
+        ref.sort_by([("block_key", "ascending"),
+                     ("record_id", "ascending")]))
+
+    cfg_off = dataclasses.replace(cfg, salt_hot_keys=False)
+    out_off = _collect(salted_blocking(reps, cfg_off, est_rows=None))
+    assert out_off.num_rows == ref.num_rows
