@@ -60,6 +60,12 @@ class PipelineConfig:
     # extends past 0.52 (test F1 ≈ 1.0 there too); 0.52 sits mid-margin
     threshold: float = 0.52
     emb_dim: int = 64
+    # similarity head: "sign" = hashing-trick shingle sign-vectors (default);
+    # "gru" = batched byte-level GRU encoder (stages/inference.py — the REL
+    # MulRelRanker GRU-head analog, deterministic seeded weights)
+    emb_head: str = "sign"
+    gru_dim: int = 32
+    gru_seed: int = 1234
 
     # --- transitive clustering (REL global-coherence analog) ---
     max_cc_iters: int = 15

@@ -865,6 +865,58 @@ def q_quality_counts_documents(sf_dir: str):
     return ds.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_quality_classifier_documents(sf_dir: str):
+    """Batched model inference (stages/inference.py::LinearClassifier): an
+    actor-pool stage scoring every document with a quantized linear quality
+    classifier — integer weights over integer text features, weights fetched
+    from the object store once per actor. keep = logit >= 0. Integer logit
+    so the DuckDB oracle hash-matches bit-for-bit."""
+    from ..stages.inference import quality_classifier
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return quality_classifier(ds)
+
+
+SQL_QUALITY_CLASSIFIER_DOCUMENTS = (
+    r"""
+SELECT doc_id,
+       (-30 + 1*n_tokens + 8*n_stop - 6*n_punct) AS logit,
+       (-30 + 1*n_tokens + 8*n_stop - 6*n_punct) >= 0 AS is_keep
+FROM (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         CAST(array_length(regexp_extract_all(lower(text), '"""
+    + _stop_pattern().replace("'", "''")
+    + r"""')) AS BIGINT) AS n_stop
+  FROM documents)
+"""
+)
+
+
+def q_gru_embed_documents(sf_dir: str):
+    """Batched byte-level GRU encoder (stages/inference.py::gru_encode — the
+    REL MulRelRanker GRU-head analog): one recurrence over the whole batch,
+    zero-copy byte tokens from the Arrow buffers. Rows-only check (float
+    embeddings have no SQL equivalent); determinism and batch-invariance are
+    pinned in tests/test_inference.py."""
+    from ..stages.inference import gru_encode
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def embed(t: pa.Table) -> pa.Table:
+        emb = gru_encode(t.column("text"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), type=pa.float32()), emb.shape[1]),
+        })
+
+    return ds.map_batches(embed, batch_format="pyarrow", zero_copy_batch=True)
+
+
 SQL_QUALITY_COUNTS_DOCUMENTS = (
     r"""
 SELECT doc_id,
@@ -2002,6 +2054,8 @@ QUERIES = {
     "normalize_documents": q_normalize_documents,
     "token_count_documents": q_token_count_documents,
     "quality_counts_documents": q_quality_counts_documents,
+    "quality_classifier_documents": q_quality_classifier_documents,
+    "gru_embed_documents": q_gru_embed_documents,
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "textstats_documents": q_textstats_documents,
@@ -2050,6 +2104,7 @@ ORACLE_SQL = {
     "normalize_documents": SQL_NORMALIZE_DOCUMENTS,
     "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,
     "quality_counts_documents": SQL_QUALITY_COUNTS_DOCUMENTS,
+    "quality_classifier_documents": SQL_QUALITY_CLASSIFIER_DOCUMENTS,
     "lang_id_documents": _lang_sql(),
     "textstats_documents": _textstats_sql(),
     "context_windows_events": _context_windows_sql(),

@@ -152,8 +152,22 @@ class PairScorer:
             mn_b = mn_b.combine_chunks()
 
         idx_a, idx_b, ucodes, usplits = encode_pair_strings(mn_a, mn_b, cfg)
-        emb = _sign_embed(ucodes, usplits)
-        sim_emb = np.einsum("ij,ij->i", emb[idx_a], emb[idx_b]).astype(np.float32)
+        if cfg.emb_head == "gru":
+            # batched GRU head (REL MulRelRanker GRU analog): encode each
+            # DISTINCT surface form once per batch, gather per pair
+            import pyarrow.compute as pc
+
+            from .inference import gru_encode
+            enc = pc.dictionary_encode(pa.concat_arrays([mn_a, mn_b]))
+            gidx = np.asarray(enc.indices, dtype=np.int64)
+            emb = gru_encode(enc.dictionary, dim=cfg.gru_dim,
+                             seed=cfg.gru_seed)
+            sim_emb = np.einsum("ij,ij->i", emb[gidx[:n]],
+                                emb[gidx[n:]]).astype(np.float32)
+        else:
+            emb = _sign_embed(ucodes, usplits)
+            sim_emb = np.einsum(
+                "ij,ij->i", emb[idx_a], emb[idx_b]).astype(np.float32)
         sim_j = pairwise_jaccard(idx_a, idx_b, ucodes, usplits)
 
         # Jaro-Winkler is the expensive per-pair feature: gate it EXACTLY.

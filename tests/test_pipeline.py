@@ -85,3 +85,19 @@ def test_distributed_cc_pipeline_equivalent(ray_session, tiny_corpus):
     f = {r["record_id"]: r["cluster_id"] for r in fast["clusters"].take_all()}
     d = {r["record_id"]: r["cluster_id"] for r in dist["clusters"].take_all()}
     assert f == d and len(f) > 0
+
+
+def test_gru_head_f1_gate(ray_session, tiny_corpus):
+    """The optional GRU similarity head (cfg.emb_head='gru',
+    stages/inference.py) must hold the F1 gate end-to-end — it replaces
+    only the sim_emb feature; blocking and the other two features are
+    unchanged."""
+    import dataclasses
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, emb_head="gru")
+    tr = rd.from_arrow(tiny_corpus["transcripts"])
+    out = run_linkage(tr, cfg, num_partitions=4)
+    labels = rd.from_arrow(tiny_corpus["labels"])
+    res = pairwise_f1(out["clusters"], labels, split="test",
+                      num_partitions=4)
+    assert res["f1"] >= 0.99, res
