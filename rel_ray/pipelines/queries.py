@@ -1446,6 +1446,45 @@ FROM events p JOIN events v
 """
 
 
+def q_tumbling_window_events(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per user (the batch analog of a
+    streaming window operator): window key computed vectorized (int64 floor
+    division on the raw epoch-us), then ONE partial-combining groupby —
+    Ray's Sum/Count aggregate pre-combines inside every block before the
+    exchange, so the shuffle carries (user, window) partials, not events.
+    Cents-quantized sum for a bit-exact oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    HOUR_US = 3_600_000_000
+    ds = _pq(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t.column("ts")).view(np.int64)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "window_start_us": pa.array((ts // HOUR_US) * HOUR_US),
+            "value_c": _cents(t.column("value")),
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["user_id", "window_start_us"])
+           .aggregate(Sum("value_c"), Count()))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["user_id", "window_start_us",
+                                    "sum_value_cents", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TUMBLING_WINDOW_EVENTS = """
+SELECT user_id,
+       CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_rolling_window_events(sf_dir: str):
     """Per-user trailing 1-hour rolling count + cents-sum, SQL RANGE-frame
     semantics (equal timestamps are peers). One bucket exchange, two
@@ -1797,6 +1836,35 @@ def q_decontaminate_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_decontaminate_bloom_documents(sf_dir: str):
+    """Bloom-filter decontamination (stages/sketches.py::bloom_decontaminate):
+    same benchmark split as decontaminate_documents but the benchmark gram
+    set is a 10-bits/gram Bloom sketch (OR-merged per-batch partials,
+    broadcast once) instead of the exact gram array — the 100-TB path when
+    the held-out side is itself large. No false negatives (superset of the
+    exact filter, asserted in tests); rows-only driver check (FPs are
+    probabilistic by design)."""
+    from ..stages.sketches import bloom_decontaminate
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t.column("doc_id").to_numpy() % 50) == 0
+            return t.filter(pa.array(m if bench else ~m))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    flagged = bloom_decontaminate(corpus, bench, id_col="doc_id",
+                                  text_col="text")
+    return flagged.map_batches(
+        lambda t: t.select(["doc_id", "contaminated"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 SQL_DECONTAMINATE_DOCUMENTS = rf"""
 WITH {_SQL_GRAMS},
 contam AS (
@@ -2022,6 +2090,7 @@ QUERIES = {
     "asof_join_events_orders": q_asof_join_events_orders,
     "range_join_events": q_range_join_events,
     "rolling_window_events": q_rolling_window_events,
+    "tumbling_window_events": q_tumbling_window_events,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "revenue_by_mktsegment": q_revenue_by_mktsegment,
     "stratified_sample_documents": q_stratified_sample_documents,
@@ -2065,6 +2134,7 @@ QUERIES = {
     "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
     "decontaminate_documents": q_decontaminate_documents,
+    "decontaminate_bloom_documents": q_decontaminate_bloom_documents,
     "repetition_documents": q_repetition_documents,
     "context_windows_events": q_context_windows_events,
 }
@@ -2081,6 +2151,7 @@ ORACLE_SQL = {
     "asof_join_events_orders": SQL_ASOF_JOIN_EVENTS_ORDERS,
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "rolling_window_events": SQL_ROLLING_WINDOW_EVENTS,
+    "tumbling_window_events": SQL_TUMBLING_WINDOW_EVENTS,
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,
     "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,

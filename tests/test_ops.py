@@ -990,3 +990,75 @@ def test_salted_blocking_gates_small_inputs():
     cfg_off = dataclasses.replace(cfg, salt_hot_keys=False)
     out_off = _collect(salted_blocking(reps, cfg_off, est_rows=None))
     assert out_off.num_rows == ref.num_rows
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (stages/sketches.py) + tumbling window
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fpr():
+    from rel_ray.stages.sketches import bloom_build, bloom_probe
+
+    rng_vals = (np.arange(10_000, dtype=np.uint64) * np.uint64(2654435761)
+                + np.uint64(17))
+    members, others = rng_vals[:5000], rng_vals[5000:]
+    m_bits = ((len(members) * 10 + 63) // 64) * 64
+    bits = bloom_build(members, m_bits=m_bits, k=7)
+    assert bloom_probe(bits, members, k=7).all(), "false negative"
+    fpr = bloom_probe(bits, others, k=7).mean()
+    assert fpr < 0.03, fpr  # theory ~0.8% at 10 bits/key, k=7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_decontaminate_superset_of_exact():
+    """Bloom decontamination must flag every exactly-contaminated doc (no
+    false negatives); FPs allowed but bounded on this fixture."""
+    from rel_ray.stages.dedup import flag_contaminated
+    from rel_ray.stages.sketches import bloom_decontaminate
+
+    bench_texts = ["alpha beta gamma delta epsilon zeta", "one two three four five six"]
+    corpus_texts = [
+        "prefix alpha beta gamma delta epsilon zeta suffix",  # contaminated
+        "one two three four five six and then some more",     # contaminated
+        "totally clean document with no overlap whatsoever here",
+        "another clean text about ray data streaming executors",
+    ] * 5
+    bench = rd.from_arrow(pa.table({"doc_id": pa.array(range(2), type=pa.int64()),
+                                    "text": pa.array(bench_texts)}))
+    corpus = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(corpus_texts)), type=pa.int64()),
+         "text": pa.array(corpus_texts)}))
+
+    exact = _collect(flag_contaminated(corpus, bench, id_col="doc_id",
+                                       text_col="text")).sort_by("doc_id")
+    bloom = _collect(bloom_decontaminate(corpus, bench, id_col="doc_id",
+                                         text_col="text")).sort_by("doc_id")
+    e = np.asarray(exact.column("contaminated"))
+    b = np.asarray(bloom.column("contaminated"))
+    assert (b | ~e).all(), "bloom missed an exact contamination"
+    assert e.sum() == 10  # the two contaminated texts × 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tumbling_window_known_answer(tmp_path):
+    import pyarrow.parquet as pq
+
+    from rel_ray.pipelines.queries import q_tumbling_window_events
+
+    h = 3_600_000_000
+    ts = np.array([0, 10, h - 1, h, h + 5, 3 * h], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "event_type": pa.array(["view"] * 6),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.5]),
+        "props": pa.array(["{}"] * 6),
+    })
+    pq.write_table(tab, tmp_path / "events.parquet")
+    out = _collect(q_tumbling_window_events(str(tmp_path))).sort_by(
+        [("user_id", "ascending"), ("window_start_us", "ascending")])
+    assert out.column("user_id").to_pylist() == [1, 1, 2, 2]
+    assert out.column("window_start_us").to_pylist() == [0, h, h, 3 * h]
+    assert out.column("sum_value_cents").to_pylist() == [600, 400, 500, 650]
+    assert out.column("cnt").to_pylist() == [3, 1, 1, 1]
