@@ -648,6 +648,56 @@ WHERE 2 * c.ovl >= (sa.sz + sb.sz - c.ovl)
 """
 
 
+def q_cross_dedup_documents(sf_dir: str):
+    """Incremental dedup: exact n-gram-Jaccard join of a NEW corpus (odd
+    doc_ids) against the EXISTING corpus (even doc_ids) — every (new, base)
+    pair with word-trigram Jaccard >= 0.5, integer (inter, uni) so the
+    DuckDB oracle hash-matches. The dedup-new-crawl-against-training-set
+    primitive (stages/simjoin.py::similarity_cross_join)."""
+    from ..stages.simjoin import similarity_cross_join
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(odd: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t.column("doc_id").to_numpy() % 2) == 1
+            return t.filter(pa.array(m if odd else ~m))
+        return f
+
+    new = docs.map_batches(split(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    base = docs.map_batches(split(False), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return similarity_cross_join(new, base, id_col="doc_id", text_col="text",
+                                 tau_num=1, tau_den=2,
+                                 token_pattern="[a-z]+", ngram=3)
+
+
+SQL_CROSS_DEDUP_DOCUMENTS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS s(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ovl
+  FROM sh a JOIN sh b ON a.tok = b.tok
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(c.ovl AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - c.ovl AS BIGINT) AS uni
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE 2 * c.ovl >= (sa.sz + sb.sz - c.ovl)
+"""
+
+
 def q_minhash_dedup_documents(sf_dir: str):
     """MinHash/LSH near-dedup over documents (no SQL oracle: LSH keys)."""
     from ..stages.dedup import near_dedup_minhash
@@ -2110,6 +2160,7 @@ QUERIES = {
     "exact_dedup_documents": q_exact_dedup_documents,
     "dup_pairs_documents": q_dup_pairs_documents,
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "cross_dedup_documents": q_cross_dedup_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "simhash_documents": q_simhash_documents,
     "simhash_dedup_documents": q_simhash_dedup_documents,
@@ -2170,6 +2221,7 @@ ORACLE_SQL = {
     "exact_dedup_documents": SQL_EXACT_DEDUP_DOCUMENTS,
     "dup_pairs_documents": SQL_DUP_PAIRS_DOCUMENTS,
     "ngram_jaccard_pairs_documents": SQL_NGRAM_JACCARD_PAIRS_DOCUMENTS,
+    "cross_dedup_documents": SQL_CROSS_DEDUP_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,
     "label_centroids_embeddings": SQL_LABEL_CENTROIDS_EMBEDDINGS,
     "normalize_documents": SQL_NORMALIZE_DOCUMENTS,

@@ -112,11 +112,15 @@ class SegmentAllPairs:
     length-filtered then overlap-verified — all vectorized."""
 
     def __init__(self, tau_num: int, tau_den: int, max_seg: int = 0,
-                 counter_name: str = "simjoin_drops"):
+                 counter_name: str = "simjoin_drops", cross_side: bool = False):
         self.tau_num = tau_num
         self.tau_den = tau_den
         self.max_seg = max_seg
         self.counter = DropCounter(counter_name) if max_seg else None
+        # cross-side mode (similarity_cross_join): the bucket carries a
+        # `side` column; only side-0 × side-1 pairs are emitted, oriented
+        # so id_a is always the side-0 (new-corpus) doc
+        self.cross_side = cross_side
 
     def __call__(self, bucket: pa.Table) -> pa.Table:
         from .scoring import pairwise_overlap
@@ -153,9 +157,19 @@ class SegmentAllPairs:
         # J >= tau implies min_len >= tau * max_len
         keep = (self.tau_den * np.minimum(la, lb)
                 >= self.tau_num * np.maximum(la, lb))
+        if self.cross_side:
+            side = bucket.column("side").to_numpy()
+            keep &= side[a_idx] != side[b_idx]
         a_idx, b_idx = a_idx[keep], b_idx[keep]
         if len(a_idx) == 0:
             return _empty_pairs()
+        if self.cross_side:
+            # orient: id_a = side-0 row (consistent orientation is what lets
+            # the downstream band dedup collapse multi-prefix duplicates)
+            side = bucket.column("side").to_numpy()
+            sw = side[a_idx] != 0
+            a_idx, b_idx = (np.where(sw, b_idx, a_idx),
+                            np.where(sw, a_idx, b_idx))
         codes = bucket.column("codes")
         if isinstance(codes, pa.ChunkedArray):
             codes = codes.combine_chunks()
@@ -190,6 +204,45 @@ def similarity_self_join(ds, *, id_col: str, text_col: str,
         prefix, "pcode", SegmentAllPairs(tau_num, tau_den, max_seg),
         num_buckets=num_buckets, sort_cols=[("doc_id", "ascending")])
     # one pair can qualify via several shared prefix codes; payload identical
+    return bucketed_group_apply(
+        pairs, "id_a", _dedup_bucket,
+        num_buckets=num_buckets, sort_cols=[("id_b", "ascending")])
+
+
+def similarity_cross_join(new_ds, base_ds, *, id_col: str, text_col: str,
+                          tau_num: int, tau_den: int,
+                          token_pattern: str = "[a-z]+", ngram: int = 3,
+                          num_buckets: int = 256, max_seg: int = 0):
+    """Exact set-similarity join BETWEEN two corpora: every (new, base) doc
+    pair with shingle-set Jaccard >= tau_num/tau_den; id_a is always the
+    new-corpus doc. The incremental-dedup primitive (dedup a fresh crawl
+    against an existing training corpus) — same AllPairs prefix filter as
+    the self-join, one shared prefix-code exchange over BOTH sides, no
+    same-side pairs generated.
+
+    Scale shape: identical to similarity_self_join — the prefix shuffle is
+    the only all-to-all, and the (usually much larger) base corpus streams
+    through it exactly once; nothing is materialized driver-side."""
+    from .pairs import _dedup_bucket
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return f
+
+    def pre(ds, side):
+        return shingle_records(
+            ds, id_col=id_col, text_col=text_col,
+            token_pattern=token_pattern, ngram=ngram,
+            tau_num=tau_num, tau_den=tau_den).map_batches(
+                tag(side), batch_format="pyarrow", zero_copy_batch=True)
+
+    prefix = pre(new_ds, 0).union(pre(base_ds, 1))
+    pairs = bucketed_group_apply(
+        prefix, "pcode",
+        SegmentAllPairs(tau_num, tau_den, max_seg, cross_side=True),
+        num_buckets=num_buckets, sort_cols=[("doc_id", "ascending")])
     return bucketed_group_apply(
         pairs, "id_a", _dedup_bucket,
         num_buckets=num_buckets, sort_cols=[("id_b", "ascending")])

@@ -1062,3 +1062,47 @@ def test_tumbling_window_known_answer(tmp_path):
     assert out.column("window_start_us").to_pylist() == [0, h, h, 3 * h]
     assert out.column("sum_value_cents").to_pylist() == [600, 400, 500, 650]
     assert out.column("cnt").to_pylist() == [3, 1, 1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_similarity_cross_join_vs_bruteforce():
+    """Cross-corpus exact similarity join: pairs match a brute-force
+    reference, no same-side pairs, id_a always from the new side."""
+    from rel_ray.stages.simjoin import similarity_cross_join
+
+    new_texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely novel content nothing shared here at all",
+        "alpha beta gamma delta epsilon zeta eta theta iota",
+    ]
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "alpha beta gamma delta epsilon zeta eta theta kappa",
+        "unrelated base document about streaming dataset executors",
+    ]
+    new = rd.from_arrow(pa.table({"doc_id": pa.array([1, 3, 5], type=pa.int64()),
+                                  "text": pa.array(new_texts)}))
+    base = rd.from_arrow(pa.table({"doc_id": pa.array([2, 4, 6], type=pa.int64()),
+                                   "text": pa.array(base_texts)}))
+    out = _collect(similarity_cross_join(
+        new, base, id_col="doc_id", text_col="text", tau_num=1, tau_den=2,
+        num_buckets=8)).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+    def grams(s):
+        ws = s.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = []
+    for i, nt in zip([1, 3, 5], new_texts):
+        for j, bt in zip([2, 4, 6], base_texts):
+            a, b = grams(nt), grams(bt)
+            inter, uni = len(a & b), len(a | b)
+            if 2 * inter >= uni:
+                want.append((i, j, inter, uni))
+    got = list(zip(out.column("id_a").to_pylist(),
+                   out.column("id_b").to_pylist(),
+                   out.column("inter").to_pylist(),
+                   out.column("uni").to_pylist()))
+    assert got == sorted(want)
+    assert all(a % 2 == 1 and b % 2 == 0 for a, b, *_ in got)
+    assert len(got) == 2  # fox pair + greek-letters pair
