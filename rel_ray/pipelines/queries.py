@@ -1886,6 +1886,19 @@ def q_decontaminate_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_heavy_hitters_documents(sf_dir: str):
+    """Misra-Gries top-64 frequent tokens with error bounds
+    (stages/sketches.py::heavy_hitter_terms): each batch compresses to <=64
+    (token, count) rows, the driver merges O(k x batches) skinny partials —
+    the bounded-memory path when the vocabulary is too large to shuffle.
+    Rows-only check (est/err are sketch-specific); the lower-bound and
+    no-lost-heavy-hitter guarantees are pinned in tests."""
+    from ..stages.sketches import heavy_hitter_terms
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    return heavy_hitter_terms(ds, text_col="text", k=64)
+
+
 def q_decontaminate_bloom_documents(sf_dir: str):
     """Bloom-filter decontamination (stages/sketches.py::bloom_decontaminate):
     same benchmark split as decontaminate_documents but the benchmark gram
@@ -2186,6 +2199,7 @@ QUERIES = {
     "conversation_windows": q_conversation_windows,
     "decontaminate_documents": q_decontaminate_documents,
     "decontaminate_bloom_documents": q_decontaminate_bloom_documents,
+    "heavy_hitters_documents": q_heavy_hitters_documents,
     "repetition_documents": q_repetition_documents,
     "context_windows_events": q_context_windows_events,
 }

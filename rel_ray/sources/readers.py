@@ -35,6 +35,50 @@ def read_table(sf_dir: str, name: str, *, columns: list[str] | None = None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def read_transcripts_jsonl(path: str):
+    """Read transcripts from JSON-lines files (the REL HTTP-request payload
+    shape, ``REL:src/REL/server.py``, as a batch source). ``ray.data.
+    read_json`` streams and parallelizes per file/block like the Parquet
+    reader; columns are cast to the canonical TRANSCRIPTS schema (ts parsed
+    from ISO-8601 strings) so every downstream stage sees identical types
+    regardless of source format."""
+    ds = rd.read_json(path)
+
+    def canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t.column("ts")
+        if not pa.types.is_timestamp(ts.type):
+            ts = pc.strptime(pc.cast(ts, pa.string()),
+                             format="%Y-%m-%dT%H:%M:%S", unit="us")
+        ts = pc.cast(ts, pa.timestamp("us"))  # JSON auto-parse yields [s]
+        cols = {f.name: (ts if f.name == "ts"
+                         else pc.cast(t.column(f.name), f.type))
+                for f in schemas.TRANSCRIPTS}
+        return pa.table(cols)
+
+    out = ds.map_batches(canon, batch_format="pyarrow")
+    first = out.take_batch(1, batch_format="pyarrow")
+    schemas.assert_schema(first, schemas.TRANSCRIPTS)
+    return out
+
+
+def read_documents_csv(path: str):
+    """Read an (doc_id, text) documents table from CSV — the lowest-common-
+    denominator interchange format; schema-asserted like the other sources."""
+    ds = rd.read_csv(path)
+
+    def canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "text": pc.cast(t.column("text"), pa.string()),
+        })
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
 def from_items_transcripts(rows: list[dict]):
     """Tiny in-memory transcripts source (tests / examples)."""
     arrays = {f.name: [] for f in schemas.TRANSCRIPTS}

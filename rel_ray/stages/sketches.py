@@ -262,3 +262,101 @@ def bloom_decontaminate(corpus, benchmark, *, id_col: str, text_col: str,
 
     return corpus.map_batches(Probe, batch_format="pyarrow",
                               zero_copy_batch=True, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — bounded-memory frequent items
+# ---------------------------------------------------------------------------
+# Published: Misra & Gries (1982); the MERGE rule is from Agarwal et al.,
+# "Mergeable Summaries" (PODS 2012): sum matching counters, subtract the
+# (k+1)-th largest, drop non-positive. Guarantee after any merge tree:
+# true_count - n/(k+1) <= est <= true_count, so every item with frequency
+# > n/(k+1) is PRESENT in the summary (no heavy hitter is ever lost).
+#
+# Scale shape: each batch task compresses its rows to <= k (token, count)
+# rows (exact per-batch value_counts, then the MG truncation), so the
+# reduce moves O(k x batches) skinny rows — the bounded-memory path for
+# "top terms" when the vocabulary itself is too big to shuffle (the exact
+# combiner top-terms in retrieval.py shuffles one row per DISTINCT term).
+
+
+def mg_summarize(values: np.ndarray, counts: np.ndarray, k: int
+                 ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Truncate exact (values, counts) to a k-entry MG summary.
+
+    Returns (values, counts, err): counts are lower bounds; every dropped
+    item had true count <= err."""
+    if len(values) <= k:
+        return values, counts.astype(np.int64), 0
+    order = np.argsort(counts)[::-1]
+    err = int(counts[order[k]])
+    keep = order[:k]
+    est = counts[keep].astype(np.int64) - err
+    pos = est > 0
+    return values[keep][pos], est[pos], err
+
+
+def mg_merge(parts: list[tuple[np.ndarray, np.ndarray, int]], k: int
+             ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Merge MG summaries: concatenate, sum per key, re-truncate to k."""
+    if not parts:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), 0
+    vals = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    base_err = sum(p[2] for p in parts)
+    uv, inv = np.unique(vals, return_inverse=True)
+    summed = np.bincount(inv, weights=cnts, minlength=len(uv)).astype(np.int64)
+    v, c, err = mg_summarize(uv, summed, k)
+    return v, c, base_err + err
+
+
+def heavy_hitter_terms(ds, *, text_col: str, k: int = 64,
+                       token_pattern: str = "[a-z]+"):
+    """Top-k frequent tokens with Misra-Gries error bounds.
+
+    Returns a DRIVER-SIDE pa.Table (token_hash, est_count, max_err) — the
+    result is <= k rows by construction. est_count <= true <= est_count +
+    max_err; any token with true count > max_err appears."""
+    from ..functions.normalize import extract_all_matches
+    from ..functions.shingles import string_hash_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(extract_all_matches(col, token_pattern))
+        if len(toks) == 0:
+            return pa.table({"h": pa.array([], type=pa.uint64()),
+                             "c": pa.array([], type=pa.int64()),
+                             "e": pa.array([], type=pa.int64())})
+        h = string_hash_u64(toks)
+        uv, inv = np.unique(h, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uv)).astype(np.int64)
+        v, c, err = mg_summarize(uv, cnt, k)
+        if len(v) == 0 and err > 0:
+            # all items truncated away: a zero-count sentinel row still
+            # carries the error bound (dropped again at merge, harmlessly)
+            v = np.zeros(1, dtype=np.uint64)
+            c = np.zeros(1, dtype=np.int64)
+        return pa.table({"h": pa.array(v, type=pa.uint64()),
+                         "c": pa.array(c),
+                         "e": pa.array(np.full(len(v), err, dtype=np.int64))})
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        t = pa.table(b)
+        if t.num_rows:
+            parts.append((np.asarray(t.column("h"), dtype=np.uint64),
+                          np.asarray(t.column("c"), dtype=np.int64),
+                          int(t.column("e")[0].as_py())))
+        else:
+            parts.append((np.empty(0, np.uint64), np.empty(0, np.int64), 0))
+    v, c, err = mg_merge(parts, k)
+    order = np.argsort(c)[::-1]
+    return pa.table({
+        "token_hash": pa.array(v[order], type=pa.uint64()),
+        "est_count": pa.array(c[order]),
+        "max_err": pa.array(np.full(len(v), err, dtype=np.int64)),
+    })

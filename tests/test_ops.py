@@ -1106,3 +1106,74 @@ def test_similarity_cross_join_vs_bruteforce():
     assert got == sorted(want)
     assert all(a % 2 == 1 and b % 2 == 0 for a, b, *_ in got)
     assert len(got) == 2  # fox pair + greek-letters pair
+
+
+def test_misra_gries_bounds():
+    from rel_ray.stages.sketches import mg_merge, mg_summarize
+
+    rng = np.random.RandomState(7)
+    # zipf-ish stream in two partials
+    stream = np.concatenate([np.repeat(np.arange(50, dtype=np.uint64),
+                                       (1000 // (np.arange(50) + 1))),
+                             rng.randint(100, 10_000, 5000).astype(np.uint64)])
+    rng.shuffle(stream)
+    k = 32
+    parts = []
+    for half in np.array_split(stream, 3):
+        uv, inv = np.unique(half, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uv)).astype(np.int64)
+        parts.append(mg_summarize(uv, cnt, k))
+    v, c, err = mg_merge(parts, k)
+    assert len(v) <= k
+    true = {int(x): int((stream == x).sum()) for x in np.unique(stream)}
+    est = dict(zip(v.tolist(), c.tolist()))
+    # lower-bound property + bounded underestimate
+    for tok, e in est.items():
+        assert e <= true[tok] <= e + err
+    # every item with true count > err must be present
+    for tok, tc in true.items():
+        if tc > err:
+            assert tok in est, (tok, tc, err)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitter_terms_vs_exact():
+    from rel_ray.functions.shingles import string_hash_u64
+    from rel_ray.stages.sketches import heavy_hitter_terms
+
+    texts = (["the cat sat"] * 40 + ["a dog ran far"] * 25
+             + [f"unique{i} filler{i}" for i in range(30)])
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(4)
+    out = heavy_hitter_terms(ds, text_col="text", k=16)
+    assert out.num_rows <= 16
+    est = dict(zip(out.column("token_hash").to_pylist(),
+                   out.column("est_count").to_pylist()))
+    err = out.column("max_err")[0].as_py() if out.num_rows else 0
+    h_the = string_hash_u64(pa.array(["the"]))[0]
+    h_dog = string_hash_u64(pa.array(["dog"]))[0]
+    assert est[int(h_the)] <= 40 <= est[int(h_the)] + err
+    assert est[int(h_dog)] <= 25 <= est[int(h_dog)] + err
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_and_csv_sources(tmp_path):
+    import json
+
+    from rel_ray.sources.readers import read_documents_csv, read_transcripts_jsonl
+
+    rows = [{"conv_id": "c1", "turn_idx": i, "role": "user",
+             "text": f"turn {i}", "tool": "",
+             "ts": f"2026-01-01T00:00:0{i}"} for i in range(3)]
+    p = tmp_path / "t.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = read_transcripts_jsonl(str(p))
+    t = _collect(ds).sort_by("turn_idx")
+    assert t.column("turn_idx").to_pylist() == [0, 1, 2]
+    assert t.schema.field("ts").type == pa.timestamp("us")
+    assert t.schema.field("turn_idx").type == pa.int32()
+
+    c = tmp_path / "d.csv"
+    c.write_text("doc_id,text\n1,hello world\n2,second doc\n")
+    d = _collect(read_documents_csv(str(c))).sort_by("doc_id")
+    assert d.column("text").to_pylist() == ["hello world", "second doc"]
+    assert d.schema.field("doc_id").type == pa.int64()
