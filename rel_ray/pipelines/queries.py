@@ -1565,6 +1565,85 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_window_functions_events(sf_dir: str):
+    """Partitioned window functions (SQL ROW_NUMBER / LAG / running SUM) —
+    Ray Data has no window operator; stages/temporal.py::partitioned_window
+    is the engine's: one bucket exchange on the partition key, then numpy
+    over each sorted bucket (segment offsets, shift-with-mask lag, cumsum
+    minus per-segment base). Cents-quantized value for a bit-exact oracle."""
+    from ..stages.temporal import partitioned_window
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    prep = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_window(prep, key="user_id", ts="ts", tie="event_id",
+                              val_int="value_c",
+                              carry_cols=["event_id", "user_id"])
+
+
+SQL_WINDOW_FUNCTIONS_EVENTS = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS row_number,
+       CAST(COALESCE(lag(CAST(ROUND(value*100) AS BIGINT)) OVER w, 0)
+            AS BIGINT) AS lag_val,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_session_agg_events(sf_dir: str):
+    """Session-level aggregates (one row per gap-delimited session):
+    stages/temporal.py::sessionize — break flags from one vectorized diff,
+    per-session count/sum via add.reduceat, 0-based per-user session ids by
+    searchsorted against key starts. The session-AGGREGATE shape a training
+    pipeline uses for per-conversation stats (sessionize_events keeps the
+    per-event shape)."""
+    from ..stages.temporal import sessionize
+
+    GAP_US = 30 * 60 * 1_000_000
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    prep = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return sessionize(prep, key="user_id", ts="ts", tie="event_id",
+                      val_int="value_c", gap=GAP_US)
+
+
+SQL_SESSION_AGG_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS value_c,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, value_c,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM flagged)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_c) AS BIGINT) AS sum_val
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+
 def q_customers_no_urgent_orders(sf_dir: str):
     """Distributed anti join: customers with zero '1-URGENT' orders.
     Tagged-union bucket exchange + vectorized membership test
@@ -2153,6 +2232,8 @@ QUERIES = {
     "asof_join_events_orders": q_asof_join_events_orders,
     "range_join_events": q_range_join_events,
     "rolling_window_events": q_rolling_window_events,
+    "window_functions_events": q_window_functions_events,
+    "session_agg_events": q_session_agg_events,
     "tumbling_window_events": q_tumbling_window_events,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "revenue_by_mktsegment": q_revenue_by_mktsegment,
@@ -2216,6 +2297,8 @@ ORACLE_SQL = {
     "asof_join_events_orders": SQL_ASOF_JOIN_EVENTS_ORDERS,
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "rolling_window_events": SQL_ROLLING_WINDOW_EVENTS,
+    "window_functions_events": SQL_WINDOW_FUNCTIONS_EVENTS,
+    "session_agg_events": SQL_SESSION_AGG_EVENTS,
     "tumbling_window_events": SQL_TUMBLING_WINDOW_EVENTS,
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,
     "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,

@@ -327,3 +327,116 @@ def rolling_window_agg(ds, *, key: str, ts: str, val_int: str,
     return bucketed_group_apply(ds, key, agg, num_buckets=num_buckets,
                                 sort_cols=[(ts, "ascending")])
 
+
+
+def partitioned_window(ds, *, key: str, ts: str, tie: str, val_int: str,
+                       carry_cols: list[str], num_buckets: int = 256):
+    """Per-key ordered window functions in one pass: ``row_number``,
+    ``lag(val)`` (0 at each partition's first row, i.e. SQL
+    ``COALESCE(LAG(v), 0)``), and the running inclusive sum
+    (``SUM(v) OVER (PARTITION BY key ORDER BY ts, tie ROWS UNBOUNDED
+    PRECEDING)``). Ray Data has no window operator; this is the engine's:
+    ONE bucket exchange on the partition key, then everything is numpy over
+    the (key, ts, tie)-sorted bucket — segment offsets from one
+    ``segment_starts`` call, row numbers by subtracting the repeated segment
+    start, the running sum as a global cumsum minus the per-segment base,
+    lag as a shift masked at segment firsts. No per-key callbacks, no
+    Python loop.
+
+    ``(ts, tie)`` must totally order rows within a key (pass a unique id as
+    `tie`) or the result is nondeterministic — same contract SQL has.
+    Output: carry_cols + (row_number:int64, lag_val:int64, run_sum:int64).
+    """
+    from ..functions.rayutil import segment_starts
+
+    def win(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        out_types = {c: bucket.column(c).type for c in carry_cols}
+        if n == 0:
+            return pa.table(
+                {**{c: pa.array([], type=out_types[c]) for c in carry_cols},
+                 "row_number": pa.array([], type=pa.int64()),
+                 "lag_val": pa.array([], type=pa.int64()),
+                 "run_sum": pa.array([], type=pa.int64())})
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        lens = np.diff(np.append(starts, n))
+        offs = np.repeat(starts, lens)
+        rn = np.arange(n, dtype=np.int64) - offs + 1
+        vals = np.asarray(bucket.column(val_int), dtype=np.int64)
+        cum = np.cumsum(vals)
+        base = np.where(offs > 0, cum[np.maximum(offs - 1, 0)], 0)
+        run = cum - base
+        lag = np.empty(n, dtype=np.int64)
+        lag[0] = 0
+        lag[1:] = vals[:-1]
+        lag[starts] = 0
+        cols = {c: bucket.column(c) for c in carry_cols}
+        cols["row_number"] = pa.array(rn)
+        cols["lag_val"] = pa.array(lag)
+        cols["run_sum"] = pa.array(run)
+        return pa.table(cols)
+
+    return bucketed_group_apply(ds, key, win, num_buckets=num_buckets,
+                                sort_cols=[(ts, "ascending"),
+                                           (tie, "ascending")])
+
+
+def sessionize(ds, *, key: str, ts: str, tie: str, val_int: str,
+               gap: int, num_buckets: int = 256):
+    """Gap-based sessionization: per key, a new session starts whenever the
+    time since the previous event exceeds ``gap`` (ts units). Emits ONE ROW
+    PER SESSION: (key, session_id — 0-based per key, session_start,
+    session_end, n_events:int64, sum_val:int64).
+
+    The whole operator is one bucket exchange plus numpy over the sorted
+    bucket: break flags from one diff, session boundaries from nonzero,
+    per-session aggregates from ``add.reduceat`` — never a per-session or
+    per-key Python callback, so a key with millions of events costs
+    O(events) vectorized work. Matches the standard SQL idiom
+    (LAG → CASE gap → SUM OVER as session id → GROUP BY), which is the
+    oracle (queries.SQL_SESSIONIZE_EVENTS).
+    """
+    from ..functions.rayutil import segment_starts
+
+    def sess(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        kcol = bucket.column(key)
+        if n == 0:
+            return pa.table({
+                key: pa.array([], type=kcol.type),
+                "session_id": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.int64()),
+                "session_end": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "sum_val": pa.array([], type=pa.int64())})
+        t = np.asarray(pc.cast(bucket.column(ts), pa.int64()))
+        kstarts = np.asarray(segment_starts(kcol))
+        new_key = np.zeros(n, dtype=bool)
+        new_key[kstarts] = True
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (t[1:] - t[:-1]) > gap
+        brk |= new_key
+        s_starts = np.nonzero(brk)[0]
+        s_lens = np.diff(np.append(s_starts, n))
+        vals = np.asarray(bucket.column(val_int), dtype=np.int64)
+        # 0-based session index within each key: session ordinal minus the
+        # ordinal of the key's first session
+        first_sess_of_key = np.searchsorted(s_starts, kstarts)
+        sess_per_key = np.diff(np.append(first_sess_of_key, len(s_starts)))
+        sid = (np.arange(len(s_starts), dtype=np.int64)
+               - np.repeat(first_sess_of_key, sess_per_key))
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        return pa.table({
+            key: kcol.take(pa.array(s_starts)),
+            "session_id": pa.array(sid),
+            "session_start": pa.array(t[s_starts]),
+            "session_end": pa.array(t[s_starts + s_lens - 1]),
+            "n_events": pa.array(s_lens.astype(np.int64)),
+            "sum_val": pa.array(np.add.reduceat(vals, s_starts)),
+        })
+
+    return bucketed_group_apply(ds, key, sess, num_buckets=num_buckets,
+                                sort_cols=[(ts, "ascending"),
+                                           (tie, "ascending")])

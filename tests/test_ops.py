@@ -1177,3 +1177,68 @@ def test_jsonl_and_csv_sources(tmp_path):
     d = _collect(read_documents_csv(str(c))).sort_by("doc_id")
     assert d.column("text").to_pylist() == ["hello world", "second doc"]
     assert d.schema.field("doc_id").type == pa.int64()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_window_kernel():
+    from rel_ray.stages.temporal import partitioned_window
+
+    # two keys interleaved; key 7 has a tie on ts broken by the tie column
+    t = pa.table({
+        "k": pa.array([7, 3, 7, 7, 3], type=pa.int64()),
+        "ts": pa.array([10, 5, 10, 20, 9], type=pa.int64()),
+        "tie": pa.array([2, 1, 1, 3, 2], type=pa.int64()),
+        "v": pa.array([100, 10, 50, 7, 20], type=pa.int64()),
+    })
+    out = _collect(partitioned_window(
+        rd.from_arrow(t).repartition(3), key="k", ts="ts", tie="tie",
+        val_int="v", carry_cols=["k", "tie"])).sort_by(
+            [("k", "ascending"), ("row_number", "ascending")])
+    assert out.column("k").to_pylist() == [3, 3, 7, 7, 7]
+    assert out.column("row_number").to_pylist() == [1, 2, 1, 2, 3]
+    # lag resets to 0 at every partition first row
+    assert out.column("lag_val").to_pylist() == [0, 10, 0, 50, 100]
+    assert out.column("run_sum").to_pylist() == [10, 30, 50, 150, 157]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_gap_semantics():
+    from rel_ray.stages.temporal import sessionize
+
+    # key 1: gap EXACTLY equal to the threshold does NOT break (> not >=);
+    # one past it does. key 2: single event = one session.
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([0, 100, 201, 250, 999], type=pa.int64()),
+        "tie": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "v": pa.array([1, 2, 4, 8, 16], type=pa.int64()),
+    })
+    out = _collect(sessionize(
+        rd.from_arrow(t).repartition(2), key="k", ts="ts", tie="tie",
+        val_int="v", gap=100)).sort_by(
+            [("k", "ascending"), ("session_id", "ascending")])
+    assert out.column("k").to_pylist() == [1, 1, 2]
+    assert out.column("session_id").to_pylist() == [0, 1, 0]
+    assert out.column("n_events").to_pylist() == [2, 2, 1]
+    assert out.column("sum_val").to_pylist() == [3, 12, 16]
+    assert out.column("session_start").to_pylist() == [0, 201, 999]
+    assert out.column("session_end").to_pylist() == [100, 250, 999]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_session_empty_input():
+    from rel_ray.stages.temporal import partitioned_window, sessionize
+
+    t = pa.table({
+        "k": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.int64()),
+        "tie": pa.array([], type=pa.int64()),
+        "v": pa.array([], type=pa.int64()),
+    })
+    w = _collect(partitioned_window(rd.from_arrow(t), key="k", ts="ts",
+                                    tie="tie", val_int="v",
+                                    carry_cols=["k"]))
+    assert w.num_rows == 0
+    s = _collect(sessionize(rd.from_arrow(t), key="k", ts="ts", tie="tie",
+                            val_int="v", gap=10))
+    assert s.num_rows == 0
