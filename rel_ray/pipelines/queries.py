@@ -789,6 +789,21 @@ def q_ann_topk_ivf_embeddings(sf_dir: str):
     return ann_topk_ivf(ds, queries, k=10, n_cells=32, nprobe=6)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the full embedding table
+    (stages/similarity.py::kmeans): per-iteration streaming pass emitting
+    O(k x dim) partial sums per batch, maximin deterministic init. Output:
+    (vec_id, cluster) assignments. Rows-only check (iterative, not
+    SQL-expressible); blob recovery, inertia monotonicity and determinism
+    are pinned in tests/test_ops.py::test_kmeans_recovers_blobs."""
+    from ..stages.similarity import kmeans
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigns, _C, _inertia = kmeans(ds, n_clusters=16, iters=5)
+    return assigns
+
+
+
 def q_label_centroids_embeddings(sf_dir: str):
     """Per-label embedding centroid (integer-exact partial sums; combiner
     → tiny merge groupby — the vectors never shuffle)."""
@@ -2262,6 +2277,7 @@ QUERIES = {
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ann_topk_lsh_embeddings": q_ann_topk_lsh_embeddings,
     "ann_topk_ivf_embeddings": q_ann_topk_ivf_embeddings,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "label_centroids_embeddings": q_label_centroids_embeddings,
     "train_split_documents": q_train_split_documents,
     "leakage_safe_split_documents": q_leakage_safe_split_documents,

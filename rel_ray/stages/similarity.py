@@ -456,3 +456,118 @@ def grouped_centroids(ds, *, group_col: str = "label",
     return agg.map_batches(
         lambda t: t.rename_columns(["group", "dim", "sum_scaled", "n"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (full-table Lloyd's — not the IVF driver-sample train)
+# ---------------------------------------------------------------------------
+
+def kmeans(ds, *, n_clusters: int = 8, iters: int = 10,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           batch_size: int = 4096):
+    """Out-of-core Lloyd's k-means over the whole embedding table.
+
+    Each iteration is ONE streaming pass: every batch assigns its rows to the
+    nearest centroid (one ``(rows × k)`` squared-L2 matrix via the expanded
+    dot-product identity, argmin) and emits a PARTIAL — one row per nonempty
+    cell: (cell, count, per-dim sums) — so the driver merges
+    O(k × dim × batches) floats per pass, never the vectors themselves
+    (same combiner shape as grouped_centroids). Centroids are ``ray.put``
+    once per iteration and read via the per-process broadcast cache. Init is
+    deterministic farthest-point (maximin) over the `sample_size` rows with
+    the smallest `id_col` — order-independent of block layout and spread
+    across the data (k-smallest-ids alone can land every seed in one blob).
+    Re-reading the dataset once per iteration is inherent to out-of-core
+    Lloyd's; pass a materialized/checkpointed dataset to avoid re-running
+    upstream stages.
+
+    Returns (assignments dataset: (id_col, cluster:int64), centroids:
+    np.ndarray (k × dim), inertia: list of per-iteration float sums).
+    """
+    from ..functions.rayutil import collect_table, get_broadcast, global_topk
+
+    # deterministic init sample: smallest ids via tiny top-k reduce (no
+    # sort shuffle), then maximin seed selection on the driver
+    sample_size = max(1024, n_clusters)
+    seed_tab = global_topk(
+        ds.map_batches(lambda t: t.select([id_col, vec_col]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        [(id_col, "ascending")], sample_size).sort_by(id_col)
+    S = _embedding_matrix(seed_tab, vec_col).astype(np.float64)
+    n_clusters = min(n_clusters, len(S))
+    chosen = [0]
+    d2min = np.einsum("ij,ij->i", S - S[0], S - S[0])
+    for _ in range(1, n_clusters):
+        nxt = int(np.argmax(d2min))
+        chosen.append(nxt)
+        dn = np.einsum("ij,ij->i", S - S[nxt], S - S[nxt])
+        np.minimum(d2min, dn, out=d2min)
+    C = S[chosen].copy()
+    k, dim = C.shape
+
+    part_schema = pa.schema([("cell", pa.int64()), ("n", pa.int64()),
+                             ("inertia", pa.float64()),
+                             ("sums", pa.list_(pa.float64()))])
+
+    def make_partial(cref):
+        def partial(batch: pa.Table) -> pa.Table:
+            cc = get_broadcast(cref)
+            m = _embedding_matrix(batch, vec_col).astype(np.float64)
+            if m.shape[0] == 0:
+                return part_schema.empty_table()
+            # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; ||x||^2 constant per
+            # row for the argmin but needed for inertia
+            xx = np.einsum("ij,ij->i", m, m)
+            d2 = xx[:, None] - 2.0 * (m @ cc.T) + np.einsum(
+                "ij,ij->i", cc, cc)[None, :]
+            assign = np.argmin(d2, axis=1)
+            best = np.maximum(d2[np.arange(len(assign)), assign], 0.0)
+            uniq, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, inv, m)
+            counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            inert = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(inert, inv, best)
+            return pa.table({
+                "cell": pa.array(uniq.astype(np.int64)),
+                "n": pa.array(counts),
+                "inertia": pa.array(inert),
+                "sums": pa.array(list(sums), type=pa.list_(pa.float64())),
+            })
+        return partial
+
+    inertia_log = []
+    for _ in range(iters):
+        cref = ray.put(C)
+        parts = collect_table(
+            ds.map_batches(make_partial(cref), batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size),
+            part_schema)
+        cells = np.asarray(parts.column("cell"))
+        ns = np.asarray(parts.column("n"))
+        sums_flat = np.asarray(parts.column("sums").combine_chunks().values)
+        sums = sums_flat.reshape(len(cells), dim)
+        acc = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(acc, cells, sums)
+        counts = np.bincount(cells, weights=ns, minlength=k)
+        nz = counts > 0
+        C = np.where(nz[:, None], acc / np.maximum(counts, 1)[:, None], C)
+        inertia_log.append(float(np.asarray(parts.column("inertia")).sum()))
+
+    cref = ray.put(C)
+
+    def assign_only(batch: pa.Table) -> pa.Table:
+        cc = get_broadcast(cref)
+        m = _embedding_matrix(batch, vec_col).astype(np.float64)
+        ids = batch.column(id_col)
+        if m.shape[0] == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64())})
+        d2 = -2.0 * (m @ cc.T) + np.einsum("ij,ij->i", cc, cc)[None, :]
+        return pa.table({id_col: ids,
+                         "cluster": pa.array(
+                             np.argmin(d2, axis=1).astype(np.int64))})
+
+    assigns = ds.map_batches(assign_only, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=batch_size)
+    return assigns, C, inertia_log

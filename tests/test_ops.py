@@ -1242,3 +1242,32 @@ def test_window_session_empty_input():
     s = _collect(sessionize(rd.from_arrow(t), key="k", ts="ts", tie="tie",
                             val_int="v", gap=10))
     assert s.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_recovers_blobs():
+    from rel_ray.stages.similarity import kmeans
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    pts = np.concatenate([c + rng.randn(40, 3) * 0.05 for c in centers])
+    ids = np.arange(len(pts), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(pts.astype(np.float32)),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    assigns, C, inertia = kmeans(ds, n_clusters=3, iters=8)
+    out = _collect(assigns).sort_by("vec_id")
+    lab = np.asarray(out.column("cluster"))
+    # perfect recovery: each true blob maps to exactly one cluster id
+    blobs = [set(lab[i * 40:(i + 1) * 40].tolist()) for i in range(3)]
+    assert all(len(b) == 1 for b in blobs)
+    assert len(set().union(*blobs)) == 3
+    # inertia is monotone non-increasing across Lloyd's iterations
+    assert all(a >= b - 1e-9 for a, b in zip(inertia, inertia[1:]))
+    # determinism: second run identical
+    assigns2, C2, _ = kmeans(ds, n_clusters=3, iters=8)
+    assert np.array_equal(
+        np.asarray(_collect(assigns2).sort_by("vec_id").column("cluster")),
+        lab)
+    assert np.allclose(C, C2)
