@@ -1683,6 +1683,49 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_customer_big_order_counts(sf_dir: str):
+    """LEFT OUTER equi-join at scale (stages/joins.py::cogroup_inner_join
+    how="left"): every customer keeps a row even with zero qualifying
+    orders — one tagged-union bucket exchange, vectorized index_in join,
+    null right-side propagated by Arrow take and COALESCEd to 0 (same
+    expression on both sides so the value hash is exact)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import cogroup_inner_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = (orders.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.greater(t.column("o_totalprice"), 150000.0))
+            .column("o_custkey")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey").aggregate(Count()))
+    big = big.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = cogroup_inner_join(cust, big, key="c_custkey",
+                                right_cols=["cnt"], how="left")
+    return joined.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "big_orders": pc.fill_null(pc.cast(t.column("cnt"), pa.int64()),
+                                       0)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CUSTOMER_BIG_ORDER_COUNTS = """
+SELECT c.c_custkey, c.c_name,
+       CAST(COALESCE(r.cnt, 0) AS BIGINT) AS big_orders
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders
+  WHERE o_totalprice > 150000 GROUP BY o_custkey) r
+ON c.c_custkey = r.o_custkey
+"""
+
+
+
 def q_revenue_by_mktsegment(sf_dir: str):
     """Broadcast dim join (orders fact ⋈ customer dim) → grouped revenue.
     The dim table is ray.put once and per-process cached; the fact side
@@ -1993,6 +2036,29 @@ def q_heavy_hitters_documents(sf_dir: str):
     return heavy_hitter_terms(ds, text_col="text", k=64)
 
 
+def q_cms_heavy_hitters_documents(sf_dir: str):
+    """Composed sketch pipeline: Misra-Gries finds WHICH tokens are frequent
+    (lower bounds), a Count-Min sketch answers point queries (upper bounds)
+    — together each heavy hitter gets a [mg_lower, cms_upper] interval that
+    provably brackets the true count. Both sketches are one streaming pass
+    each with O(k) / O(depth x width) state per batch; nothing shuffles.
+    Rows-only check (sketch-specific estimates); the bracket guarantee is
+    pinned in tests (test_misra_gries_bounds, test_count_min_guarantees)."""
+    from ..stages.sketches import cms_query, count_min_terms, heavy_hitter_terms
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    hh = heavy_hitter_terms(ds, text_col="text", k=32)
+    sketch = count_min_terms(ds, text_col="text", depth=4, width=4096)
+    hashes = hh.column("token_hash")
+    ests = cms_query(sketch, hashes.to_numpy(zero_copy_only=False))
+    return pa.table({
+        "token_hash": hashes,
+        "mg_lower": hh.column("est_count"),
+        "cms_upper": pa.array(ests.astype("int64")),
+    })
+
+
+
 def q_decontaminate_bloom_documents(sf_dir: str):
     """Bloom-filter decontamination (stages/sketches.py::bloom_decontaminate):
     same benchmark split as decontaminate_documents but the benchmark gram
@@ -2252,6 +2318,7 @@ QUERIES = {
     "tumbling_window_events": q_tumbling_window_events,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "revenue_by_mktsegment": q_revenue_by_mktsegment,
+    "customer_big_order_counts": q_customer_big_order_counts,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2297,6 +2364,7 @@ QUERIES = {
     "decontaminate_documents": q_decontaminate_documents,
     "decontaminate_bloom_documents": q_decontaminate_bloom_documents,
     "heavy_hitters_documents": q_heavy_hitters_documents,
+    "cms_heavy_hitters_documents": q_cms_heavy_hitters_documents,
     "repetition_documents": q_repetition_documents,
     "context_windows_events": q_context_windows_events,
 }
@@ -2318,6 +2386,7 @@ ORACLE_SQL = {
     "tumbling_window_events": SQL_TUMBLING_WINDOW_EVENTS,
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,
     "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
+    "customer_big_order_counts": SQL_CUSTOMER_BIG_ORDER_COUNTS,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

@@ -125,8 +125,8 @@ def broadcast_inner_join(left, right_ref, *, key: str,
 
 
 def cogroup_inner_join(left, right, *, key: str, right_cols: list[str],
-                       num_buckets: int = 256):
-    """Large-large inner equi-join with UNIQUE right keys (fact ⋈ keyed
+                       num_buckets: int = 256, how: str = "inner"):
+    """Large-large equi-join with UNIQUE right keys (fact ⋈ keyed
     table at scale, when the right side is too big to broadcast).
 
     Both sides are projected to one tagged schema, unioned, and exchanged
@@ -134,10 +134,15 @@ def cogroup_inner_join(left, right, *, key: str, right_cols: list[str],
     ``pc.index_in`` of left keys against the bucket's right keys (uniqueness
     of right keys makes index_in a complete join — duplicate right keys
     would need the segment expansion of temporal.range_join instead; an
-    assertion guards that contract). Left rows without a match are dropped.
+    assertion guards that contract).
+
+    ``how="inner"`` drops left rows without a match; ``how="left"`` keeps
+    them with nulls in ``right_cols`` (Arrow ``take`` propagates the null
+    index straight through — the outer padding costs nothing extra).
 
     Output schema: all left columns + ``right_cols``.
     """
+    assert how in ("inner", "left"), how
     l_schema = left.schema()
     left_cols = [f.name for f in l_schema.base_schema]
     assert key in left_cols, f"key {key!r} must be a left column"
@@ -183,12 +188,20 @@ def cogroup_inner_join(left, right, *, key: str, right_cols: list[str],
             raise ValueError("cogroup_inner_join requires unique right keys")
         empty = pa.table({c: pa.array([], type=bucket.column(c).type)
                           for c in out_cols})
-        if len(rk) == 0 or lt.num_rows == 0:
+        if lt.num_rows == 0:
             return empty
+        if len(rk) == 0:
+            if how == "inner":
+                return empty
+            cols = {c: lt.column(c) for c in left_cols}
+            for c in right_cols:
+                cols[c] = pa.nulls(lt.num_rows, type=r_types[c])
+            return pa.table(cols)
         idx = pc.index_in(lt.column(key), value_set=rk)
-        hit = pc.is_valid(idx)
-        lt = lt.filter(hit)
-        idx = idx.filter(hit)
+        if how == "inner":
+            hit = pc.is_valid(idx)
+            lt = lt.filter(hit)
+            idx = idx.filter(hit)
         cols = {c: lt.column(c) for c in left_cols}
         for c in right_cols:
             cols[c] = rt.column(c).take(idx)

@@ -360,3 +360,73 @@ def heavy_hitter_terms(ds, *, text_col: str, k: int = 64,
         "est_count": pa.array(c[order]),
         "max_err": pa.array(np.full(len(v), err, dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable approximate counts over an unbounded key space
+# ---------------------------------------------------------------------------
+# Published: Cormode & Muthukrishnan (2005). Guarantees: est >= true always
+# (counters only ever overcount), and est <= true + eps*N with probability
+# 1 - delta for width = ceil(e/eps), depth = ceil(ln 1/delta). Sketches are
+# PERFECTLY mergeable (elementwise sum), so the reduce over batches is one
+# numpy add per batch — the bounded-memory companion to heavy_hitter_terms:
+# MG finds WHICH items are frequent, CMS answers point queries for any item.
+
+
+def cms_hash_rows(items: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, len(items)) row indices: h_i(x) = splitmix64(x ^ seed_i) % width."""
+    from ..functions.hashing import splitmix64
+
+    seeds = splitmix64(np.arange(1, depth + 1, dtype=np.uint64))
+    out = np.empty((depth, len(items)), dtype=np.int64)
+    for d in range(depth):
+        out[d] = (splitmix64(items ^ seeds[d]) % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_query(sketch: np.ndarray, items: np.ndarray) -> np.ndarray:
+    """Point-query the merged (depth, width) sketch: min over depth rows."""
+    depth, width = sketch.shape
+    rows = cms_hash_rows(np.asarray(items, dtype=np.uint64), depth, width)
+    ests = np.stack([sketch[d, rows[d]] for d in range(depth)])
+    return ests.min(axis=0)
+
+
+def count_min_terms(ds, *, text_col: str, depth: int = 4, width: int = 2048,
+                    token_pattern: str = "[a-z]+") -> np.ndarray:
+    """Build a merged Count-Min sketch of token frequencies over `ds`.
+
+    Each batch tokenizes vectorized (extract_all_matches → list_flatten →
+    string_hash_u64) and scatters its counts into a local (depth, width)
+    int64 grid with one np.add.at per row; the grid ships as ONE flattened
+    list row per batch and the driver merge is a numpy sum over
+    O(depth × width × batches) ints — no shuffle, no per-token rows ever
+    leave a task. Returns the (depth, width) sketch; query with cms_query.
+    """
+    from ..functions.normalize import extract_all_matches
+    from ..functions.shingles import string_hash_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(extract_all_matches(col, token_pattern))
+        grid = np.zeros((depth, width), dtype=np.int64)
+        if len(toks):
+            h = string_hash_u64(toks)
+            uniq, cnt = np.unique(h, return_counts=True)
+            rows = cms_hash_rows(uniq, depth, width)
+            for d in range(depth):
+                np.add.at(grid[d], rows[d], cnt)
+        return pa.table({"grid": pa.array([grid.ravel()],
+                                          type=pa.list_(pa.int64()))})
+
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        t = pa.table(b)
+        for row in range(t.num_rows):
+            sketch += np.asarray(
+                t.column("grid")[row].values).reshape(depth, width)
+    return sketch

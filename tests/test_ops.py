@@ -1271,3 +1271,52 @@ def test_kmeans_recovers_blobs():
         np.asarray(_collect(assigns2).sort_by("vec_id").column("cluster")),
         lab)
     assert np.allclose(C, C2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cogroup_left_join():
+    from rel_ray.stages.joins import cogroup_inner_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"])})).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4], type=pa.int64()),
+        "rv": pa.array([20, 40], type=pa.int64())}))
+    out = _collect(cogroup_inner_join(left, right, key="k",
+                                      right_cols=["rv"], how="left")
+                   ).sort_by("k")
+    assert out.column("k").to_pylist() == [1, 2, 3, 4]
+    assert out.column("rv").to_pylist() == [None, 20, None, 40]
+    inner = _collect(cogroup_inner_join(left, right, key="k",
+                                        right_cols=["rv"])).sort_by("k")
+    assert inner.column("k").to_pylist() == [2, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_count_min_guarantees():
+    from rel_ray.functions.shingles import string_hash_u64
+    from rel_ray.stages.sketches import cms_query, count_min_terms
+
+    texts = (["alpha beta gamma"] * 30 + ["beta delta"] * 20
+             + [f"tail{i} noise{i}" for i in range(50)])
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(4)
+    sketch = count_min_terms(ds, text_col="text", depth=4, width=1024)
+    # note the [a-z]+ tokenizer strips digits: "tail7" contributes the
+    # token "tail" (50 occurrences across the filler docs)
+    true = {"alpha": 30, "beta": 50, "gamma": 30, "delta": 20,
+            "tail": 50, "noise": 50}
+    toks = list(true)
+    h = string_hash_u64(pa.array(toks))
+    est = cms_query(sketch, h)
+    n_total = int(sketch[0].sum())  # each row sums to the full stream length
+    for tok, e in zip(toks, est.tolist()):
+        assert e >= true[tok]                       # never undercounts
+        assert e <= true[tok] + n_total             # trivial sanity ceiling
+    # width 1024 >> distinct tokens here: collisions are rare enough that
+    # at least the two heaviest tokens are exact
+    assert est[1] == 50
+    # mergeability: sketch of the same data in one partition is identical
+    s2 = count_min_terms(rd.from_arrow(pa.table({"text": pa.array(texts)})),
+                         text_col="text", depth=4, width=1024)
+    assert np.array_equal(sketch, s2)
