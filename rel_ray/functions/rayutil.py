@@ -71,7 +71,13 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         h = string_hash_u64(col)
     else:
-        h = splitmix64(np.asarray(col).view(np.uint64))
+        arr = np.asarray(col)
+        if arr.dtype.itemsize != 8:
+            # widen narrow ints (int32 keys etc.) BEFORE the u64 view — a
+            # raw .view() on a 4-byte dtype halves the array length and
+            # silently mis-buckets every row
+            arr = arr.astype(np.int64)
+        h = splitmix64(arr.view(np.uint64))
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 
 

@@ -288,6 +288,86 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_grouped_quantiles_hist_lineitem(sf_dir: str):
+    """Same exact quantiles as grouped_quantiles_lineitem, by the SCALE
+    path: per-batch value-count partials (np.unique) -> groupby sum over
+    (group, distinct value) -> per-group cumulative-count selection. The
+    exchange carries one row per DISTINCT cents value per group instead of
+    one per lineitem row — at 100 TB that is the difference between
+    shuffling the table and shuffling a histogram. Value-exact (integer
+    domain), so it shares the row-level oracle SQL."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                  "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.column("l_returnflag").combine_chunks() if isinstance(
+            t.column("l_returnflag"), pa.ChunkedArray) else t.column("l_returnflag")
+        s = t.column("l_linestatus").combine_chunks() if isinstance(
+            t.column("l_linestatus"), pa.ChunkedArray) else t.column("l_linestatus")
+        v = np.asarray(_cents(t.column("l_extendedprice")))
+        # composite group key on the two low-cardinality dims + value
+        key = pc.binary_join_element_wise(f, s, "|")
+        enc = pc.dictionary_encode(key)
+        gidx = np.asarray(enc.indices, dtype=np.int64)
+        comp = np.stack([gidx, v], axis=1)
+        uniq, cnt = np.unique(comp, axis=0, return_counts=True)
+        gd = enc.dictionary
+        return pa.table({
+            "gkey": gd.take(pa.array(uniq[:, 0])),
+            "price_c": pa.array(uniq[:, 1]),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["gkey", "price_c"]).aggregate(Sum("cnt")))
+    hist = hist.map_batches(
+        lambda t: t.rename_columns(["gkey", "price_c", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    QS = (("p50", 50), ("p90", 90), ("p99", 99))
+
+    def quantiles(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({"l_returnflag": pa.array([], type=pa.string()),
+                             "l_linestatus": pa.array([], type=pa.string()),
+                             **{name: pa.array([], type=pa.int64())
+                                for name, _ in QS}})
+        starts = np.asarray(segment_starts(bucket.column("gkey")))
+        ends = np.append(starts[1:], n)
+        cnt = np.asarray(bucket.column("cnt"), dtype=np.int64)
+        v = np.asarray(bucket.column("price_c"), dtype=np.int64)
+        cum = np.cumsum(cnt)
+        base = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        totals = cum[ends - 1] - base
+        gk = bucket.column("gkey")
+        if isinstance(gk, pa.ChunkedArray):
+            gk = gk.combine_chunks()
+        heads = gk.take(pa.array(starts))
+        parts = pc.split_pattern(heads, "|")
+        cols = {"l_returnflag": pc.list_element(parts, 0),
+                "l_linestatus": pc.list_element(parts, 1)}
+        for name, q in QS:
+            # rank of the ceil(q*n/100)-th smallest within each group, then
+            # locate it in the cumulative histogram
+            rank = (q * totals + 99) // 100
+            out = np.empty(len(starts), dtype=np.int64)
+            for i in range(len(starts)):  # O(groups): 6 groups, not rows
+                seg = slice(starts[i], ends[i])
+                pos = np.searchsorted(cum[seg] - base[i], rank[i], side="left")
+                out[i] = v[starts[i] + pos]
+            cols[name] = pa.array(out)
+        return pa.table(cols)
+
+    return bucketed_group_apply(hist, "gkey", quantiles, num_buckets=4,
+                                sort_cols=[("price_c", "ascending")])
+
+
+
 def q_top_terms_documents(sf_dir: str):
     """Global term frequencies, top-20 by (count desc, term asc): the
     combiner pattern — per-batch value_counts partial aggregation BEFORE the
@@ -1726,6 +1806,33 @@ ON c.c_custkey = r.o_custkey
 
 
 
+def q_nation_customer_supplier_pairs(sf_dir: str):
+    """Many-to-many inner join (stages/joins.py::cogroup_join_multi):
+    customers x suppliers co-located in a nation — duplicate keys on BOTH
+    sides, full SQL multiplicity from one tagged-union bucket exchange and
+    numpy repeat/tile segment cross-products (no per-key Python)."""
+    from ..stages.joins import cogroup_join_multi
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": t.column("c_nationkey"),
+                            "c_custkey": t.column("c_custkey")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": t.column("s_nationkey"),
+                            "s_suppkey": t.column("s_suppkey")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cogroup_join_multi(cust, supp, key="nationkey",
+                              left_cols=["c_custkey"],
+                              right_cols=["s_suppkey"])
+
+
+SQL_NATION_CUSTOMER_SUPPLIER_PAIRS = """
+SELECT c.c_nationkey AS nationkey, c.c_custkey, s.s_suppkey
+FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+"""
+
+
+
 def q_revenue_by_mktsegment(sf_dir: str):
     """Broadcast dim join (orders fact ⋈ customer dim) → grouped revenue.
     The dim table is ray.put once and per-process cached; the fact side
@@ -2319,6 +2426,7 @@ QUERIES = {
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "revenue_by_mktsegment": q_revenue_by_mktsegment,
     "customer_big_order_counts": q_customer_big_order_counts,
+    "nation_customer_supplier_pairs": q_nation_customer_supplier_pairs,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2327,6 +2435,7 @@ QUERIES = {
     "scrub_pii_documents": q_scrub_pii_documents,
     "tfidf_topk_documents": q_tfidf_topk_documents,
     "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
+    "grouped_quantiles_hist_lineitem": q_grouped_quantiles_hist_lineitem,
     "top_terms_documents": q_top_terms_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
     "union_sum": q_union_sum,
@@ -2387,6 +2496,7 @@ ORACLE_SQL = {
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,
     "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
     "customer_big_order_counts": SQL_CUSTOMER_BIG_ORDER_COUNTS,
+    "nation_customer_supplier_pairs": SQL_NATION_CUSTOMER_SUPPLIER_PAIRS,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,
@@ -2394,6 +2504,7 @@ ORACLE_SQL = {
     "scrub_pii_documents": SQL_SCRUB_PII_DOCUMENTS,
     "tfidf_topk_documents": SQL_TFIDF_TOPK_DOCUMENTS,
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
+    "grouped_quantiles_hist_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
     "train_split_documents": SQL_TRAIN_SPLIT_DOCUMENTS,

@@ -209,3 +209,102 @@ def cogroup_inner_join(left, right, *, key: str, right_cols: list[str],
 
     return bucketed_group_apply(lp.union(rp), key, join,
                                 num_buckets=num_buckets)
+
+
+def cogroup_join_multi(left, right, *, key: str, left_cols: list[str],
+                       right_cols: list[str], num_buckets: int = 256,
+                       max_matches: int = 0, counters=None):
+    """General many-to-many inner equi-join (duplicate keys on BOTH sides).
+
+    Same single tagged-union bucket exchange as cogroup_inner_join; each
+    bucket is sorted by (key, side) so every key's left rows and right rows
+    are adjacent, and the cross product per key is emitted with pure
+    numpy repeat/tile index arithmetic over the whole bucket at once — no
+    per-key Python. Output rows per key = n_left × n_right, the SQL INNER
+    JOIN multiplicity.
+
+    Skew guard: a hot key producing more than ``max_matches`` output rows
+    per left row (0 = unlimited) keeps the ``max_matches`` right rows with
+    the lowest sort position and COUNTS the drop via ``counters``
+    (rayutil.DropCounter) — never a silent cap. At 100 TB a pathological
+    key (empty string, null-ish sentinel) otherwise materializes a
+    quadratic block; filter or salt upstream for real workloads.
+
+    Output schema: ``left_cols`` + key + ``right_cols`` (left_cols and
+    right_cols must be disjoint and exclude the key).
+    """
+    from ..functions.rayutil import segment_starts, tagged_union
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_types = {f.name: f.type for f in l_schema}
+    r_types = {f.name: f.type for f in r_schema}
+    payload = list(left_cols) + list(right_cols)
+    out_cols = [key] + payload
+
+    def proj(is_left: bool):
+        def p(t: pa.Table) -> pa.Table:
+            cols = {key: t.column(key)}
+            for c in left_cols:
+                cols[c] = (t.column(c) if is_left
+                           else pa.nulls(t.num_rows, type=l_types[c]))
+            for c in right_cols:
+                cols[c] = (pa.nulls(t.num_rows, type=r_types[c]) if is_left
+                           else t.column(c))
+            cols[_SIDE] = pa.array(
+                np.full(t.num_rows, 0 if is_left else 1, dtype=np.int8))
+            return pa.table(cols)
+        return p
+
+    lp = left.map_batches(proj(True), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rp = right.map_batches(proj(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def join(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        empty = pa.table({c: pa.array([], type=bucket.column(c).type)
+                          for c in out_cols})
+        if n == 0:
+            return empty
+        side = np.asarray(bucket.column(_SIDE))
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        ends = np.append(starts[1:], n)
+        # within each key segment rows are sorted left-first (side 0 < 1):
+        # first right position per segment via searchsorted on a global
+        # monotone composite (segment index, side)
+        seg_of = np.repeat(np.arange(len(starts)), ends - starts)
+        comp = seg_of * 2 + side
+        first_r = np.searchsorted(comp, np.arange(len(starts)) * 2 + 1,
+                                  side="left")
+        nl = first_r - starts
+        nr = ends - first_r
+        if max_matches:
+            over = nr > max_matches
+            if over.any():
+                dropped = int(((nr[over] - max_matches) * nl[over]).sum())
+                if dropped and counters is not None:
+                    counters.add("join_multi_matches", dropped)
+                nr = np.minimum(nr, max_matches)
+        per_seg = nl * nr
+        total = int(per_seg.sum())
+        if total == 0:
+            return empty
+        # left index: for each segment repeat each left row nr times;
+        # right index: tile the right block nl times
+        seg_sel = np.repeat(np.arange(len(starts)), per_seg)
+        offs = np.cumsum(per_seg) - per_seg
+        pos = np.arange(total, dtype=np.int64) - offs[seg_sel]
+        l_idx = starts[seg_sel] + pos // np.maximum(nr[seg_sel], 1)
+        r_idx = first_r[seg_sel] + pos % np.maximum(nr[seg_sel], 1)
+        la, ra = pa.array(l_idx), pa.array(r_idx)
+        cols = {key: bucket.column(key).take(la)}
+        for c in left_cols:
+            cols[c] = bucket.column(c).take(la)
+        for c in right_cols:
+            cols[c] = bucket.column(c).take(ra)
+        return pa.table(cols)
+
+    return bucketed_group_apply(lp.union(rp), key, join,
+                                num_buckets=num_buckets,
+                                sort_cols=[(_SIDE, "ascending")])

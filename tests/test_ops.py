@@ -1320,3 +1320,61 @@ def test_count_min_guarantees():
     s2 = count_min_terms(rd.from_arrow(pa.table({"text": pa.array(texts)})),
                          text_col="text", depth=4, width=1024)
     assert np.array_equal(sketch, s2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cogroup_join_multi():
+    from rel_ray.functions.rayutil import DropCounter
+    from rel_ray.stages.joins import cogroup_join_multi
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "lv": pa.array([10, 11, 20, 30], type=pa.int64())})).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "rv": pa.array([100, 101, 102, 200], type=pa.int64())}))
+    out = _collect(cogroup_join_multi(
+        left, right, key="k", left_cols=["lv"], right_cols=["rv"]))
+    got = sorted(zip(out.column("k").to_pylist(),
+                     out.column("lv").to_pylist(),
+                     out.column("rv").to_pylist()))
+    want = sorted([(1, lv, rv) for lv in (10, 11) for rv in (100, 101, 102)]
+                  + [(2, 20, 200)])
+    assert got == want  # full SQL inner-join multiplicity; key 3 dropped
+
+    # skew cap: max_matches=2 keeps 2 right rows per left row and counts
+    counters = DropCounter()
+    capped = _collect(cogroup_join_multi(
+        left, right, key="k", left_cols=["lv"], right_cols=["rv"],
+        max_matches=2, counters=counters))
+    assert capped.num_rows == 2 * 2 + 1
+    assert counters.totals().get("join_multi_matches") == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_group_apply_int32_keys():
+    # regression: narrow (4-byte) key dtypes must widen before the u64
+    # hash view — a raw view halves the array and mis-buckets silently
+    from rel_ray.functions.rayutil import bucketed_group_apply, segment_starts
+
+    t = pa.table({"k": pa.array(list(range(10)) * 3, type=pa.int32()),
+                  "v": pa.array(range(30), type=pa.int64())})
+
+    def seg_count(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({"k": pa.array([], type=pa.int32()),
+                             "cnt": pa.array([], type=pa.int64())})
+        starts = np.asarray(segment_starts(bucket.column("k")))
+        lens = np.diff(np.append(starts, n))
+        kc = bucket.column("k")
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        return pa.table({"k": kc.take(pa.array(starts)),
+                         "cnt": pa.array(lens.astype(np.int64))})
+
+    out = _collect(bucketed_group_apply(
+        rd.from_arrow(t).repartition(3), "k", seg_count,
+        num_buckets=8)).sort_by("k")
+    assert out.column("k").to_pylist() == list(range(10))
+    assert out.column("cnt").to_pylist() == [3] * 10
