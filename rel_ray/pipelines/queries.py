@@ -1694,6 +1694,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_moving_sum_events(sf_dir: str):
+    """Bounded ROWS-frame window (SUM OVER ... ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW): the row-count twin of the time-based rolling_window_agg.
+    Same one-exchange partitioned_window kernel — the bounded frame is two
+    numpy maxima over the already-computed global cumsum."""
+    from ..stages.temporal import partitioned_window
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    prep = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = partitioned_window(prep, key="user_id", ts="ts", tie="event_id",
+                             val_int="value_c",
+                             carry_cols=["event_id", "user_id"],
+                             rows_preceding=3)
+    return out.select_columns(["event_id", "user_id", "mov_sum"])
+
+
+SQL_MOVING_SUM_EVENTS = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS mov_sum
+FROM events
+"""
+
+
 def q_session_agg_events(sf_dir: str):
     """Session-level aggregates (one row per gap-delimited session):
     stages/temporal.py::sessionize — break flags from one vectorized diff,
@@ -1829,6 +1861,78 @@ def q_nation_customer_supplier_pairs(sf_dir: str):
 SQL_NATION_CUSTOMER_SUPPLIER_PAIRS = """
 SELECT c.c_nationkey AS nationkey, c.c_custkey, s.s_suppkey
 FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+"""
+
+
+def q_rollup_lineitem(sf_dir: str):
+    """ROLLUP multi-level aggregation (stages/rollup.py::rollup_sum): price
+    cents summed at (returnflag, linestatus), (returnflag) and grand-total
+    levels. One pass over lineitem (per-batch Arrow group_by partials);
+    coarser levels re-aggregate the previous level's tiny output."""
+    from ..stages.rollup import rollup_sum
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "price_c": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return rollup_sum(ds, dims=["l_returnflag", "l_linestatus"],
+                      value_col="price_c")
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS price_c
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_user_activity_full_outer(sf_dir: str):
+    """FULL OUTER equi-join (stages/joins.py::cogroup_join_multi
+    how="full"): even-keyed customers vs per-user event counts — unmatched
+    rows survive on BOTH sides (even custkeys >= 150 have no events; odd
+    event users have no customer row here). Nulls are COALESCEd to
+    sentinels with the same expression on both engines so the value hash
+    is exact."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import cogroup_join_multi
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "id": f.column("c_custkey"), "c_acctbal": f.column("c_acctbal")}))(
+            t.filter(pc.equal(pc.bit_wise_and(t.column("c_custkey"), 1), 0))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ev = (_pq(sf_dir, "events", ["user_id"])
+          .groupby("user_id").aggregate(Count()))
+    ev = ev.map_batches(lambda t: t.rename_columns(["id", "n_events"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    joined = cogroup_join_multi(cust, ev, key="id",
+                                left_cols=["c_acctbal"],
+                                right_cols=["n_events"], how="full")
+    return joined.map_batches(
+        lambda t: pa.table({
+            "id": t.column("id"),
+            "acctbal": pc.fill_null(t.column("c_acctbal"), -1.0),
+            "n_events": pc.fill_null(pc.cast(t.column("n_events"),
+                                             pa.int64()), -1)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_USER_ACTIVITY_FULL_OUTER = """
+SELECT COALESCE(c.id, e.id) AS id,
+       COALESCE(c.c_acctbal, -1.0) AS acctbal,
+       CAST(COALESCE(e.n_events, -1) AS BIGINT) AS n_events
+FROM (SELECT c_custkey AS id, c_acctbal FROM customer
+      WHERE c_custkey % 2 = 0) c
+FULL OUTER JOIN (SELECT user_id AS id, COUNT(*) AS n_events
+                 FROM events GROUP BY user_id) e
+ON c.id = e.id
 """
 
 
@@ -2421,12 +2525,15 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "rolling_window_events": q_rolling_window_events,
     "window_functions_events": q_window_functions_events,
+    "moving_sum_events": q_moving_sum_events,
     "session_agg_events": q_session_agg_events,
     "tumbling_window_events": q_tumbling_window_events,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "revenue_by_mktsegment": q_revenue_by_mktsegment,
     "customer_big_order_counts": q_customer_big_order_counts,
     "nation_customer_supplier_pairs": q_nation_customer_supplier_pairs,
+    "user_activity_full_outer": q_user_activity_full_outer,
+    "rollup_lineitem": q_rollup_lineitem,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2491,12 +2598,15 @@ ORACLE_SQL = {
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "rolling_window_events": SQL_ROLLING_WINDOW_EVENTS,
     "window_functions_events": SQL_WINDOW_FUNCTIONS_EVENTS,
+    "moving_sum_events": SQL_MOVING_SUM_EVENTS,
     "session_agg_events": SQL_SESSION_AGG_EVENTS,
     "tumbling_window_events": SQL_TUMBLING_WINDOW_EVENTS,
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,
     "revenue_by_mktsegment": SQL_REVENUE_BY_MKTSEGMENT,
     "customer_big_order_counts": SQL_CUSTOMER_BIG_ORDER_COUNTS,
     "nation_customer_supplier_pairs": SQL_NATION_CUSTOMER_SUPPLIER_PAIRS,
+    "user_activity_full_outer": SQL_USER_ACTIVITY_FULL_OUTER,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

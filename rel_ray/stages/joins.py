@@ -213,8 +213,9 @@ def cogroup_inner_join(left, right, *, key: str, right_cols: list[str],
 
 def cogroup_join_multi(left, right, *, key: str, left_cols: list[str],
                        right_cols: list[str], num_buckets: int = 256,
-                       max_matches: int = 0, counters=None):
-    """General many-to-many inner equi-join (duplicate keys on BOTH sides).
+                       max_matches: int = 0, counters=None,
+                       how: str = "inner"):
+    """General many-to-many equi-join (duplicate keys on BOTH sides).
 
     Same single tagged-union bucket exchange as cogroup_inner_join; each
     bucket is sorted by (key, side) so every key's left rows and right rows
@@ -230,10 +231,19 @@ def cogroup_join_multi(left, right, *, key: str, left_cols: list[str],
     key (empty string, null-ish sentinel) otherwise materializes a
     quadratic block; filter or salt upstream for real workloads.
 
+    ``how`` extends the multiplicity to the outer variants: ``"left"`` /
+    ``"right"`` / ``"full"`` additionally emit the unmatched rows of that
+    side with nulls in the opposite payload. The tagged-union projection
+    already gives every bucket row the full output schema with nulls on
+    the absent side, so outer padding is a mask + filter over the bucket —
+    no extra columns are built.
+
     Output schema: ``left_cols`` + key + ``right_cols`` (left_cols and
     right_cols must be disjoint and exclude the key).
     """
     from ..functions.rayutil import segment_starts, tagged_union
+
+    assert how in ("inner", "left", "right", "full"), how
 
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
@@ -288,22 +298,31 @@ def cogroup_join_multi(left, right, *, key: str, left_cols: list[str],
                 nr = np.minimum(nr, max_matches)
         per_seg = nl * nr
         total = int(per_seg.sum())
-        if total == 0:
+        parts = []
+        if total:
+            # left index: for each segment repeat each left row nr times;
+            # right index: tile the right block nl times
+            seg_sel = np.repeat(np.arange(len(starts)), per_seg)
+            offs = np.cumsum(per_seg) - per_seg
+            pos = np.arange(total, dtype=np.int64) - offs[seg_sel]
+            l_idx = starts[seg_sel] + pos // np.maximum(nr[seg_sel], 1)
+            r_idx = first_r[seg_sel] + pos % np.maximum(nr[seg_sel], 1)
+            la, ra = pa.array(l_idx), pa.array(r_idx)
+            cols = {key: bucket.column(key).take(la)}
+            for c in left_cols:
+                cols[c] = bucket.column(c).take(la)
+            for c in right_cols:
+                cols[c] = bucket.column(c).take(ra)
+            parts.append(pa.table(cols))
+        if how in ("left", "full") and (nr == 0).any():
+            lm = (side == 0) & (nr[seg_of] == 0)
+            parts.append(bucket.filter(pa.array(lm)).select(out_cols))
+        if how in ("right", "full") and (nl == 0).any():
+            rm = (side == 1) & (nl[seg_of] == 0)
+            parts.append(bucket.filter(pa.array(rm)).select(out_cols))
+        if not parts:
             return empty
-        # left index: for each segment repeat each left row nr times;
-        # right index: tile the right block nl times
-        seg_sel = np.repeat(np.arange(len(starts)), per_seg)
-        offs = np.cumsum(per_seg) - per_seg
-        pos = np.arange(total, dtype=np.int64) - offs[seg_sel]
-        l_idx = starts[seg_sel] + pos // np.maximum(nr[seg_sel], 1)
-        r_idx = first_r[seg_sel] + pos % np.maximum(nr[seg_sel], 1)
-        la, ra = pa.array(l_idx), pa.array(r_idx)
-        cols = {key: bucket.column(key).take(la)}
-        for c in left_cols:
-            cols[c] = bucket.column(c).take(la)
-        for c in right_cols:
-            cols[c] = bucket.column(c).take(ra)
-        return pa.table(cols)
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     return bucketed_group_apply(lp.union(rp), key, join,
                                 num_buckets=num_buckets,

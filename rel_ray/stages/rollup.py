@@ -1,0 +1,80 @@
+"""Multi-level (ROLLUP) aggregation: one pass over the fact table, then a
+cascade of tiny re-aggregations over already-aggregated levels.
+
+REL parity anchor: REL's store build aggregates mention counts at several
+granularities (surface form, surface+entity — REL:src/REL/
+wikipedia_yago_freq.py::compute_wiki counts then renormalizes per prefix);
+SQL spells the same shape GROUP BY ROLLUP(a, b).
+
+Scale design: the fact table is touched ONCE — a per-batch Arrow group_by
+partial shrinks each batch to one row per distinct dim-combo BEFORE the
+exchange, then a single ``groupby(dims)`` produces the finest level. Every
+coarser level re-aggregates the PREVIOUS level's output (cardinality =
+distinct combos, not rows), so levels after the first cost next to
+nothing and nothing ever materializes driver-side except the one-row
+grand total.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def rollup_sum(ds, *, dims: list[str], value_col: str):
+    """SUM ``value_col`` at every ROLLUP level of ``dims``.
+
+    Output schema: ``dims`` + ``value_col``; rolled-up dimension columns
+    are NULL (SQL ROLLUP convention). Levels: (d1..dn), (d1..dn-1), ...,
+    (), unioned into one Dataset.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    base = ds.schema().base_schema
+    dim_types = {f.name: f.type for f in base if f.name in dims}
+    val_type = next(f.type for f in base if f.name == value_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(dims + [value_col]).group_by(dims)
+        out = g.aggregate([(value_col, "sum")])
+        return out.rename_columns(dims + [value_col])
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(dims).aggregate(Sum(value_col)))
+    finest = finest.map_batches(
+        lambda t: t.rename_columns(dims + [value_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pad(level_dims: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for d in dims:
+                cols[d] = (t.column(d) if d in level_dims
+                           else pa.nulls(t.num_rows, type=dim_types[d]))
+            cols[value_col] = t.column(value_col)
+            return pa.table(cols)
+        return f
+
+    levels = [finest.map_batches(pad(dims), batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+    prev = finest
+    for i in range(len(dims) - 1, -1, -1):
+        keep = dims[:i]
+        if keep:
+            lvl = prev.groupby(keep).aggregate(Sum(value_col))
+            lvl = lvl.map_batches(
+                lambda t, k=keep: t.rename_columns(k + [value_col]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        else:
+            # grand total: one global streaming reduce -> a 1-row dataset
+            total = prev.aggregate(Sum(value_col))[f"sum({value_col})"]
+            lvl = rd.from_arrow(pa.table({
+                value_col: pa.array([total], type=val_type)}))
+        levels.append(lvl.map_batches(pad(keep), batch_format="pyarrow",
+                                      zero_copy_batch=True))
+        prev = lvl
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -330,7 +330,8 @@ def rolling_window_agg(ds, *, key: str, ts: str, val_int: str,
 
 
 def partitioned_window(ds, *, key: str, ts: str, tie: str, val_int: str,
-                       carry_cols: list[str], num_buckets: int = 256):
+                       carry_cols: list[str], num_buckets: int = 256,
+                       rows_preceding: int | None = None):
     """Per-key ordered window functions in one pass: ``row_number``,
     ``lag(val)`` (0 at each partition's first row, i.e. SQL
     ``COALESCE(LAG(v), 0)``), and the running inclusive sum
@@ -346,6 +347,13 @@ def partitioned_window(ds, *, key: str, ts: str, tie: str, val_int: str,
     ``(ts, tie)`` must totally order rows within a key (pass a unique id as
     `tie`) or the result is nondeterministic — same contract SQL has.
     Output: carry_cols + (row_number:int64, lag_val:int64, run_sum:int64).
+
+    ``rows_preceding=k`` adds ``mov_sum`` — the bounded ROWS frame
+    ``SUM(v) OVER (... ROWS BETWEEN k PRECEDING AND CURRENT ROW)`` —
+    computed from the same global cumsum: window start = max(i-k,
+    segment start), so it is two numpy maxima on top of the unbounded
+    sum, not a second pass. (The RANGE/time-based frame lives in
+    ``rolling_window_agg``; this is its row-count twin.)
     """
     from ..functions.rayutil import segment_starts
 
@@ -353,11 +361,13 @@ def partitioned_window(ds, *, key: str, ts: str, tie: str, val_int: str,
         n = bucket.num_rows
         out_types = {c: bucket.column(c).type for c in carry_cols}
         if n == 0:
+            extra = ({"mov_sum": pa.array([], type=pa.int64())}
+                     if rows_preceding is not None else {})
             return pa.table(
                 {**{c: pa.array([], type=out_types[c]) for c in carry_cols},
                  "row_number": pa.array([], type=pa.int64()),
                  "lag_val": pa.array([], type=pa.int64()),
-                 "run_sum": pa.array([], type=pa.int64())})
+                 "run_sum": pa.array([], type=pa.int64()), **extra})
         starts = np.asarray(segment_starts(bucket.column(key)))
         lens = np.diff(np.append(starts, n))
         offs = np.repeat(starts, lens)
@@ -374,6 +384,11 @@ def partitioned_window(ds, *, key: str, ts: str, tie: str, val_int: str,
         cols["row_number"] = pa.array(rn)
         cols["lag_val"] = pa.array(lag)
         cols["run_sum"] = pa.array(run)
+        if rows_preceding is not None:
+            w = np.maximum(np.arange(n, dtype=np.int64) - rows_preceding,
+                           offs)
+            cols["mov_sum"] = pa.array(
+                cum - np.where(w > 0, cum[np.maximum(w - 1, 0)], 0))
         return pa.table(cols)
 
     return bucketed_group_apply(ds, key, win, num_buckets=num_buckets,

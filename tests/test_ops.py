@@ -1352,6 +1352,57 @@ def test_cogroup_join_multi():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_rollup_sum():
+    from rel_ray.stages.rollup import rollup_sum
+
+    t = pa.table({"a": pa.array(["x", "x", "y", "y"]),
+                  "b": pa.array(["p", "q", "p", "p"]),
+                  "v": pa.array([1, 2, 4, 8], type=pa.int64())})
+    out = _collect(rollup_sum(rd.from_arrow(t).repartition(2),
+                              dims=["a", "b"], value_col="v"))
+    got = sorted(zip(out.column("a").to_pylist(),
+                     out.column("b").to_pylist(),
+                     out.column("v").to_pylist()),
+                 key=lambda r: (r[0] or "", r[1] or "", r[2]))
+    assert got == sorted([
+        ("x", "p", 1), ("x", "q", 2), ("y", "p", 12),   # finest
+        ("x", None, 3), ("y", None, 12),                # per-a
+        (None, None, 15)],                              # grand total
+        key=lambda r: (r[0] or "", r[1] or "", r[2]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cogroup_join_multi_outer():
+    from rel_ray.stages.joins import cogroup_join_multi
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 3], type=pa.int64()),
+        "lv": pa.array([10, 11, 30], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 4], type=pa.int64()),
+        "rv": pa.array([100, 400], type=pa.int64())}))
+
+    def rows(how):
+        out = _collect(cogroup_join_multi(
+            left, right, key="k", left_cols=["lv"], right_cols=["rv"],
+            how=how))
+        return sorted(zip(out.column("k").to_pylist(),
+                          out.column("lv").to_pylist(),
+                          out.column("rv").to_pylist()),
+                      key=lambda r: tuple(-1 if v is None else v for v in r))
+
+    matched = [(1, 10, 100), (1, 11, 100)]
+    assert rows("inner") == matched
+    assert rows("left") == sorted(matched + [(3, 30, None)])
+    assert rows("right") == sorted(
+        matched + [(4, None, 400)],
+        key=lambda r: tuple(-1 if v is None else v for v in r))
+    assert rows("full") == sorted(
+        matched + [(3, 30, None), (4, None, 400)],
+        key=lambda r: tuple(-1 if v is None else v for v in r))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bucketed_group_apply_int32_keys():
     # regression: narrow (4-byte) key dtypes must widen before the u64
     # hash view — a raw view halves the array and mis-buckets silently
