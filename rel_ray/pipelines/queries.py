@@ -1356,6 +1356,34 @@ def q_linkage_clusters(sf_dir: str):
     return out["clusters"]
 
 
+def q_incremental_link(sf_dir: str):
+    """Incremental linkage (pipelines/incremental.py): resolve the
+    even-user half of the corpus into a frozen entity store, then link the
+    odd-user half against it — the daily-increment shape at 100 TB. Rows:
+    one assignment per new record (record_id, cluster_id, matched_old).
+    No SQL oracle (LSH blocking + iterative CC); invariants are pinned in
+    tests/test_incremental.py."""
+    from .incremental import build_entity_store, incremental_link
+    from .linkage import run_linkage
+
+    tr = transcripts_from_events(sf_dir)
+
+    def split(even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            n = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 1),
+                        pa.int64())
+            m = pc.equal(pc.bit_wise_and(n, 1), 0 if even else 1)
+            return t.filter(m)
+        return f
+
+    old_tr = tr.map_batches(split(True), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    new_tr = tr.map_batches(split(False), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    store = build_entity_store(run_linkage(old_tr, CFG)).materialize()
+    return incremental_link(new_tr, store, CFG)["assignments"]
+
+
 def q_linkage_edges(sf_dir: str):
     """Scored candidate edges from the flagship pipeline (no SQL oracle)."""
     from .linkage import run_linkage
@@ -1723,6 +1751,29 @@ SELECT event_id, user_id,
                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
             AS BIGINT) AS mov_sum
 FROM events
+"""
+
+
+def q_string_agg_events(sf_dir: str):
+    """Ordered grouped concatenation (SQL string_agg ... ORDER BY):
+    stages/temporal.py::grouped_string_agg — per-user event-type history
+    strings, list offsets straight from segment starts, pc.binary_join in
+    C. The sequence-building shape a training pipeline uses to turn an
+    event log into per-entity behavior strings."""
+    from ..stages.temporal import grouped_string_agg
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = grouped_string_agg(ev, key="user_id", ts="ts", tie="event_id",
+                             val="event_type", sep=",")
+    return out.map_batches(
+        lambda t: t.rename_columns(["user_id", "history"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_STRING_AGG_EVENTS = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS history
+FROM events GROUP BY user_id
 """
 
 
@@ -2526,6 +2577,7 @@ QUERIES = {
     "rolling_window_events": q_rolling_window_events,
     "window_functions_events": q_window_functions_events,
     "moving_sum_events": q_moving_sum_events,
+    "string_agg_events": q_string_agg_events,
     "session_agg_events": q_session_agg_events,
     "tumbling_window_events": q_tumbling_window_events,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
@@ -2575,6 +2627,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "linkage_clusters": q_linkage_clusters,
     "linkage_edges": q_linkage_edges,
+    "incremental_link_transcripts": q_incremental_link,
     "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
     "decontaminate_documents": q_decontaminate_documents,
@@ -2599,6 +2652,7 @@ ORACLE_SQL = {
     "rolling_window_events": SQL_ROLLING_WINDOW_EVENTS,
     "window_functions_events": SQL_WINDOW_FUNCTIONS_EVENTS,
     "moving_sum_events": SQL_MOVING_SUM_EVENTS,
+    "string_agg_events": SQL_STRING_AGG_EVENTS,
     "session_agg_events": SQL_SESSION_AGG_EVENTS,
     "tumbling_window_events": SQL_TUMBLING_WINDOW_EVENTS,
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,

@@ -455,3 +455,42 @@ def sessionize(ds, *, key: str, ts: str, tie: str, val_int: str,
     return bucketed_group_apply(ds, key, sess, num_buckets=num_buckets,
                                 sort_cols=[(ts, "ascending"),
                                            (tie, "ascending")])
+
+
+def grouped_string_agg(ds, *, key: str, ts: str, tie: str, val: str,
+                       sep: str = ",", num_buckets: int = 256):
+    """Ordered grouped concatenation (SQL ``string_agg(val, sep ORDER BY
+    ts, tie)``): one row per key with its values joined in event order.
+
+    Same one-exchange ordered-bucket shape as partitioned_window; inside a
+    bucket the per-key lists are built with ZERO Python per row — segment
+    starts become ListArray offsets over the sorted value column, and
+    ``pc.binary_join`` concatenates each list in C.
+
+    The output row for a key is as wide as everything that key saw —
+    same contract (and same skew exposure) as SQL string_agg; cap or
+    bucket the values upstream if a key can exceed a block.
+    """
+    from ..functions.rayutil import segment_starts
+
+    def agg(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        key_t = bucket.column(key).type
+        if n == 0:
+            return pa.table({key: pa.array([], type=key_t),
+                             "agg": pa.array([], type=pa.string())})
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        vals = bucket.column(val)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(offsets, vals)
+        kc = bucket.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        return pa.table({key: kc.take(pa.array(starts)),
+                         "agg": pc.binary_join(lists, sep)})
+
+    return bucketed_group_apply(ds, key, agg, num_buckets=num_buckets,
+                                sort_cols=[(ts, "ascending"),
+                                           (tie, "ascending")])

@@ -1,0 +1,83 @@
+"""Incremental linkage: new batch vs frozen store (pipelines/incremental)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from rel_ray.pipelines.eval import pairwise_f1
+from rel_ray.pipelines.incremental import build_entity_store, incremental_link
+from rel_ray.pipelines.linkage import run_linkage
+
+
+def _parity_split(transcripts: pa.Table):
+    num = pc.cast(pc.utf8_slice_codeunits(
+        transcripts.column("conv_id"), 1), pa.int64())
+    even = pc.equal(pc.bit_wise_and(num, 1), 0)
+    return transcripts.filter(even), transcripts.filter(pc.invert(even))
+
+
+@pytest.fixture(scope="module")
+def incremental_result(ray_session):
+    from rel_ray.synth import generate_corpus
+
+    tables = generate_corpus(seed=13, n_convs=240)
+    old_tr, new_tr = _parity_split(tables["transcripts"])
+    out_old = run_linkage(rd.from_arrow(old_tr))
+    store = build_entity_store(out_old).materialize()
+    inc = incremental_link(rd.from_arrow(new_tr), store)
+    return tables, out_old, store, inc
+
+
+def test_incremental_combined_f1(incremental_result):
+    tables, out_old, _store, inc = incremental_result
+    old_cl = out_old["clusters"].map_batches(
+        lambda t: t.select(["record_id", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    new_cl = inc["assignments"].map_batches(
+        lambda t: t.select(["record_id", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    m = pairwise_f1(old_cl.union(new_cl), rd.from_arrow(tables["labels"]))
+    # frozen old clusters forbid merges the joint run would make, so the
+    # gate is slightly below the full-pipeline 0.99
+    assert m["f1"] >= 0.97, m
+
+
+def test_exact_match_anchors_to_store(incremental_result):
+    _tables, _out_old, store, inc = incremental_result
+    store_tab = pa.concat_tables(
+        [pa.table(b) for b in store.iter_batches(batch_format="pyarrow")])
+    store_d = dict(zip(store_tab.column("mention_norm").to_pylist(),
+                       store_tab.column("cluster_id").to_pylist()))
+    recs = pa.concat_tables([pa.table(b) for b in inc["records"]
+                             .iter_batches(batch_format="pyarrow")])
+    asg = pa.concat_tables([pa.table(b) for b in inc["assignments"]
+                            .iter_batches(batch_format="pyarrow")])
+    cl_of = dict(zip(asg.column("record_id").to_pylist(),
+                     asg.column("cluster_id").to_pylist()))
+    old_of = dict(zip(asg.column("record_id").to_pylist(),
+                      asg.column("matched_old").to_pylist()))
+    checked = 0
+    for rid, mn in zip(recs.column("record_id").to_pylist(),
+                       recs.column("mention_norm").to_pylist()):
+        if mn in store_d:
+            assert cl_of[rid] == store_d[mn]
+            assert old_of[rid] is True
+            checked += 1
+    assert checked > 50  # the split must actually share surface forms
+
+
+def test_store_ids_never_invented(incremental_result):
+    _tables, out_old, store, inc = incremental_result
+    store_tab = pa.concat_tables(
+        [pa.table(b) for b in store.iter_batches(batch_format="pyarrow")])
+    old_ids = set(store_tab.column("cluster_id").to_pylist())
+    asg = pa.concat_tables([pa.table(b) for b in inc["assignments"]
+                            .iter_batches(batch_format="pyarrow")])
+    matched = asg.filter(asg.column("matched_old"))
+    fresh = asg.filter(pc.invert(asg.column("matched_old")))
+    # matched_old rows point at REAL pre-existing clusters...
+    assert set(matched.column("cluster_id").to_pylist()) <= old_ids
+    # ...and fresh clusters never collide with the old id space
+    assert not (set(fresh.column("cluster_id").to_pylist()) & old_ids)
+    assert matched.num_rows > 0 and fresh.num_rows >= 0

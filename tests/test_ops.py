@@ -1352,6 +1352,24 @@ def test_cogroup_join_multi():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_grouped_string_agg():
+    from rel_ray.stages.temporal import grouped_string_agg
+
+    # rows arrive out of order and split across partitions; (ts, tie)
+    # ordering must still hold inside each key's joined string
+    t = pa.table({"k": pa.array([2, 1, 1, 2, 1], type=pa.int64()),
+                  "ts": pa.array([5, 3, 1, 4, 1], type=pa.int64()),
+                  "id": pa.array([50, 30, 11, 40, 10], type=pa.int64()),
+                  "v": pa.array(["e", "c", "b", "d", "a"])})
+    out = _collect(grouped_string_agg(
+        rd.from_arrow(t).repartition(3), key="k", ts="ts", tie="id",
+        val="v", sep="-"))
+    got = dict(zip(out.column("k").to_pylist(),
+                   out.column("agg").to_pylist()))
+    assert got == {1: "a-b-c", 2: "d-e"}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_rollup_sum():
     from rel_ray.stages.rollup import rollup_sum
 
