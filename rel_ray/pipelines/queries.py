@@ -368,6 +368,26 @@ def q_grouped_quantiles_hist_lineitem(sf_dir: str):
 
 
 
+def q_approx_quantiles_lineitem(sf_dir: str):
+    """Mergeable quantile sketch (stages/sketches.py::quantile_sketch):
+    p50/p90/p99 of price cents from a fixed ~2.2k-bin geometric histogram —
+    the bounded-memory scale path (relative error <= ~2*eps) where the
+    exact variants shuffle rows or distinct values. Rows-only check; the
+    error bound and merge law are pinned in tests/test_ops.py."""
+    from ..stages.sketches import quantile_sketch, sketch_quantile
+
+    EPS = 0.005
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"price_c": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sk = quantile_sketch(ds, val_col="price_c", eps=EPS)
+    names = ["p50", "p90", "p99"]
+    vals = [sketch_quantile(sk, q, EPS) for q in (0.5, 0.9, 0.99)]
+    return pa.table({"quantile": pa.array(names),
+                     "approx_price_c": pa.array(
+                         [int(round(v)) for v in vals], type=pa.int64())})
+
+
 def q_top_terms_documents(sf_dir: str):
     """Global term frequencies, top-20 by (count desc, term asc): the
     combiner pattern — per-batch value_counts partial aggregation BEFORE the
@@ -2595,6 +2615,7 @@ QUERIES = {
     "tfidf_topk_documents": q_tfidf_topk_documents,
     "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
     "grouped_quantiles_hist_lineitem": q_grouped_quantiles_hist_lineitem,
+    "approx_quantiles_lineitem": q_approx_quantiles_lineitem,
     "top_terms_documents": q_top_terms_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
     "union_sum": q_union_sum,

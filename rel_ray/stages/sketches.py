@@ -430,3 +430,62 @@ def count_min_terms(ds, *, text_col: str, depth: int = 4, width: int = 2048,
             sketch += np.asarray(
                 t.column("grid")[row].values).reshape(depth, width)
     return sketch
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (geometric / relative-error histogram)
+# ---------------------------------------------------------------------------
+
+def _qs_nbins(eps: float) -> int:
+    return int(np.ceil(np.log(2.0 ** 63) / np.log1p(2 * eps))) + 2
+
+
+def quantile_sketch(ds, *, val_col: str, eps: float = 0.01) -> np.ndarray:
+    """Mergeable quantile sketch over a non-negative int64 column:
+    a geometric histogram with bin boundaries (1+2*eps)^k - 1, so any
+    value inside a bin is within relative error <= ~2*eps of its edges.
+
+    Memory is FIXED by eps alone (~2.2k int64 bins at eps=0.01 covers the
+    full int64 range) regardless of data size or distribution — the
+    bounded-memory scale path where the exact histogram quantile
+    (grouped_quantiles_hist) would shuffle one row per distinct value.
+    Merge law: sketch(A ∪ B) == sketch(A) + sketch(B) (vector add); each
+    batch ships one flattened counts row, no shuffle, bit-deterministic.
+    Query with ``sketch_quantile``. Negative values are rejected (shift
+    upstream).
+    """
+    nb = _qs_nbins(eps)
+    denom = np.log1p(2 * eps)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(val_col), dtype=np.int64)
+        if (v < 0).any():
+            raise ValueError("quantile_sketch requires non-negative values")
+        b = np.floor(np.log1p(v.astype(np.float64)) / denom).astype(np.int64)
+        counts = np.bincount(np.minimum(b, nb - 1), minlength=nb)
+        return pa.table({"bins": pa.array([counts], type=pa.list_(pa.int64()))})
+
+    sketch = np.zeros(nb, dtype=np.int64)
+    for batch in ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+                                    batch_format="pyarrow"):
+        t = pa.table(batch)
+        for row in range(t.num_rows):
+            sketch += np.asarray(t.column("bins")[row].values)
+    return sketch
+
+
+def sketch_quantile(sketch: np.ndarray, q: float, eps: float = 0.01) -> float:
+    """q-quantile estimate from a quantile_sketch: rank-select the bin in
+    the cumulative histogram, return the geometric midpoint of its edges
+    (relative error <= ~2*eps vs the exact q-quantile value)."""
+    cum = np.cumsum(sketch)
+    n = int(cum[-1])
+    if n == 0:
+        return 0.0
+    rank = max(1, int(np.ceil(q * n)))
+    b = int(np.searchsorted(cum, rank, side="left"))
+    base = 1 + 2 * eps
+    lo = base ** b           # == lower edge + 1
+    hi = base ** (b + 1)     # == upper edge + 1
+    return float(np.sqrt(lo * hi) - 1)

@@ -143,11 +143,13 @@ def rolling_text_hash(arr: pa.Array) -> pa.Array:
     n = len(splits) - 1
     out = np.zeros(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        # order-sensitive: mix position into each code before combining
-        pos = np.concatenate([np.arange(splits[i + 1] - splits[i], dtype=np.uint64)
-                              for i in range(n)]) if len(codes) else codes
-        mixed = splitmix64(codes ^ (pos * np.uint64(0x9E3779B97F4A7C15)))
+        # order-sensitive: mix position into each code before combining;
+        # in-row positions for ALL rows at once (global arange minus each
+        # row's repeated segment start — no per-document Python)
         lens = splits[1:] - splits[:-1]
+        pos = (np.arange(len(codes), dtype=np.uint64)
+               - np.repeat(splits[:-1], lens).astype(np.uint64))
+        mixed = splitmix64(codes ^ (pos * np.uint64(0x9E3779B97F4A7C15)))
         nonempty = np.nonzero(lens > 0)[0]
         if len(nonempty):
             out[nonempty] = np.bitwise_xor.reduceat(mixed, splits[:-1][nonempty])

@@ -1447,3 +1447,31 @@ def test_bucketed_group_apply_int32_keys():
         num_buckets=8)).sort_by("k")
     assert out.column("k").to_pylist() == list(range(10))
     assert out.column("cnt").to_pylist() == [3] * 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_sketch():
+    from rel_ray.stages.sketches import quantile_sketch, sketch_quantile
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(8, 2, size=20000).astype(np.int64)
+    eps = 0.01
+    a, b = vals[:12000], vals[12000:]
+    ds_all = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(4)
+    sk = quantile_sketch(ds_all, val_col="v", eps=eps)
+    # merge law: sketch(A ∪ B) == sketch(A) + sketch(B), bit-exact
+    sk_a = quantile_sketch(rd.from_arrow(pa.table({"v": pa.array(a)})),
+                           val_col="v", eps=eps)
+    sk_b = quantile_sketch(rd.from_arrow(pa.table({"v": pa.array(b)})),
+                           val_col="v", eps=eps)
+    assert np.array_equal(sk, sk_a + sk_b)
+    assert sk.sum() == len(vals)
+    # error bound: relative error <= ~2*eps at every checked quantile
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q, method="inverted_cdf"))
+        est = sketch_quantile(sk, q, eps)
+        assert abs(est - exact) / max(exact, 1.0) <= 2.5 * eps, (q, est, exact)
+    # negative values are rejected, not silently mangled
+    bad = rd.from_arrow(pa.table({"v": pa.array([-1], type=pa.int64())}))
+    with pytest.raises(Exception):
+        quantile_sketch(bad, val_col="v", eps=eps)
