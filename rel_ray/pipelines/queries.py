@@ -2008,6 +2008,47 @@ ON c.id = e.id
 
 
 
+def q_pagerank_events(sf_dir: str):
+    """Distributed PageRank (stages/graph.py::pagerank) over the bipartite
+    user → event_type interaction graph. Rows-only check (iterative
+    fixpoint; the update rule is pinned against a dense float64 reference
+    and the broadcast/co-group paths against each other in tests)."""
+    from ..stages.graph import pagerank
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda t: pa.table({
+            "src": pc.binary_join_element_wise(
+                pa.array(["u"] * t.num_rows),
+                pc.cast(t.column("user_id"), pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                pa.array(["t"] * t.num_rows), t.column("event_type"), "")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank(ev, iters=10)
+
+
+def q_customers_with_big_events(sf_dir: str):
+    """Bloom-prefiltered semi join (stages/joins.py::bloom_semi_anti):
+    customers with any event of value > 200 — the Bloom probe (no false
+    negatives) shrinks the exact semi-join exchange from |customers| to
+    ~|matches|, broadcasting m/8 bytes instead of the key set. EXACT
+    result; value-hash-checked against the EXISTS oracle."""
+    from ..stages.joins import bloom_semi_anti
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    ev = _pq(sf_dir, "events", ["user_id", "value"]).map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.greater(t.column("value"), 200.0)).column("user_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bloom_semi_anti(cust, ev, key="c_custkey", m_bits=1 << 16)
+
+
+SQL_CUSTOMERS_WITH_BIG_EVENTS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e
+              WHERE e.user_id = c.c_custkey AND e.value > 200)
+"""
+
+
 def q_revenue_by_mktsegment(sf_dir: str):
     """Broadcast dim join (orders fact ⋈ customer dim) → grouped revenue.
     The dim table is ray.put once and per-process cached; the fact side
@@ -2606,6 +2647,8 @@ QUERIES = {
     "nation_customer_supplier_pairs": q_nation_customer_supplier_pairs,
     "user_activity_full_outer": q_user_activity_full_outer,
     "rollup_lineitem": q_rollup_lineitem,
+    "customers_with_big_events": q_customers_with_big_events,
+    "pagerank_events": q_pagerank_events,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2682,6 +2725,7 @@ ORACLE_SQL = {
     "nation_customer_supplier_pairs": SQL_NATION_CUSTOMER_SUPPLIER_PAIRS,
     "user_activity_full_outer": SQL_USER_ACTIVITY_FULL_OUTER,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "customers_with_big_events": SQL_CUSTOMERS_WITH_BIG_EVENTS,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

@@ -1,0 +1,202 @@
+"""Distributed PageRank: power iteration expressed as Dataset exchanges.
+
+Published algorithm: Brin & Page (WWW 1998), standard damped formulation
+with uniform dangling-mass redistribution:
+
+    r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling_mass/N)
+
+REL parity anchor: REL's *global* disambiguation step scores candidate
+coherence over the mention-entity graph (REL:src/REL/mulrel_ranker.py::
+MulRelRanker forward — pairwise entity votes); PageRank is the canonical
+batch form of such graph-structured score propagation, and the iterative
+shape here (skinny rank table re-joined to a static edge table) is exactly
+how an entity-coherence pass runs at corpus scale.
+
+Two paths, same engine doctrine as the flagship's rep map:
+
+* Broadcast fast path (node count <= ``broadcast_max_rows``, the normal
+  case — rank state is 16 B/node): endpoints are dictionary-coded ONCE
+  into a materialized int-code edge table; each iteration is ONE
+  streaming map over the coded edges (per-batch ``np.add.at`` partial
+  contribution vectors against the broadcast rank vector) plus a driver
+  merge of O(batches) partial vectors. Zero per-iteration shuffles.
+* Co-group fallback (node set too large to broadcast): the EDGE table is
+  hash-bucketed once per iteration by src via the engine's cogroup join,
+  contributions aggregate through one skinny groupby(dst), and the rank
+  table is materialized per iteration (loop-carried state; unbounded
+  lazy lineage would re-execute every prior round). Per-iteration driver
+  work is one streaming scalar reduce (dangling mass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pagerank(edges, *, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 10,
+             num_buckets: int = 64, broadcast_max_rows: int = 2_000_000):
+    """edges: Dataset with string/int columns ``src``, ``dst`` (multi-edges
+    count once per occurrence, SQL-style). Returns Dataset (node, rank)
+    over the union of endpoints; ranks sum to 1.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import cogroup_inner_join
+
+    # node universe = distinct endpoints (one skinny exchange)
+    srcs = edges.map_batches(lambda t: pa.table({"node": t.column(src)}),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    dsts = edges.map_batches(lambda t: pa.table({"node": t.column(dst)}),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    nodes = srcs.union(dsts).map_batches(
+        lambda t: pa.table({"node": pc.unique(
+            t.column("node").combine_chunks()
+            if isinstance(t.column("node"), pa.ChunkedArray)
+            else t.column("node"))}),
+        batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "node").count().map_batches(
+        lambda t: pa.table({"node": t.column("node")}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n = nodes.count()
+
+    if n <= broadcast_max_rows:
+        return _pagerank_broadcast(edges, nodes, n, src=src, dst=dst,
+                                   damping=damping, iters=iters)
+
+    outdeg = edges.groupby(src).aggregate(Count()).map_batches(
+        lambda t: t.rename_columns(["node", "outdeg"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # ranks carry outdeg (0 for dangling) so each iteration needs no extra join
+    ranks = cogroup_inner_join(
+        nodes.map_batches(
+            lambda t, r=1.0 / n: pa.table({
+                "node": t.column("node"),
+                "rank": pa.array(np.full(t.num_rows, r))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        outdeg, key="node", right_cols=["outdeg"], how="left",
+        num_buckets=num_buckets).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"), "rank": t.column("rank"),
+            "outdeg": pc.fill_null(pc.cast(t.column("outdeg"), pa.int64()),
+                                   0)}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    for _ in range(iters):
+        dangling = ranks.map_batches(
+            lambda t: pa.table({"m": pc.if_else(
+                pc.equal(t.column("outdeg"), 0), t.column("rank"),
+                pa.nulls(t.num_rows, type=pa.float64()))}),
+            batch_format="pyarrow", zero_copy_batch=True).sum("m") or 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        contrib = cogroup_inner_join(
+            edges.map_batches(
+                lambda t: pa.table({"node": t.column(src),
+                                    "dst": t.column(dst)}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ranks, key="node", right_cols=["rank", "outdeg"],
+            num_buckets=num_buckets)
+        summed = contrib.map_batches(
+            lambda t: pa.table({
+                "node": t.column("dst"),
+                "c": pc.divide(t.column("rank"),
+                               pc.cast(t.column("outdeg"), pa.float64()))}),
+            batch_format="pyarrow", zero_copy_batch=True).groupby(
+            "node").aggregate(Sum("c"))
+        summed = summed.map_batches(
+            lambda t: t.rename_columns(["node", "c"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        # nodes with no in-edges keep only the base term (null c -> 0)
+        ranks = cogroup_inner_join(
+            ranks.map_batches(
+                lambda t: t.select(["node", "outdeg"]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            summed, key="node", right_cols=["c"], how="left",
+            num_buckets=num_buckets).map_batches(
+            lambda t, b=base: pa.table({
+                "node": t.column("node"),
+                "rank": pc.add(pc.multiply(
+                    pc.fill_null(t.column("c"), 0.0), damping), b),
+                "outdeg": t.column("outdeg")}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    return ranks.map_batches(lambda t: t.select(["node", "rank"]),
+                             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pagerank_broadcast(edges, nodes, n: int, *, src: str, dst: str,
+                        damping: float, iters: int):
+    """Broadcast fast path: rank state lives as one ray.put float64 vector;
+    endpoints are dictionary-coded once into a materialized int64 edge
+    table, and each iteration is one streaming pass emitting SPARSE
+    per-batch contribution partials (distinct dst codes + sums) that the
+    driver merges — zero per-iteration shuffles."""
+    import ray as _ray
+    import ray.data as rd
+
+    from ..functions.rayutil import collect_table, get_broadcast
+
+    node_type = nodes.schema().base_schema.field("node").type
+    node_tab = collect_table(nodes, pa.schema([("node", node_type)]))
+    node_arr = node_tab.column("node")
+    if isinstance(node_arr, pa.ChunkedArray):
+        node_arr = node_arr.combine_chunks()
+    node_ref = _ray.put(node_arr)
+
+    def code(t: pa.Table) -> pa.Table:
+        na = get_broadcast(node_ref)
+        return pa.table({
+            "s": pc.cast(pc.index_in(t.column(src), value_set=na),
+                         pa.int64()),
+            "d": pc.cast(pc.index_in(t.column(dst), value_set=na),
+                         pa.int64())})
+
+    coded = edges.map_batches(code, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("s"), dtype=np.int64)
+        uniq, cnt = np.unique(s, return_counts=True)
+        return pa.table({"idx": pa.array([uniq], type=pa.list_(pa.int64())),
+                         "val": pa.array([cnt.astype(np.float64)],
+                                         type=pa.list_(pa.float64()))})
+
+    def merge_sparse(ds) -> np.ndarray:
+        out = np.zeros(n, dtype=np.float64)
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for row in range(t.num_rows):
+                np.add.at(out, np.asarray(t.column("idx")[row].values),
+                          np.asarray(t.column("val")[row].values))
+        return out
+
+    deg = merge_sparse(coded.map_batches(deg_partial, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = float(r[deg == 0].sum())
+        base = (1.0 - damping) / n + damping * dangling / n
+        rdiv = np.where(deg > 0, r / np.maximum(deg, 1.0), 0.0)
+        rdiv_ref = _ray.put(rdiv)
+
+        def contrib_partial(t: pa.Table, ref=rdiv_ref) -> pa.Table:
+            v = get_broadcast(ref)
+            s = np.asarray(t.column("s"), dtype=np.int64)
+            d_ = np.asarray(t.column("d"), dtype=np.int64)
+            uniq, inv = np.unique(d_, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(sums, inv, v[s])
+            return pa.table({
+                "idx": pa.array([uniq], type=pa.list_(pa.int64())),
+                "val": pa.array([sums], type=pa.list_(pa.float64()))})
+
+        contrib = merge_sparse(coded.map_batches(
+            contrib_partial, batch_format="pyarrow", zero_copy_batch=True))
+        r = damping * contrib + base
+
+    return rd.from_arrow(pa.table({"node": node_arr,
+                                   "rank": pa.array(r)}))

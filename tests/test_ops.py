@@ -1475,3 +1475,88 @@ def test_quantile_sketch():
     bad = rd.from_arrow(pa.table({"v": pa.array([-1], type=pa.int64())}))
     with pytest.raises(Exception):
         quantile_sketch(bad, val_col="v", eps=eps)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_anti_matches_exact():
+    from rel_ray.stages.joins import bloom_semi_anti, semi_anti_join
+
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 500, size=2000)
+    rk = rng.integers(250, 750, size=300)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, type=pa.int64()),
+        "payload": pa.array(np.arange(2000), type=pa.int64())})).repartition(3)
+    right = rd.from_arrow(pa.table({"k": pa.array(rk, type=pa.int64())}))
+
+    def key_set(ds):
+        t = _collect(ds)
+        return sorted(zip(t.column("k").to_pylist(),
+                          t.column("payload").to_pylist()))
+
+    for anti in (False, True):
+        exact = key_set(semi_anti_join(left, right, key="k", anti=anti))
+        bloom = key_set(bloom_semi_anti(left, right, key="k", anti=anti,
+                                        m_bits=1 << 14))
+        assert bloom == exact and len(exact) > 0
+
+    # string keys route through string_hash_u64
+    ls = rd.from_arrow(pa.table({"k": pa.array(["a", "b", "c", "d"]),
+                                 "payload": pa.array([1, 2, 3, 4],
+                                                     type=pa.int64())}))
+    rs = rd.from_arrow(pa.table({"k": pa.array(["b", "d", "zz"])}))
+    got = _collect(bloom_semi_anti(ls, rs, key="k", m_bits=1 << 12))
+    assert sorted(got.column("k").to_pylist()) == ["b", "d"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_dense_reference():
+    from rel_ray.stages.graph import pagerank
+
+    # small directed graph with a dangling node (4), a hub (0) and a cycle
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (2, 4)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([f"n{a}" for a, _ in E]),
+        "dst": pa.array([f"n{b}" for _, b in E])})).repartition(2)
+    d, iters, n = 0.85, 5, 5
+    got = _collect(pagerank(edges, damping=d, iters=iters, num_buckets=4))
+    got_d = dict(zip(got.column("node").to_pylist(),
+                     got.column("rank").to_pylist()))
+
+    # dense float64 power iteration, identical update rule
+    out = np.zeros((n, n))
+    for a, b in E:
+        out[a, b] = 1
+    deg = out.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[deg == 0].sum()
+        base = (1 - d) / n + d * dangling / n
+        contrib = np.zeros(n)
+        for a, b in E:
+            contrib[b] += r[a] / deg[a]
+        r = d * contrib + base
+    for i in range(n):
+        assert abs(got_d[f"n{i}"] - r[i]) < 1e-9, (i, got_d, r)
+    assert abs(sum(got_d.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_cogroup_path_equivalent():
+    from rel_ray.stages.graph import pagerank
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 2), (2, 4)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([f"n{a}" for a, _ in E]),
+        "dst": pa.array([f"n{b}" for _, b in E])}))
+
+    def run(**kw):
+        t = _collect(pagerank(edges, iters=2, num_buckets=4, **kw))
+        return dict(zip(t.column("node").to_pylist(),
+                        t.column("rank").to_pylist()))
+
+    fast = run()                       # broadcast path (n=5 << max)
+    slow = run(broadcast_max_rows=0)   # force the co-group fallback
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        assert abs(fast[k] - slow[k]) < 1e-12, (k, fast[k], slow[k])
