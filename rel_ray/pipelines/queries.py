@@ -2008,6 +2008,52 @@ ON c.id = e.id
 
 
 
+def q_diff_corpora_documents(sf_dir: str):
+    """Corpus snapshot diff (stages/dedup.py::diff_corpora): documents vs a
+    deterministically perturbed v2 (every 7th doc removed, every 5th
+    edited, every 11th cloned under a new id) → one (doc_id, status) row
+    per id, status in added/removed/changed/unchanged. One FULL OUTER
+    co-group exchange; value-hash-exact against the SQL twin."""
+    from ..stages.dedup import diff_corpora
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def v2(t: pa.Table) -> pa.Table:
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        keep = t.filter(pa.array(did % 7 != 0))
+        kid = keep.column("doc_id")
+        edited = pc.if_else(
+            pa.array(np.asarray(kid, dtype=np.int64) % 5 == 0),
+            pc.binary_join_element_wise(keep.column("text"), " v2", ""),
+            keep.column("text"))
+        base = pa.table({"doc_id": kid, "text": edited})
+        clones = t.filter(pa.array(did % 11 == 0))
+        added = pa.table({
+            "doc_id": pc.add(clones.column("doc_id"), 1_000_000),
+            "text": clones.column("text")})
+        return pa.concat_tables([base, added])
+
+    new = docs.map_batches(v2, batch_format="pyarrow", zero_copy_batch=True)
+    return diff_corpora(docs, new, id_col="doc_id", text_col="text")
+
+
+SQL_DIFF_CORPORA_DOCUMENTS = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL THEN
+              CASE WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END
+            WHEN n.doc_id IS NOT NULL THEN 'added'
+            ELSE 'removed' END AS status
+FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+"""
+
+
 def q_pagerank_events(sf_dir: str):
     """Distributed PageRank (stages/graph.py::pagerank) over the bipartite
     user → event_type interaction graph. Rows-only check (iterative
@@ -2649,6 +2695,7 @@ QUERIES = {
     "rollup_lineitem": q_rollup_lineitem,
     "customers_with_big_events": q_customers_with_big_events,
     "pagerank_events": q_pagerank_events,
+    "diff_corpora_documents": q_diff_corpora_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2726,6 +2773,7 @@ ORACLE_SQL = {
     "user_activity_full_outer": SQL_USER_ACTIVITY_FULL_OUTER,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "customers_with_big_events": SQL_CUSTOMERS_WITH_BIG_EVENTS,
+    "diff_corpora_documents": SQL_DIFF_CORPORA_DOCUMENTS,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

@@ -420,3 +420,50 @@ def ngram_repetition(ds, *, id_col: str, text_col: str, n: int = 5):
                          "distinct_grams": pa.array(distinct)})
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def diff_corpora(old, new, *, id_col: str, text_col: str,
+                 num_buckets: int = 256):
+    """Snapshot delta between two corpus versions: one row per id with
+    ``status`` in {added, removed, changed, unchanged}.
+
+    The audit step an incremental training-data pipeline runs before
+    reprocessing a crawl: only `added`/`changed` ids need the expensive
+    stages re-run (pair with pipelines/incremental.py and the
+    checkpointed variants).
+
+    One FULL OUTER co-group exchange on the id (stages/joins.py::
+    cogroup_join_multi) carrying both text columns; status is a pair of
+    vectorized null/equality checks per bucket. Ids must be unique per
+    side (a snapshot key). At 100 TB, pre-hash the text to 8 bytes
+    (textstats.rolling_text_hash) and diff the hashes instead — same
+    operator, 1000× thinner exchange; the raw-text form below is kept
+    because it is exactly SQL-checkable.
+    """
+    from .joins import cogroup_join_multi
+
+    o = old.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "__old": t.column(text_col)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nw = new.map_batches(
+        lambda t: pa.table({id_col: t.column(id_col),
+                            "__new": t.column(text_col)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = cogroup_join_multi(o, nw, key=id_col, left_cols=["__old"],
+                                right_cols=["__new"], how="full",
+                                num_buckets=num_buckets)
+
+    def status(t: pa.Table) -> pa.Table:
+        has_old = pc.is_valid(t.column("__old"))
+        has_new = pc.is_valid(t.column("__new"))
+        same = pc.equal(t.column("__old"), t.column("__new"))
+        st = pc.if_else(
+            pc.and_(has_old, has_new),
+            pc.if_else(same, "unchanged", "changed"),
+            pc.if_else(has_new, "added", "removed"))
+        return pa.table({id_col: t.column(id_col),
+                         "status": pc.cast(st, pa.string())})
+
+    return joined.map_batches(status, batch_format="pyarrow",
+                              zero_copy_batch=True)

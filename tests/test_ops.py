@@ -1560,3 +1560,20 @@ def test_pagerank_cogroup_path_equivalent():
     assert fast.keys() == slow.keys()
     for k in fast:
         assert abs(fast[k] - slow[k]) < 1e-12, (k, fast[k], slow[k])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_diff_corpora():
+    from rel_ray.stages.dedup import diff_corpora
+
+    old = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"])})).repartition(2)
+    new = rd.from_arrow(pa.table({
+        "id": pa.array([2, 3, 5], type=pa.int64()),
+        "text": pa.array(["b", "c2", "e"])}))
+    out = _collect(diff_corpora(old, new, id_col="id", text_col="text"))
+    got = dict(zip(out.column("id").to_pylist(),
+                   out.column("status").to_pylist()))
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "removed", 5: "added"}
