@@ -2008,6 +2008,40 @@ ON c.id = e.id
 
 
 
+def q_json_props_agg_events(sf_dir: str):
+    """Semi-structured projection (stages/cleaning.py::json_scalar_field):
+    pull props.k out of the JSON side-channel column with one vectorized
+    RE2 pass, then a partial-combining grouped sum per event_type.
+    Value-hash-exact against DuckDB's real JSON parser — the regex
+    fast path and the parser agree on the scalar contract."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.cleaning import json_scalar_field
+
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = json_scalar_field(t.column("props"), "k")
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "k": pc.cast(k, pa.int64())})
+
+    out = (ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type").aggregate(Sum("k")))
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "sum_k"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_JSON_PROPS_AGG_EVENTS = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_diff_corpora_documents(sf_dir: str):
     """Corpus snapshot diff (stages/dedup.py::diff_corpora): documents vs a
     deterministically perturbed v2 (every 7th doc removed, every 5th
@@ -2696,6 +2730,7 @@ QUERIES = {
     "customers_with_big_events": q_customers_with_big_events,
     "pagerank_events": q_pagerank_events,
     "diff_corpora_documents": q_diff_corpora_documents,
+    "json_props_agg_events": q_json_props_agg_events,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2774,6 +2809,7 @@ ORACLE_SQL = {
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "customers_with_big_events": SQL_CUSTOMERS_WITH_BIG_EVENTS,
     "diff_corpora_documents": SQL_DIFF_CORPORA_DOCUMENTS,
+    "json_props_agg_events": SQL_JSON_PROPS_AGG_EVENTS,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

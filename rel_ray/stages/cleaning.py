@@ -50,3 +50,30 @@ def scrub_pii(ds, *, text_col: str, out_col: str | None = None,
 
     return ds.map_batches(scrub, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)
+
+
+def json_scalar_field(col: pa.ChunkedArray | pa.Array,
+                      field: str) -> pa.Array:
+    """Vectorized scalar-field extraction from one-level JSON object
+    strings (the semi-structured `props` payload shape): returns the raw
+    value text of ``"field": <scalar>`` (quotes stripped for strings),
+    null where the field is absent.
+
+    One RE2 ``pc.extract_regex`` pass over the Arrow buffers — the ETL
+    projection for JSON side-channel columns without a per-row parser.
+    Contract: top-level scalar fields only (numbers, strings without
+    escaped quotes, booleans, null); nested objects/arrays need a real
+    parser upstream.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # two passes, not one alternation: RE2 alternation reports the losing
+    # branch's group as "" (valid) rather than null, which is
+    # indistinguishable from a real empty string value
+    ext_s = pc.extract_regex(
+        col, r'"' + field + r'"\s*:\s*"(?P<s>[^"]*)"')
+    ext_v = pc.extract_regex(
+        col, r'"' + field + r'"\s*:\s*(?P<v>[^",}\s][^,}\s]*)')
+    s = pc.struct_field(ext_s, "s")
+    v = pc.struct_field(ext_v, "v")
+    return pc.if_else(pc.is_valid(s), s, v)

@@ -1577,3 +1577,16 @@ def test_diff_corpora():
                    out.column("status").to_pylist()))
     assert got == {1: "removed", 2: "unchanged", 3: "changed",
                    4: "removed", 5: "added"}
+
+
+def test_json_scalar_field_kernel():
+    from rel_ray.stages.cleaning import json_scalar_field
+
+    col = pa.array(['{"k": 69}', '{"k": -2, "x": "ab"}', '{"x": "q w"}',
+                    '{}', None, '{"k": true}', '{"k": ""}',
+                    '{"key2": 1, "k": 3.5}'])
+    assert json_scalar_field(col, "k").to_pylist() == [
+        "69", "-2", None, None, None, "true", "", "3.5"]
+    # string values with spaces come back whole; absent field stays null
+    assert json_scalar_field(col, "x").to_pylist() == [
+        None, "ab", "q w", None, None, None, None, None]
