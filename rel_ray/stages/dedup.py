@@ -450,9 +450,17 @@ def diff_corpora(old, new, *, id_col: str, text_col: str,
         lambda t: pa.table({id_col: t.column(id_col),
                             "__new": t.column(text_col)}),
         batch_format="pyarrow", zero_copy_batch=True)
+    def _side_schema(ds, payload):
+        s = ds.schema()
+        id_t = (s.base_schema.field(id_col).type if s is not None
+                else pa.int64())
+        return pa.schema([(id_col, id_t), (payload, pa.string())])
+
     joined = cogroup_join_multi(o, nw, key=id_col, left_cols=["__old"],
                                 right_cols=["__new"], how="full",
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                left_schema=_side_schema(old, "__old"),
+                                right_schema=_side_schema(new, "__new"))
 
     def status(t: pa.Table) -> pa.Table:
         has_old = pc.is_valid(t.column("__old"))

@@ -61,6 +61,11 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         lambda t: pa.table({"node": t.column("node")}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     n = nodes.count()
+    if n == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.float64())}))
 
     if n <= broadcast_max_rows:
         return _pagerank_broadcast(edges, nodes, n, src=src, dst=dst,

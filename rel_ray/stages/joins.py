@@ -211,10 +211,26 @@ def cogroup_inner_join(left, right, *, key: str, right_cols: list[str],
                                 num_buckets=num_buckets)
 
 
+def _base_schema(ds, override: pa.Schema | None) -> pa.Schema:
+    """Dataset schema, tolerating the 0-row map_batches case where Ray
+    never ran the UDF and reports None — callers with empty-capable
+    inputs pass the schema explicitly."""
+    if override is not None:
+        return override
+    s = ds.schema()
+    if s is None:
+        raise ValueError(
+            "dataset schema unavailable (0-row map output); pass "
+            "left_schema/right_schema explicitly")
+    return s.base_schema
+
+
 def cogroup_join_multi(left, right, *, key: str, left_cols: list[str],
                        right_cols: list[str], num_buckets: int = 256,
                        max_matches: int = 0, counters=None,
-                       how: str = "inner"):
+                       how: str = "inner",
+                       left_schema: pa.Schema | None = None,
+                       right_schema: pa.Schema | None = None):
     """General many-to-many equi-join (duplicate keys on BOTH sides).
 
     Same single tagged-union bucket exchange as cogroup_inner_join; each
@@ -245,8 +261,8 @@ def cogroup_join_multi(left, right, *, key: str, left_cols: list[str],
 
     assert how in ("inner", "left", "right", "full"), how
 
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    l_schema = _base_schema(left, left_schema)
+    r_schema = _base_schema(right, right_schema)
     l_types = {f.name: f.type for f in l_schema}
     r_types = {f.name: f.type for f in r_schema}
     payload = list(left_cols) + list(right_cols)

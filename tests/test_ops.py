@@ -1590,3 +1590,27 @@ def test_json_scalar_field_kernel():
     # string values with spaces come back whole; absent field stays null
     assert json_scalar_field(col, "x").to_pylist() == [
         None, "ab", "q w", None, None, None, None, None]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_new_ops_empty_inputs():
+    from rel_ray.stages.dedup import diff_corpora
+    from rel_ray.stages.graph import pagerank
+
+    empty_docs = rd.from_arrow(pa.table({
+        "id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    one = rd.from_arrow(pa.table({"id": pa.array([1], type=pa.int64()),
+                                  "text": pa.array(["x"])}))
+    out = _collect(diff_corpora(empty_docs, one, id_col="id",
+                                text_col="text"))
+    assert out.column("status").to_pylist() == ["added"]
+    out = _collect(diff_corpora(one, empty_docs, id_col="id",
+                                text_col="text"))
+    assert out.column("status").to_pylist() == ["removed"]
+
+    empty_edges = rd.from_arrow(pa.table({
+        "src": pa.array([], type=pa.string()),
+        "dst": pa.array([], type=pa.string())}))
+    pr = _collect(pagerank(empty_edges, iters=2))
+    assert pr.num_rows == 0
