@@ -1797,6 +1797,38 @@ FROM events GROUP BY user_id
 """
 
 
+def q_ranked_events(sf_dir: str):
+    """SQL ranking-window family (stages/temporal.py::grouped_rank):
+    RANK / DENSE_RANK / PERCENT_RANK / NTILE(4) per user ordered by cents
+    value — value-run change points for the tie-sharing ranks, integer
+    tile arithmetic for SQL's uneven-tile rule; ties in NTILE pinned by
+    the unique event_id (SQL leaves them unspecified)."""
+    from ..stages.temporal import grouped_rank
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+    prep = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "value_c": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_rank(prep, key="user_id", val="value_c", tie="event_id",
+                        carry_cols=["event_id", "user_id"], tiles=4)
+
+
+SQL_RANKED_EVENTS = """
+SELECT event_id, user_id,
+       CAST(rank() OVER w1 AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w1 AS BIGINT) AS dense_rnk,
+       percent_rank() OVER w1 AS pct_rank,
+       CAST(ntile(4) OVER w2 AS BIGINT) AS tile
+FROM (SELECT event_id, user_id,
+             CAST(ROUND(value*100) AS BIGINT) AS value_c FROM events)
+WINDOW w1 AS (PARTITION BY user_id ORDER BY value_c),
+       w2 AS (PARTITION BY user_id ORDER BY value_c, event_id)
+"""
+
+
 def q_session_agg_events(sf_dir: str):
     """Session-level aggregates (one row per gap-delimited session):
     stages/temporal.py::sessionize — break flags from one vectorized diff,
@@ -2719,6 +2751,7 @@ QUERIES = {
     "window_functions_events": q_window_functions_events,
     "moving_sum_events": q_moving_sum_events,
     "string_agg_events": q_string_agg_events,
+    "ranked_events": q_ranked_events,
     "session_agg_events": q_session_agg_events,
     "tumbling_window_events": q_tumbling_window_events,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
@@ -2799,6 +2832,7 @@ ORACLE_SQL = {
     "window_functions_events": SQL_WINDOW_FUNCTIONS_EVENTS,
     "moving_sum_events": SQL_MOVING_SUM_EVENTS,
     "string_agg_events": SQL_STRING_AGG_EVENTS,
+    "ranked_events": SQL_RANKED_EVENTS,
     "session_agg_events": SQL_SESSION_AGG_EVENTS,
     "tumbling_window_events": SQL_TUMBLING_WINDOW_EVENTS,
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,

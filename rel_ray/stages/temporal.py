@@ -494,3 +494,67 @@ def grouped_string_agg(ds, *, key: str, ts: str, tie: str, val: str,
     return bucketed_group_apply(ds, key, agg, num_buckets=num_buckets,
                                 sort_cols=[(ts, "ascending"),
                                            (tie, "ascending")])
+
+
+def grouped_rank(ds, *, key: str, val: str, tie: str, carry_cols: list[str],
+                 tiles: int = 4, num_buckets: int = 256):
+    """SQL ranking-window family in one pass: per ``key`` ordered by
+    ``val``, emits ``rnk`` (RANK — ties share, gaps after),
+    ``dense_rnk`` (no gaps), ``pct_rank`` (PERCENT_RANK =
+    (rank-1)/(count-1), 0.0 for 1-row partitions) and ``tile``
+    (NTILE(tiles) over the (val, tie) total order — SQL leaves tie order
+    unspecified, so the tile assignment pins it with the unique tie).
+
+    Same one-exchange ordered-bucket shape as partitioned_window; ranks
+    come from value-run starts (one vectorized change-point pass), tiles
+    from pure integer arithmetic on segment positions — SQL's exact
+    "first (n % tiles) tiles get the extra row" rule.
+    """
+    from ..functions.rayutil import segment_starts
+
+    def win(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        types = {c: bucket.column(c).type for c in carry_cols}
+        if n == 0:
+            return pa.table(
+                {**{c: pa.array([], type=types[c]) for c in carry_cols},
+                 "rnk": pa.array([], type=pa.int64()),
+                 "dense_rnk": pa.array([], type=pa.int64()),
+                 "pct_rank": pa.array([], type=pa.float64()),
+                 "tile": pa.array([], type=pa.int64())})
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        lens = np.diff(np.append(starts, n))
+        offs = np.repeat(starts, lens)
+        pos = np.arange(n, dtype=np.int64) - offs
+        cnt = np.repeat(lens, lens)
+
+        vals = bucket.column(val)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = np.asarray(vals)
+        run_start = np.ones(n, dtype=bool)
+        run_start[1:] = v[1:] != v[:-1]
+        run_start[starts] = True
+        run_pos = np.maximum.accumulate(np.where(run_start,
+                                                 np.arange(n), 0))
+        rnk = run_pos - offs + 1
+        dense = np.cumsum(run_start)
+        dense_rnk = dense - np.repeat(dense[starts], lens) + 1
+        pct = np.where(cnt > 1, (rnk - 1) / np.maximum(cnt - 1, 1), 0.0)
+
+        base, rem = cnt // tiles, cnt % tiles
+        boundary = rem * (base + 1)
+        small = np.maximum(base, 1)
+        tile = np.where(pos < boundary, pos // np.maximum(base + 1, 1),
+                        rem + (pos - boundary) // small) + 1
+
+        cols = {c: bucket.column(c) for c in carry_cols}
+        cols["rnk"] = pa.array(rnk.astype(np.int64))
+        cols["dense_rnk"] = pa.array(dense_rnk.astype(np.int64))
+        cols["pct_rank"] = pa.array(pct)
+        cols["tile"] = pa.array(tile.astype(np.int64))
+        return pa.table(cols)
+
+    return bucketed_group_apply(ds, key, win, num_buckets=num_buckets,
+                                sort_cols=[(val, "ascending"),
+                                           (tie, "ascending")])

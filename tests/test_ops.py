@@ -1614,3 +1614,28 @@ def test_new_ops_empty_inputs():
         "dst": pa.array([], type=pa.string())}))
     pr = _collect(pagerank(empty_edges, iters=2))
     assert pr.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_rank_tie_semantics():
+    from rel_ray.stages.temporal import grouped_rank
+
+    # key 1 values: 5,5,7,9 -> rank 1,1,3,4; dense 1,1,2,3
+    t = pa.table({"k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+                  "v": pa.array([5, 5, 7, 9, 3], type=pa.int64()),
+                  "id": pa.array([10, 11, 12, 13, 20], type=pa.int64())})
+    out = _collect(grouped_rank(rd.from_arrow(t).repartition(2), key="k",
+                                val="v", tie="id", carry_cols=["id", "k"],
+                                tiles=3))
+    rows = {i: (r, d, p, ti) for i, r, d, p, ti in zip(
+        out.column("id").to_pylist(), out.column("rnk").to_pylist(),
+        out.column("dense_rnk").to_pylist(),
+        out.column("pct_rank").to_pylist(),
+        out.column("tile").to_pylist())}
+    assert (rows[10][0], rows[11][0], rows[12][0], rows[13][0]) == (1, 1, 3, 4)
+    assert (rows[10][1], rows[11][1], rows[12][1], rows[13][1]) == (1, 1, 2, 3)
+    assert rows[13][2] == 1.0 and rows[10][2] == 0.0
+    # NTILE(3) over 4 rows: sizes 2,1,1
+    assert [rows[i][3] for i in (10, 11, 12, 13)] == [1, 1, 2, 3]
+    # single-row partition: rank 1, pct 0.0, tile 1
+    assert rows[20] == (1, 1, 0.0, 1)
