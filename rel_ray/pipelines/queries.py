@@ -1797,6 +1797,34 @@ FROM events GROUP BY user_id
 """
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """Dedup-by-recency (stages/dedup.py::keep_latest): each user's single
+    newest event row, all columns carried — segment heads of one
+    descending bucket sort. The merge-crawls "newest version wins" op."""
+    from ..stages.dedup import keep_latest
+
+    ev = _pq(sf_dir, "events",
+             ["event_id", "ts", "user_id", "event_type", "value"])
+    prep = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "event_type": t.column("event_type"),
+            "value_c": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return keep_latest(prep, key="user_id", order_cols=["ts", "event_id"])
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT event_id, ts, user_id, event_type,
+       CAST(ROUND(value*100) AS BIGINT) AS value_c
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 def q_ranked_events(sf_dir: str):
     """SQL ranking-window family (stages/temporal.py::grouped_rank):
     RANK / DENSE_RANK / PERCENT_RANK / NTILE(4) per user ordered by cents
@@ -2321,6 +2349,33 @@ def q_pivot_events_per_user(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_unpivot_events_per_user(sf_dir: str):
+    """UNPIVOT (stages/rollup.py::unpivot): the pivoted per-user counts
+    reshaped back to long (user_id, metric, value) — one shuffle-free
+    map over the wide table; round-trips the engine's own pivot."""
+    from ..stages.rollup import unpivot
+
+    wide = q_pivot_events_per_user(sf_dir)
+    return unpivot(wide, id_cols=["user_id"],
+                   value_cols=[f"n_{n}" for n in _EVENT_TYPES])
+
+
+SQL_UNPIVOT_EVENTS_PER_USER = """
+WITH wide AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+         COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+         COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+  FROM events GROUP BY user_id)
+SELECT user_id, metric, CAST(value AS BIGINT) AS value
+FROM wide
+UNPIVOT (value FOR metric IN (n_click, n_error, n_purchase,
+                              n_signup, n_view))
+"""
+
+
 SQL_PIVOT_EVENTS_PER_USER = """
 SELECT user_id,
        COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
@@ -2752,6 +2807,8 @@ QUERIES = {
     "moving_sum_events": q_moving_sum_events,
     "string_agg_events": q_string_agg_events,
     "ranked_events": q_ranked_events,
+    "latest_event_per_user": q_latest_event_per_user,
+    "unpivot_events_per_user": q_unpivot_events_per_user,
     "session_agg_events": q_session_agg_events,
     "tumbling_window_events": q_tumbling_window_events,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
@@ -2833,6 +2890,8 @@ ORACLE_SQL = {
     "moving_sum_events": SQL_MOVING_SUM_EVENTS,
     "string_agg_events": SQL_STRING_AGG_EVENTS,
     "ranked_events": SQL_RANKED_EVENTS,
+    "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "unpivot_events_per_user": SQL_UNPIVOT_EVENTS_PER_USER,
     "session_agg_events": SQL_SESSION_AGG_EVENTS,
     "tumbling_window_events": SQL_TUMBLING_WINDOW_EVENTS,
     "customers_no_urgent_orders": SQL_CUSTOMERS_NO_URGENT_ORDERS,

@@ -475,3 +475,31 @@ def diff_corpora(old, new, *, id_col: str, text_col: str,
 
     return joined.map_batches(status, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def keep_latest(ds, *, key: str, order_cols: list[str],
+                num_buckets: int = 256):
+    """Dedup-by-recency: keep each key's single greatest row under the
+    (order_cols) lexicographic order, carrying ALL columns — the
+    "newest version of every document wins" op an incremental corpus
+    needs after merging crawls (SQL: QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY ... DESC) = 1).
+
+    One bucket exchange sorted descending by order_cols; the winner per
+    key is just each segment's head row — one segment_starts + one take,
+    no per-key Python. ``order_cols`` must totally order rows within a
+    key (include a unique id) for a deterministic result — same contract
+    SQL has.
+    """
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def head(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return bucket
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        return bucket.take(pa.array(starts))
+
+    return bucketed_group_apply(
+        ds, key, head, num_buckets=num_buckets,
+        sort_cols=[(c, "descending") for c in order_cols])

@@ -78,3 +78,28 @@ def rollup_sum(ds, *, dims: list[str], value_col: str):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_name: str = "metric", value_name: str = "value"):
+    """Wide → long reshape (SQL UNPIVOT, the inverse of the engine's
+    pivot): each input row becomes len(value_cols) rows
+    (id_cols..., metric, value).
+
+    Embarrassingly parallel — one map_batches, no shuffle: per batch one
+    table slice per measure column (zero-copy id columns, constant metric
+    column), concatenated. Output is len(value_cols) × input rows; value
+    columns must share one type (SQL's UNPIVOT contract).
+    """
+    def long(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[var_name] = pa.array([c] * n, type=pa.string())
+            cols[value_name] = t.column(c)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(long, batch_format="pyarrow",
+                          zero_copy_batch=True)

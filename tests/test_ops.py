@@ -1639,3 +1639,31 @@ def test_grouped_rank_tie_semantics():
     assert [rows[i][3] for i in (10, 11, 12, 13)] == [1, 1, 2, 3]
     # single-row partition: rank 1, pct 0.0, tile 1
     assert rows[20] == (1, 1, 0.0, 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keep_latest_and_unpivot():
+    from rel_ray.stages.dedup import keep_latest
+    from rel_ray.stages.rollup import unpivot
+
+    t = pa.table({"k": pa.array([1, 1, 2, 2, 2], type=pa.int64()),
+                  "ts": pa.array([5, 9, 3, 3, 1], type=pa.int64()),
+                  "id": pa.array([10, 11, 20, 21, 22], type=pa.int64()),
+                  "payload": pa.array(["a", "b", "c", "d", "e"])})
+    out = _collect(keep_latest(rd.from_arrow(t).repartition(2), key="k",
+                               order_cols=["ts", "id"]))
+    got = sorted(zip(out.column("k").to_pylist(),
+                     out.column("id").to_pylist(),
+                     out.column("payload").to_pylist()))
+    # key 2 ties on ts=3 -> greater id (21) wins deterministically
+    assert got == [(1, 11, "b"), (2, 21, "d")]
+
+    wide = rd.from_arrow(pa.table({
+        "u": pa.array([1, 2], type=pa.int64()),
+        "a": pa.array([10, 20], type=pa.int64()),
+        "b": pa.array([30, 40], type=pa.int64())}))
+    lg = _collect(unpivot(wide, id_cols=["u"], value_cols=["a", "b"]))
+    assert sorted(zip(lg.column("u").to_pylist(),
+                      lg.column("metric").to_pylist(),
+                      lg.column("value").to_pylist())) == [
+        (1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40)]
