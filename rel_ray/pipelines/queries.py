@@ -2068,6 +2068,44 @@ ON c.id = e.id
 
 
 
+def q_profile_events(sf_dir: str):
+    """Table profiling (stages/profile.py::profile_table): one streaming
+    pass → per-column row/null/distinct counts + typed min/max (int,
+    string and timestamp channels; float columns excluded from the oracle
+    to keep string rendering engine-agnostic). Exact-distinct path at
+    fixture cardinality; HLL beyond (pinned in tests)."""
+    from ..stages.profile import profile_table
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    return profile_table(ds, columns=["event_id", "user_id",
+                                      "event_type", "ts"])
+
+
+SQL_PROFILE_EVENTS = """
+SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(event_id) AS n_nulls,
+       COUNT(DISTINCT event_id) AS n_distinct, TRUE AS distinct_exact,
+       CAST(MIN(event_id) AS VARCHAR) AS min,
+       CAST(MAX(event_id) AS VARCHAR) AS max
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       COUNT(DISTINCT user_id), TRUE,
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+       COUNT(DISTINCT event_type), TRUE,
+       MIN(event_type), MAX(event_type)
+FROM events
+UNION ALL
+SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+       COUNT(DISTINCT ts), TRUE,
+       CAST(MIN(ts) AS VARCHAR), CAST(MAX(ts) AS VARCHAR)
+FROM events
+"""
+
+
 def q_json_props_agg_events(sf_dir: str):
     """Semi-structured projection (stages/cleaning.py::json_scalar_field):
     pull props.k out of the JSON side-channel column with one vectorized
@@ -2821,6 +2859,7 @@ QUERIES = {
     "pagerank_events": q_pagerank_events,
     "diff_corpora_documents": q_diff_corpora_documents,
     "json_props_agg_events": q_json_props_agg_events,
+    "profile_events": q_profile_events,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2903,6 +2942,7 @@ ORACLE_SQL = {
     "customers_with_big_events": SQL_CUSTOMERS_WITH_BIG_EVENTS,
     "diff_corpora_documents": SQL_DIFF_CORPORA_DOCUMENTS,
     "json_props_agg_events": SQL_JSON_PROPS_AGG_EVENTS,
+    "profile_events": SQL_PROFILE_EVENTS,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

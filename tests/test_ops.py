@@ -1667,3 +1667,32 @@ def test_keep_latest_and_unpivot():
                       lg.column("metric").to_pylist(),
                       lg.column("value").to_pylist())) == [
         (1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_table():
+    from rel_ray.stages.profile import profile_table
+
+    t = pa.table({
+        "i": pa.array([9, 10, None, 3], type=pa.int64()),
+        "s": pa.array(["b", None, "a", "c"]),
+        "f": pa.array([1.5, -2.0, 0.0, None], type=pa.float64())})
+    out = profile_table(rd.from_arrow(t).repartition(2),
+                        columns=["i", "s", "f"])
+    rows = {r["column"]: r for r in out.to_pylist()}
+    # regression: numeric min/max fold on VALUES, not strings
+    # (string-min of {'9','10','3'} would be '10')
+    assert rows["i"]["min"] == "3" and rows["i"]["max"] == "10"
+    assert rows["i"]["n_nulls"] == 1 and rows["i"]["n_distinct"] == 3
+    assert rows["s"]["min"] == "a" and rows["s"]["max"] == "c"
+    assert rows["f"]["min"] == "-2.0" and rows["f"]["max"] == "1.5"
+    assert all(r["distinct_exact"] for r in rows.values())
+    assert all(r["n_rows"] == 4 for r in rows.values())
+
+    # HLL fallback path: force exact_distinct_max below cardinality
+    big = pa.table({"v": pa.array(np.arange(5000), type=pa.int64())})
+    out2 = profile_table(rd.from_arrow(big).repartition(4), columns=["v"],
+                         exact_distinct_max=100)
+    r = out2.to_pylist()[0]
+    assert not r["distinct_exact"]
+    assert abs(r["n_distinct"] - 5000) / 5000 < 0.05
