@@ -2068,6 +2068,18 @@ ON c.id = e.id
 
 
 
+def q_lm_quality_documents(sf_dir: str):
+    """Char-bigram LM quality scoring (stages/textstats.py::lm_score, the
+    CCNet-perplexity-filter shape): corpus bigram counts in one combiner
+    pass, per-doc mean log2 P(byte|prev) in a second broadcast pass.
+    Rows-only (float fixpoint of a corpus-dependent model); the
+    discriminative power and the kernel are pinned in tests."""
+    from ..stages.textstats import lm_score
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return lm_score(ds, id_col="doc_id", text_col="text")
+
+
 def q_profile_events(sf_dir: str):
     """Table profiling (stages/profile.py::profile_table): one streaming
     pass → per-column row/null/distinct counts + typed min/max (int,
@@ -2860,6 +2872,7 @@ QUERIES = {
     "diff_corpora_documents": q_diff_corpora_documents,
     "json_props_agg_events": q_json_props_agg_events,
     "profile_events": q_profile_events,
+    "lm_quality_documents": q_lm_quality_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,

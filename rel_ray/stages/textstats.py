@@ -175,3 +175,95 @@ class TextStats:
         out = out.append_column("n_subtokens", bpe_ish_token_count(text))
         out = out.append_column("doc_hash", rolling_text_hash(text))
         return out
+
+
+# ---------------------------------------------------------------------------
+# char-bigram LM quality scoring (perplexity-style filter)
+# ---------------------------------------------------------------------------
+# Published shape: CCNet (Wenzek et al., LREC 2020) filters crawl text by
+# language-model perplexity; the model here is the smallest useful one — a
+# byte-bigram model with add-one smoothing — so the OPERATOR shape (two
+# streaming passes: corpus-count partials -> broadcast log-prob table ->
+# per-doc mean log-prob) is real and a heavier LM drops in behind the same
+# interface. Deterministic: integer counts, float64 log2 on the driver.
+
+
+def _byte_pairs(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, row_ids) of every intra-row byte bigram: code = prev*256+cur.
+    Zero-copy over the Arrow string buffers; cross-row pairs masked out."""
+    from ..functions.shingles import _string_buffers
+
+    offsets, data = _string_buffers(arr)
+    n = len(offsets) - 1
+    if len(data) < 2:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    code = (data[:-1].astype(np.int64) << 8) | data[1:]
+    # pair at buffer position p spans rows iff p+1 is a row start
+    starts = offsets[1:-1]  # interior row starts
+    starts = starts[starts > 0]  # a start at 0 has no pair before it
+    keep = np.ones(len(code), dtype=bool)
+    keep[starts - 1] = False
+    lens = offsets[1:] - offsets[:-1]
+    row_of = np.repeat(np.arange(n, dtype=np.int64),
+                       np.maximum(lens - 1, 0))
+    return code[keep], row_of
+
+
+def bigram_counts(ds, *, text_col: str) -> np.ndarray:
+    """Corpus byte-bigram count grid (256*256 int64): per-batch bincount
+    partials (one 512 KiB row each), summed on the driver — the mergeable
+    -combiner shape, nothing data-sized leaves a task."""
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes, _ = _byte_pairs(col)
+        grid = np.bincount(codes, minlength=65536).astype(np.int64)
+        return pa.table({"grid": pa.array([grid], type=pa.list_(pa.int64()))})
+
+    total = np.zeros(65536, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        t = pa.table(b)
+        for row in range(t.num_rows):
+            total += np.asarray(t.column("grid")[row].values)
+    return total
+
+
+def lm_score(ds, *, id_col: str, text_col: str,
+             counts: np.ndarray | None = None):
+    """Per-document mean log2 P(byte | prev byte) under the corpus bigram
+    model (add-one smoothed). Higher = more typical of the corpus; a
+    quality filter thresholds low scorers. Two streaming passes total
+    (counts pass + scoring pass); the 512 KiB log-prob table is ray.put
+    once. Docs with <2 bytes score 0.0."""
+    import ray as _ray
+
+    from ..functions.rayutil import get_broadcast
+
+    if counts is None:
+        counts = bigram_counts(ds, text_col=text_col)
+    grid = counts.reshape(256, 256).astype(np.float64) + 1.0
+    logp = (np.log2(grid) - np.log2(grid.sum(axis=1, keepdims=True))
+            ).astype(np.float32).ravel()
+    logp_ref = _ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = get_broadcast(logp_ref)
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes, row_of = _byte_pairs(col)
+        n = t.num_rows
+        sums = np.zeros(n, dtype=np.float64)
+        cnts = np.zeros(n, dtype=np.int64)
+        if len(codes):
+            np.add.at(sums, row_of, lp[codes].astype(np.float64))
+            np.add.at(cnts, row_of, 1)
+        mean = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+        return pa.table({id_col: t.column(id_col),
+                         "lm_logprob": pa.array(mean)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

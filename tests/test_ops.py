@@ -1696,3 +1696,37 @@ def test_profile_table():
     r = out2.to_pylist()[0]
     assert not r["distinct_exact"]
     assert abs(r["n_distinct"] - 5000) / 5000 < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_lm_score():
+    from rel_ray.stages.textstats import _byte_pairs, bigram_counts, lm_score
+
+    # kernel vs naive reference, incl. empty/1-char rows at boundaries
+    texts = ["", "a", "abcab", "", "xy", "a b a b"]
+    col = pa.array(texts)
+    codes, row_of = _byte_pairs(col)
+    want = []
+    for i, s in enumerate(texts):
+        b = s.encode()
+        want += [((b[j] << 8) | b[j + 1], i) for j in range(len(b) - 1)]
+    assert sorted(zip(codes.tolist(), row_of.tolist())) == sorted(want)
+
+    # corpus-typical docs outscore random byte strings
+    rng = np.random.default_rng(5)
+    english = ["the cat sat on the mat and the dog ran over the hill"] * 50
+    noise = ["".join(chr(rng.integers(33, 127)) for _ in range(50))
+             for _ in range(5)]
+    ids = list(range(len(english) + len(noise)))
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(english + noise)})).repartition(3)
+    counts = bigram_counts(ds, text_col="text")
+    assert counts.sum() == sum(max(len(t) - 1, 0) for t in english + noise)
+    out = _collect(lm_score(ds, id_col="id", text_col="text",
+                            counts=counts))
+    sc = dict(zip(out.column("id").to_pylist(),
+                  out.column("lm_logprob").to_pylist()))
+    eng_scores = [sc[i] for i in range(50)]
+    noise_scores = [sc[i] for i in range(50, 55)]
+    assert min(eng_scores) > max(noise_scores) + 1.0  # clear separation
