@@ -2068,6 +2068,27 @@ ON c.id = e.id
 
 
 
+def q_sample_k_events_per_user(sf_dir: str):
+    """Deterministic exact-k per-group sample
+    (stages/sampling.py::sample_k_per_group): 5 events per user by the
+    module's overflow-safe Knuth hash — the reproducible reservoir-sample
+    analog, identical rows on every run / cluster size / engine."""
+    from ..stages.sampling import sample_k_per_group
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return sample_k_per_group(ds, group_col="user_id", id_col="event_id",
+                              k=5)
+
+
+SQL_SAMPLE_K_EVENTS_PER_USER = """
+SELECT event_id, user_id, event_type FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id
+  ORDER BY (event_id % 2147483648) * 2654435761 % 2147483648,
+           event_id) <= 5
+"""
+
+
 def q_lm_quality_documents(sf_dir: str):
     """Char-bigram LM quality scoring (stages/textstats.py::lm_score, the
     CCNet-perplexity-filter shape): corpus bigram counts in one combiner
@@ -2873,6 +2894,7 @@ QUERIES = {
     "json_props_agg_events": q_json_props_agg_events,
     "profile_events": q_profile_events,
     "lm_quality_documents": q_lm_quality_documents,
+    "sample_k_events_per_user": q_sample_k_events_per_user,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2956,6 +2978,7 @@ ORACLE_SQL = {
     "diff_corpora_documents": SQL_DIFF_CORPORA_DOCUMENTS,
     "json_props_agg_events": SQL_JSON_PROPS_AGG_EVENTS,
     "profile_events": SQL_PROFILE_EVENTS,
+    "sample_k_events_per_user": SQL_SAMPLE_K_EVENTS_PER_USER,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

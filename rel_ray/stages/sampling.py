@@ -48,3 +48,38 @@ def stratified_sample(ds, *, id_col: str, stratum_col: str,
 
     return ds.map_batches(filt, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)
+
+
+def sample_k_per_group(ds, *, group_col: str, id_col: str, k: int,
+                       num_buckets: int = 256):
+    """Deterministic exact-k per-group sample: the k rows with the
+    smallest Knuth multiplicative hash of ``id_col`` within each group —
+    a reproducible reservoir-sample analog (same rows on every run,
+    every cluster size, and in SQL: ``QUALIFY row_number() OVER
+    (PARTITION BY g ORDER BY (id % 2147483648) * 2654435761
+    % 2147483648, id) <= k`` — the module's overflow-safe Knuth hash,
+    see ``sample_bucket``). Groups with ≤ k rows keep all rows. One
+    bucket exchange sorted by (group, hash, id); winners are segment
+    positions < k — no per-group Python.
+    """
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        x = np.asarray(pc.cast(t.column(id_col), pa.int64())) % _MOD
+        return t.append_column("__h", pa.array(x * _KNUTH % _MOD))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def head_k(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return bucket.drop_columns(["__h"])
+        starts = np.asarray(segment_starts(bucket.column(group_col)))
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        return bucket.filter(pa.array(pos < k)).drop_columns(["__h"])
+
+    return bucketed_group_apply(
+        hashed, group_col, head_k, num_buckets=num_buckets,
+        sort_cols=[("__h", "ascending"), (id_col, "ascending")])

@@ -1730,3 +1730,27 @@ def test_bigram_lm_score():
     eng_scores = [sc[i] for i in range(50)]
     noise_scores = [sc[i] for i in range(50, 55)]
     assert min(eng_scores) > max(noise_scores) + 1.0  # clear separation
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_k_per_group_deterministic():
+    from rel_ray.stages.sampling import sample_k_per_group
+
+    t = pa.table({"g": pa.array([1] * 20 + [2] * 3, type=pa.int64()),
+                  "id": pa.array(range(23), type=pa.int64())})
+
+    def run():
+        out = _collect(sample_k_per_group(
+            rd.from_arrow(t).repartition(3), group_col="g", id_col="id",
+            k=4))
+        return sorted(zip(out.column("g").to_pylist(),
+                          out.column("id").to_pylist()))
+
+    a, b = run(), run()
+    assert a == b                       # bit-deterministic across runs
+    g1 = [i for g, i in a if g == 1]
+    g2 = [i for g, i in a if g == 2]
+    assert len(g1) == 4                 # exact k
+    assert sorted(g2) == [20, 21, 22]   # undersized group keeps all
+    assert "__h" not in _collect(sample_k_per_group(
+        rd.from_arrow(t), group_col="g", id_col="id", k=4)).column_names
