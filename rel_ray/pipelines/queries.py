@@ -2068,6 +2068,32 @@ ON c.id = e.id
 
 
 
+def q_partitioned_sink_roundtrip(sf_dir: str):
+    """Resumable partitioned sink (sources/sinks.py::write_partitioned):
+    events written as hash-sharded hive dirs with per-shard _done.json
+    markers, read back via read_partitioned — value-hash-exact against
+    the identity oracle, proving the sink is lossless. Kill-resume
+    semantics are pinned in tests/test_resume.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.sinks import read_partitioned, write_partitioned
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    out = os.path.join(tempfile.gettempdir(), "relray_sink_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned(ds, out, key_col="user_id", num_shards=16)
+    return read_partitioned(out).map_batches(
+        lambda t: t.select(["event_id", "user_id", "event_type"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PARTITIONED_SINK_ROUNDTRIP = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
 def q_sample_k_events_per_user(sf_dir: str):
     """Deterministic exact-k per-group sample
     (stages/sampling.py::sample_k_per_group): 5 events per user by the
@@ -2895,6 +2921,7 @@ QUERIES = {
     "profile_events": q_profile_events,
     "lm_quality_documents": q_lm_quality_documents,
     "sample_k_events_per_user": q_sample_k_events_per_user,
+    "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -2979,6 +3006,7 @@ ORACLE_SQL = {
     "json_props_agg_events": SQL_JSON_PROPS_AGG_EVENTS,
     "profile_events": SQL_PROFILE_EVENTS,
     "sample_k_events_per_user": SQL_SAMPLE_K_EVENTS_PER_USER,
+    "partitioned_sink_roundtrip": SQL_PARTITIONED_SINK_ROUNDTRIP,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

@@ -104,3 +104,46 @@ def test_near_dedup_checkpointed_resume(ray_session, tmp_path):
     # changed threshold: stale, full recompute
     _, lin3 = near_dedup_checkpointed(p, ckpt, threshold=0.9)
     assert [r["resumed"] for r in lin3] == [False, False, False]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_partitioned_resume(tmp_path):
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rel_ray.sources.sinks import read_partitioned, write_partitioned
+
+    out = str(tmp_path / "sink")
+    t = pa.table({"k": pa.array(np.arange(1000) % 37, type=pa.int64()),
+                  "v": pa.array(np.arange(1000), type=pa.int64())})
+    res1 = write_partitioned(rd.from_arrow(t).repartition(4), out,
+                             key_col="k", num_shards=8)
+    assert res1["rows_written"] == 1000 and not res1["skipped"]
+
+    # simulate a killed run: one shard loses its marker AND files
+    # (unfinished), the rest keep markers (finished)
+    victim = sorted(res1["written"])[0]
+    vdir = os.path.join(out, f"__shard={victim}")
+    os.remove(os.path.join(vdir, "_done.json"))
+    for f in os.listdir(vdir):
+        os.remove(os.path.join(vdir, f))
+
+    res2 = write_partitioned(rd.from_arrow(t).repartition(4), out,
+                             key_col="k", num_shards=8)
+    # only the victim is rewritten; everything else is skipped
+    assert res2["written"] == [victim]
+    assert set(res2["skipped"]) == set(res1["written"]) - {victim}
+
+    back = pa.concat_tables([pa.table(b) for b in read_partitioned(out)
+                             .iter_batches(batch_format="pyarrow")])
+    assert back.num_rows == 1000
+    assert sorted(back.column("v").to_pylist()) == list(range(1000))
+    assert "__shard" not in back.column_names
+    # markers carry accurate per-shard lineage
+    man = json.load(open(os.path.join(vdir, "_done.json")))
+    assert man["rows"] > 0 and man["files"] and man["bytes"] > 0
