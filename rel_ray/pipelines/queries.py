@@ -2068,6 +2068,27 @@ ON c.id = e.id
 
 
 
+def q_budget_sample_documents(sf_dir: str):
+    """Token-budget corpus selection (stages/sampling.py::budget_sample):
+    per language, take docs in deterministic Knuth-hash order until 5,000
+    chars are filled — the reproducible "N tokens per language" subset
+    op. Windowed-cumsum SQL twin, value-hash-exact."""
+    from ..stages.sampling import budget_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return budget_sample(ds, group_col="lang", id_col="doc_id",
+                         weight_col="n_chars", budget=5000)
+
+
+SQL_BUDGET_SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY SUM(n_chars) OVER (
+  PARTITION BY lang
+  ORDER BY (doc_id % 2147483648) * 2654435761 % 2147483648, doc_id
+  ROWS UNBOUNDED PRECEDING) <= 5000
+"""
+
+
 def q_partitioned_sink_roundtrip(sf_dir: str):
     """Resumable partitioned sink (sources/sinks.py::write_partitioned):
     events written as hash-sharded hive dirs with per-shard _done.json
@@ -2922,6 +2943,7 @@ QUERIES = {
     "lm_quality_documents": q_lm_quality_documents,
     "sample_k_events_per_user": q_sample_k_events_per_user,
     "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+    "budget_sample_documents": q_budget_sample_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
@@ -3007,6 +3029,7 @@ ORACLE_SQL = {
     "profile_events": SQL_PROFILE_EVENTS,
     "sample_k_events_per_user": SQL_SAMPLE_K_EVENTS_PER_USER,
     "partitioned_sink_roundtrip": SQL_PARTITIONED_SINK_ROUNDTRIP,
+    "budget_sample_documents": SQL_BUDGET_SAMPLE_DOCUMENTS,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,

@@ -83,3 +83,42 @@ def sample_k_per_group(ds, *, group_col: str, id_col: str, k: int,
     return bucketed_group_apply(
         hashed, group_col, head_k, num_buckets=num_buckets,
         sort_cols=[("__h", "ascending"), (id_col, "ascending")])
+
+
+def budget_sample(ds, *, group_col: str, id_col: str, weight_col: str,
+                  budget: int, num_buckets: int = 256):
+    """Budget-constrained subset selection: per group, take rows in the
+    deterministic Knuth-hash order until the running ``weight_col`` sum
+    would exceed ``budget`` (inclusive prefix; SQL: ``QUALIFY
+    SUM(w) OVER (PARTITION BY g ORDER BY hash, id) <= budget``).
+
+    The token-budget corpus-selection op: "give me ~N tokens per
+    language, sampled reproducibly" — same rows on every run, cluster
+    size and engine. One bucket exchange; the prefix sum is one global
+    cumsum minus per-segment bases (zero per-group Python).
+    """
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        x = np.asarray(pc.cast(t.column(id_col), pa.int64())) % _MOD
+        return t.append_column("__h", pa.array(x * _KNUTH % _MOD))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def take_budget(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return bucket.drop_columns(["__h"])
+        starts = np.asarray(segment_starts(bucket.column(group_col)))
+        lens = np.diff(np.append(starts, n))
+        w = np.asarray(bucket.column(weight_col), dtype=np.int64)
+        cum = np.cumsum(w)
+        offs = np.repeat(starts, lens)
+        base = np.where(offs > 0, cum[np.maximum(offs - 1, 0)], 0)
+        run = cum - base
+        return bucket.filter(pa.array(run <= budget)).drop_columns(["__h"])
+
+    return bucketed_group_apply(
+        hashed, group_col, take_budget, num_buckets=num_buckets,
+        sort_cols=[("__h", "ascending"), (id_col, "ascending")])

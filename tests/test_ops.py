@@ -1754,3 +1754,30 @@ def test_sample_k_per_group_deterministic():
     assert sorted(g2) == [20, 21, 22]   # undersized group keeps all
     assert "__h" not in _collect(sample_k_per_group(
         rd.from_arrow(t), group_col="g", id_col="id", k=4)).column_names
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_budget_sample():
+    from rel_ray.stages.sampling import budget_sample
+
+    t = pa.table({"g": pa.array(["a"] * 10 + ["b"] * 2),
+                  "id": pa.array(range(12), type=pa.int64()),
+                  "w": pa.array([40] * 10 + [500, 30], type=pa.int64())})
+    out = _collect(budget_sample(rd.from_arrow(t).repartition(3),
+                                 group_col="g", id_col="id",
+                                 weight_col="w", budget=100))
+    by_g = {}
+    for g, w in zip(out.column("g").to_pylist(),
+                    out.column("w").to_pylist()):
+        by_g.setdefault(g, []).append(w)
+    # group a: 40-weight rows -> exactly 2 fit under 100 (inclusive prefix)
+    assert sum(by_g["a"]) <= 100 and len(by_g["a"]) == 2
+    # group b: whichever of (500, 30) hashes first determines the take;
+    # a 500 row never fits, the 30 row always does if it comes first
+    assert sum(by_g.get("b", [])) <= 100
+    # deterministic across runs
+    out2 = _collect(budget_sample(rd.from_arrow(t).repartition(2),
+                                  group_col="g", id_col="id",
+                                  weight_col="w", budget=100))
+    assert sorted(out.column("id").to_pylist()) == \
+        sorted(out2.column("id").to_pylist())
