@@ -236,3 +236,53 @@ def fit_threshold(edges, labels, records=None, *, split: str = "calib",
         if f1 > best["f1"]:
             best = {"threshold": float(thr), "f1": f1, "precision": p, "recall": r}
     return best
+
+
+def blocking_metrics(pairs, labels, *, n_records: int, split: str = "test"):
+    """Blocking-stage quality report (the standard ER pair—completeness /
+    reduction—ratio pair, e.g. Christen's "Data Matching" survey):
+
+    * pair_completeness — fraction of labeled TRUE pairs that survive
+      into the candidate-pair set (blocking recall; an upper bound on
+      end-to-end recall).
+    * reduction_ratio — 1 − |candidates| / C(n_records, 2): how much of
+      the quadratic comparison space blocking eliminated.
+
+    ``pairs`` and ``labels`` must share one id space (for the flagship,
+    map labeled record ids to their exact-precluster reps first — the F1
+    gate's _attach_cluster does the same). Distributed: one canonical
+    composite key per side + the engine's bucketed semi join; nothing
+    quadratic, nothing driver-side but the four scalar counts.
+
+    Returns a 1-row pyarrow Table.
+    """
+    import ray.data as rd  # noqa: F401  (callers pass Datasets)
+
+    from ..stages.joins import semi_anti_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t.column("id_a"), t.column("id_b"))
+        hi = pc.max_element_wise(t.column("id_a"), t.column("id_b"))
+        return pa.table({"pk": pc.binary_join_element_wise(lo, hi, "|")})
+
+    lab = labels.map_batches(
+        lambda t: canon(t.filter(pc.and_(
+            pc.equal(t.column("split"), split),
+            t.column("same_entity")))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cand = pairs.map_batches(canon, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    n_true = lab.count()
+    n_cand = cand.count()
+    found = semi_anti_join(lab, cand, key="pk").count() if n_true else 0
+    total_space = n_records * (n_records - 1) // 2
+    return pa.table({
+        "n_candidate_pairs": pa.array([n_cand], type=pa.int64()),
+        "n_true_pairs": pa.array([n_true], type=pa.int64()),
+        "true_pairs_found": pa.array([found], type=pa.int64()),
+        "pair_completeness": pa.array(
+            [found / n_true if n_true else 1.0]),
+        "reduction_ratio": pa.array(
+            [1.0 - n_cand / total_space if total_space else 0.0]),
+    })

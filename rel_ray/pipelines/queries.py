@@ -1376,6 +1376,41 @@ def q_linkage_clusters(sf_dir: str):
     return out["clusters"]
 
 
+def q_blocking_metrics(sf_dir: str):
+    """Blocking-quality report (pipelines/eval.py::blocking_metrics): pair
+    completeness + reduction ratio of the flagship's LSH blocking against
+    a deterministic labeled corpus (labels mapped to exact-precluster
+    reps, same id space as the candidate pairs). Rows-only; the metric
+    arithmetic is pinned in tests/test_eval.py."""
+    import ray.data as rd
+
+    from ..functions.rayutil import dict_lookup
+    from ..synth import generate_corpus
+    from .eval import blocking_metrics
+    from .linkage import run_linkage
+
+    tables = generate_corpus(seed=21, n_convs=300)
+    out = run_linkage(rd.from_arrow(tables["transcripts"]), CFG)
+    recs = pa.concat_tables(
+        [pa.table(b) for b in out["records"]
+         .iter_batches(batch_format="pyarrow")])
+    rep_of = dict(zip(recs.column("record_id").to_pylist(),
+                      recs.column("rep_id").to_pylist()))
+
+    def to_reps(t: pa.Table) -> pa.Table:
+        a = dict_lookup(t.column("id_a"), rep_of, default_to_key=True)
+        b = dict_lookup(t.column("id_b"), rep_of, default_to_key=True)
+        keep = pc.not_equal(a, b)  # same-rep pairs are matched pre-blocking
+        return pa.table({"id_a": a, "id_b": b,
+                         "same_entity": t.column("same_entity"),
+                         "split": t.column("split")}).filter(keep)
+
+    labels = rd.from_arrow(tables["labels"]).map_batches(
+        to_reps, batch_format="pyarrow", zero_copy_batch=True)
+    return blocking_metrics(out["pairs"], labels,
+                            n_records=len(rep_of))
+
+
 def q_incremental_link(sf_dir: str):
     """Incremental linkage (pipelines/incremental.py): resolve the
     even-user half of the corpus into a frozen entity store, then link the
@@ -2987,6 +3022,7 @@ QUERIES = {
     "linkage_clusters": q_linkage_clusters,
     "linkage_edges": q_linkage_edges,
     "incremental_link_transcripts": q_incremental_link,
+    "blocking_metrics_transcripts": q_blocking_metrics,
     "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
     "decontaminate_documents": q_decontaminate_documents,

@@ -200,7 +200,9 @@ def _byte_pairs(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     code = (data[:-1].astype(np.int64) << 8) | data[1:]
     # pair at buffer position p spans rows iff p+1 is a row start
     starts = offsets[1:-1]  # interior row starts
-    starts = starts[starts > 0]  # a start at 0 has no pair before it
+    # a start at 0 has no pair before it; a start at len(data) (trailing
+    # empty rows) has no pair at it either
+    starts = starts[(starts > 0) & (starts < len(data))]
     keep = np.ones(len(code), dtype=bool)
     keep[starts - 1] = False
     lens = offsets[1:] - offsets[:-1]

@@ -41,3 +41,28 @@ def test_pairwise_f1_splits_differ(linkage, tiny_corpus):
     assert test["n_pairs"] > 0 and calib["n_pairs"] > 0
     assert test["n_pairs"] != calib["n_pairs"]
     assert test["f1"] >= 0.99
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocking_metrics():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rel_ray.pipelines.eval import blocking_metrics
+
+    # 5 records -> C(5,2)=10 possible pairs; 4 candidates; 3 labeled true
+    # pairs of which 2 survive blocking (one reversed to test canon)
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(["r1", "r4", "r2", "r3"]),
+        "id_b": pa.array(["r2", "r1", "r3", "r5"])}))
+    labels = rd.from_arrow(pa.table({
+        "id_a": pa.array(["r2", "r2", "r4", "r1"]),
+        "id_b": pa.array(["r1", "r3", "r5", "r3"]),
+        "same_entity": pa.array([True, True, True, False]),
+        "split": pa.array(["test", "test", "test", "test"])}))
+    out = blocking_metrics(pairs, labels, n_records=5).to_pylist()[0]
+    assert out["n_candidate_pairs"] == 4
+    assert out["n_true_pairs"] == 3
+    assert out["true_pairs_found"] == 2
+    assert abs(out["pair_completeness"] - 2 / 3) < 1e-12
+    assert abs(out["reduction_ratio"] - 0.6) < 1e-12

@@ -183,3 +183,53 @@ def test_dict_lookup_matches_python_dict(rows):
         import pytest as _pytest
         with _pytest.raises(KeyError):
             dict_lookup(col, mapping)
+
+
+_JKEY = st.sampled_from(["k", "key2", "x", "a_b"])
+_JVAL = st.one_of(
+    st.integers(-10**9, 10**9),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(alphabet=st.characters(
+        blacklist_characters='"\\', blacklist_categories=("Cs", "Cc")),
+        max_size=12))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.dictionaries(_JKEY, _JVAL, max_size=4), min_size=1,
+                max_size=20), _JKEY)
+def test_json_scalar_field_matches_json_loads(objs, field):
+    import json
+
+    from rel_ray.stages.cleaning import json_scalar_field
+
+    col = pa.array([json.dumps(o, ensure_ascii=False) for o in objs],
+                   type=pa.string())
+    got = json_scalar_field(col, field).to_pylist()
+    for g, o in zip(got, objs):
+        if field not in o:
+            assert g is None
+        else:
+            v = o[field]
+            if isinstance(v, str):
+                assert g == v
+            elif isinstance(v, bool):
+                assert g == ("true" if v else "false")
+            else:
+                # numeric: text round-trips through the same json repr
+                assert g == json.dumps(v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", max_size=8), min_size=1,
+                max_size=15))
+def test_byte_pairs_matches_naive(rows):
+    from rel_ray.stages.textstats import _byte_pairs
+
+    col = pa.array(rows, type=pa.string())
+    codes, row_of = _byte_pairs(col)
+    want = []
+    for i, s in enumerate(rows):
+        b = s.encode()
+        want += [((b[j] << 8) | b[j + 1], i) for j in range(len(b) - 1)]
+    assert sorted(zip(codes.tolist(), row_of.tolist())) == sorted(want)
