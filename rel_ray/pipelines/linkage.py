@@ -407,3 +407,75 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
         "edges": edges,
         "clusters": clusters,
     }
+
+
+def entity_summary(clusters, records, *, num_buckets: int = 64):
+    """User-facing entity table: one row per cluster —
+    (cluster_id, n_records, n_convs, top_form). REL parity: the
+    aggregate view of REL's per-mention output tuples
+    (REL:src/REL/utils.py::process_results), i.e. "the entity list".
+
+    ONE bucketed exchange over clusters⋈records; inside each bucket all
+    three stats are computed vectorized over the cluster-sorted segments:
+    distinct conversations = unique (segment, conv-code) composites,
+    top surface form = counted (segment, mention-code) composites
+    argmaxed by a single lexsort with a rank-mapped LEXICOGRAPHIC
+    tiebreak (dictionary codes are not in string order).
+    """
+    import numpy as np
+
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+    from ..stages.joins import cogroup_inner_join
+
+    recs = records.map_batches(
+        lambda t: t.select(["record_id", "conv_id", "mention_norm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cls = clusters.map_batches(
+        lambda t: t.select(["record_id", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = cogroup_inner_join(cls, recs, key="record_id",
+                                right_cols=["conv_id", "mention_norm"])
+
+    def summarize(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({
+                "cluster_id": pa.array([], type=pa.string()),
+                "n_records": pa.array([], type=pa.int64()),
+                "n_convs": pa.array([], type=pa.int64()),
+                "top_form": pa.array([], type=pa.string())})
+        starts = np.asarray(segment_starts(bucket.column("cluster_id")))
+        lens = np.diff(np.append(starts, n))
+        seg_of = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+
+        def enc(col):
+            a = bucket.column(col)
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            e = pc.dictionary_encode(a)
+            return (np.asarray(e.indices, dtype=np.int64), e.dictionary)
+
+        ccode, _ = enc("conv_id")
+        big = np.int64(1) << 32
+        n_convs = np.bincount(
+            np.unique(seg_of * big + ccode) >> 32, minlength=len(starts))
+
+        mcode, mdict = enc("mention_norm")
+        pairs, cnts = np.unique(seg_of * big + mcode, return_counts=True)
+        pseg, pmen = pairs >> 32, pairs & (big - 1)
+        rank = np.empty(len(mdict), dtype=np.int64)
+        rank[np.argsort(np.asarray(mdict, dtype=object))] = \
+            np.arange(len(mdict))
+        order = np.lexsort((rank[pmen], -cnts, pseg))
+        heads = order[np.searchsorted(pseg[order], np.arange(len(starts)))]
+        kc = bucket.column("cluster_id")
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        return pa.table({
+            "cluster_id": kc.take(pa.array(starts)),
+            "n_records": pa.array(lens.astype(np.int64)),
+            "n_convs": pa.array(n_convs.astype(np.int64)),
+            "top_form": mdict.take(pa.array(pmen[heads]))})
+
+    return bucketed_group_apply(joined, "cluster_id", summarize,
+                                num_buckets=num_buckets)

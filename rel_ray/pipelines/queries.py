@@ -1376,6 +1376,18 @@ def q_linkage_clusters(sf_dir: str):
     return out["clusters"]
 
 
+def q_entity_summary(sf_dir: str):
+    """The user-facing ENTITY TABLE (REL's end product, aggregated): one
+    row per resolved entity — member count, distinct conversations, and
+    the most frequent surface form (pipelines/linkage.py::entity_summary;
+    one bucketed exchange computes all three stats vectorized).
+    Rows-only (LSH-derived clusters)."""
+    from .linkage import entity_summary, run_linkage
+
+    out = run_linkage(transcripts_from_events(sf_dir), CFG)
+    return entity_summary(out["clusters"], out["records"])
+
+
 def q_blocking_metrics(sf_dir: str):
     """Blocking-quality report (pipelines/eval.py::blocking_metrics): pair
     completeness + reduction ratio of the flagship's LSH blocking against
@@ -3023,6 +3035,7 @@ QUERIES = {
     "linkage_edges": q_linkage_edges,
     "incremental_link_transcripts": q_incremental_link,
     "blocking_metrics_transcripts": q_blocking_metrics,
+    "entity_summary_transcripts": q_entity_summary,
     "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
     "decontaminate_documents": q_decontaminate_documents,

@@ -101,3 +101,38 @@ def test_gru_head_f1_gate(ray_session, tiny_corpus):
     res = pairwise_f1(out["clusters"], labels, split="test",
                       num_partitions=4)
     assert res["f1"] >= 0.99, res
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entity_summary():
+    import numpy as np
+    from rel_ray.pipelines.linkage import entity_summary
+
+    # hand-built clusters/records: cluster A = r1,r2,r3 over 2 convs with
+    # forms x,x,y (mode x); cluster B = r4 singleton
+    clusters = rd.from_arrow(pa.table({
+        "record_id": pa.array(["r1", "r2", "r3", "r4"]),
+        "cluster_id": pa.array(["A", "A", "A", "B"])}))
+    records = rd.from_arrow(pa.table({
+        "record_id": pa.array(["r1", "r2", "r3", "r4"]),
+        "conv_id": pa.array(["c1", "c1", "c2", "c3"]),
+        "mention_norm": pa.array(["x", "x", "y", "z"])}))
+    out = pa.concat_tables([pa.table(b) for b in entity_summary(
+        clusters, records).iter_batches(batch_format="pyarrow")])
+    rows = {r["cluster_id"]: r for r in out.to_pylist()}
+    assert rows["A"]["n_records"] == 3 and rows["A"]["n_convs"] == 2
+    assert rows["A"]["top_form"] == "x"
+    assert rows["B"] == {"cluster_id": "B", "n_records": 1,
+                         "n_convs": 1, "top_form": "z"}
+
+    # tie on counts -> lexicographically smaller form wins
+    records2 = rd.from_arrow(pa.table({
+        "record_id": pa.array(["r1", "r2", "r3", "r4"]),
+        "conv_id": pa.array(["c1", "c1", "c2", "c3"]),
+        "mention_norm": pa.array(["zz", "aa", "zz", "aa"])}))
+    clusters2 = rd.from_arrow(pa.table({
+        "record_id": pa.array(["r1", "r2", "r3", "r4"]),
+        "cluster_id": pa.array(["A", "A", "A", "A"])}))
+    out2 = pa.concat_tables([pa.table(b) for b in entity_summary(
+        clusters2, records2).iter_batches(batch_format="pyarrow")])
+    assert out2.to_pylist()[0]["top_form"] == "aa"
