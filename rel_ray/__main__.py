@@ -167,6 +167,41 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Profile a parquet table: per-column stats as one JSON line each."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from rel_ray.stages.profile import profile_table
+
+    ds = rd.read_parquet(args.input)
+    cols = (args.columns.split(",") if args.columns
+            else [f.name for f in ds.schema().base_schema])
+    out = profile_table(ds, columns=cols)
+    for row in out.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_diff(args) -> int:
+    """Diff two corpus snapshots; prints status counts, optionally writes
+    the per-id status table."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from rel_ray.stages.dedup import diff_corpora
+
+    out = diff_corpora(rd.read_parquet(args.old), rd.read_parquet(args.new),
+                       id_col=args.id_col, text_col=args.text_col)
+    if args.out:
+        _write(out, args.out)
+        out = rd.read_parquet(args.out)
+    counts = {r["status"]: r["count()"] for r in
+              out.groupby("status").count().take_all()}
+    print(json.dumps({"counts": counts}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m rel_ray")
     common = argparse.ArgumentParser(add_help=False)
@@ -212,6 +247,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     s.add_argument("--out", default=None)
     s.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("profile", parents=[common],
+                       help="per-column stats of a parquet table")
+    s.add_argument("input")
+    s.add_argument("--columns", default=None,
+                   help="comma-separated (default: all)")
+    s.set_defaults(fn=cmd_profile)
+
+    s = sub.add_parser("diff", parents=[common],
+                       help="diff two corpus snapshots by id + text")
+    s.add_argument("old")
+    s.add_argument("new")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_diff)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -48,3 +48,21 @@ def test_cli_unknown_query_lists_available(ray_session, capsys):
     assert main(["query", "definitely_not_a_query"]) == 2
     err = capsys.readouterr().err
     assert "lineitem_agg" in err
+
+
+def test_cli_profile_and_diff(ray_session, tmp_path, capsys):
+    import json
+
+    rc = main(["profile", "/root/testdata/sf0.001/nation.parquet",
+               "--columns", "n_nationkey,n_name"])
+    assert rc == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["column"] == "n_nationkey"
+    assert lines[0]["min"] == "0" and lines[0]["n_distinct"] == 25
+
+    rc = main(["diff", "/root/testdata/sf0.001/documents.parquet",
+               "/root/testdata/sf0.001/documents.parquet"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert list(out["counts"]) == ["unchanged"]
