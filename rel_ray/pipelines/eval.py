@@ -286,3 +286,73 @@ def blocking_metrics(pairs, labels, *, n_records: int, split: str = "test"):
         "reduction_ratio": pa.array(
             [1.0 - n_cand / total_space if total_space else 0.0]),
     })
+
+
+def train_pair_weights(features, *, feature_cols=("sim_jaccard", "sim_jw",
+                                                  "sim_emb"),
+                       label_col: str = "same_entity", lr: float = 2.0,
+                       epochs: int = 40, l2: float = 1e-4) -> dict:
+    """Distributed logistic-regression training of the pair scorer's
+    feature weights — the batch analog of REL's ED training loop
+    (REL:src/REL/entity_disambiguation.py::train / train_LR), with the
+    torch model replaced by the engine's mergeable-combiner shape:
+
+    each epoch is ONE streaming pass over the labeled feature table; every
+    batch emits a (d+2)-float partial row (gradient sums + log-loss sum),
+    the driver folds them and takes a full-batch gradient step. Nothing
+    data-sized ever reaches the driver; weights (d floats) ride to the
+    workers in the per-epoch task closure.
+
+    Returns {"weights": {...}, "bias", "loss_curve", "accuracy"} —
+    train-set accuracy from a final scoring pass with the learned weights.
+    """
+    import ray.data as rd  # noqa: F401
+
+    d = len(feature_cols)
+    n_total = features.count()
+    if n_total == 0:
+        raise ValueError("no training rows")
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    losses = []
+
+    def make_partial(w_now, b_now, want_acc=False):
+        def partial(t: pa.Table) -> pa.Table:
+            X = np.stack([np.asarray(t.column(c), dtype=np.float64)
+                          for c in feature_cols], axis=1)
+            y = np.asarray(t.column(label_col), dtype=np.float64)
+            z = X @ w_now + b_now
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - y
+            eps = 1e-12
+            loss = -np.sum(y * np.log(p + eps)
+                           + (1 - y) * np.log(1 - p + eps))
+            correct = float(np.sum((p >= 0.5) == (y >= 0.5)))
+            row = np.concatenate([X.T @ g, [g.sum(), loss, correct]])
+            return pa.table({"g": pa.array([row],
+                                           type=pa.list_(pa.float64()))})
+        return partial
+
+    def fold(pass_w, pass_b, want_acc=False):
+        acc = np.zeros(d + 3, dtype=np.float64)
+        for batch in features.map_batches(
+                make_partial(pass_w, pass_b, want_acc),
+                batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+                batch_format="pyarrow"):
+            t = pa.table(batch)
+            for row in range(t.num_rows):
+                acc += np.asarray(t.column("g")[row].values)
+        return acc
+
+    for _ in range(epochs):
+        s = fold(w, b)
+        grad_w = s[:d] / n_total + l2 * w
+        grad_b = s[d] / n_total
+        losses.append(s[d + 1] / n_total)
+        w -= lr * grad_w
+        b -= lr * grad_b
+    final = fold(w, b, want_acc=True)
+    return {"weights": dict(zip(feature_cols, w.tolist())),
+            "bias": float(b),
+            "loss_curve": [round(x, 6) for x in losses],
+            "accuracy": final[d + 2] / n_total}

@@ -1376,6 +1376,70 @@ def q_linkage_clusters(sf_dir: str):
     return out["clusters"]
 
 
+def q_train_pair_scorer(sf_dir: str):
+    """REL training-path analog (pipelines/eval.py::train_pair_weights):
+    distributed logistic regression over UNGATED pair features
+    (threshold=0 disables the exact JW gate) for the labeled fixture's
+    train split — per-batch gradient partial sums, driver full-batch
+    steps. Returns learned weights/bias + train accuracy as one row.
+    Rows-only (float fixpoint)."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from ..functions.rayutil import dict_lookup
+    from ..stages.blocking import records_stage
+    from ..stages.conversation import conversation_stage
+    from ..stages.scoring import scoring_stage
+    from ..synth import generate_corpus
+    from .eval import train_pair_weights
+
+    tables = generate_corpus(seed=31, n_convs=200)
+    turns = conversation_stage(rd.from_arrow(tables["transcripts"]), CFG)
+    recs = pa.concat_tables(
+        [pa.table(b) for b in records_stage(turns, CFG)
+         .iter_batches(batch_format="pyarrow")])
+    mn_of = dict(zip(recs.column("record_id").to_pylist(),
+                     recs.column("mention_norm").to_pylist()))
+
+    # the fixture's calibration split is the training set (the test
+    # split stays untouched for the F1 gate)
+    lab = tables["labels"].filter(
+        pc.equal(tables["labels"].column("split"), "calib"))
+    pairs = pa.table({
+        "id_a": lab.column("id_a"), "id_b": lab.column("id_b"),
+        "mn_a": dict_lookup(lab.column("id_a"), mn_of, default=""),
+        "mn_b": dict_lookup(lab.column("id_b"), mn_of, default=""),
+        "same_entity": lab.column("same_entity")})
+    pairs = pairs.filter(pc.and_(pc.not_equal(pairs.column("mn_a"), ""),
+                                 pc.not_equal(pairs.column("mn_b"), "")))
+    y_of = dict(zip(
+        pc.binary_join_element_wise(pairs.column("id_a"),
+                                    pairs.column("id_b"), "|").to_pylist(),
+        pairs.column("same_entity").to_pylist()))
+
+    ungated = dataclasses.replace(CFG, threshold=0.0)
+    feats = scoring_stage(
+        rd.from_arrow(pairs.select(["id_a", "id_b", "mn_a", "mn_b"])),
+        ungated)
+
+    def attach_y(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(t.column("id_a"),
+                                        t.column("id_b"), "|")
+        return t.append_column(
+            "same_entity",
+            dict_lookup(k, y_of, value_type=pa.bool_()))
+
+    labeled = feats.map_batches(attach_y, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    res = train_pair_weights(labeled)
+    return pa.table({
+        **{f"w_{k}": pa.array([v]) for k, v in res["weights"].items()},
+        "bias": pa.array([res["bias"]]),
+        "train_accuracy": pa.array([res["accuracy"]]),
+        "final_loss": pa.array([res["loss_curve"][-1]])})
+
+
 def q_entity_summary(sf_dir: str):
     """The user-facing ENTITY TABLE (REL's end product, aggregated): one
     row per resolved entity — member count, distinct conversations, and
@@ -3036,6 +3100,7 @@ QUERIES = {
     "incremental_link_transcripts": q_incremental_link,
     "blocking_metrics_transcripts": q_blocking_metrics,
     "entity_summary_transcripts": q_entity_summary,
+    "train_pair_scorer_transcripts": q_train_pair_scorer,
     "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
     "decontaminate_documents": q_decontaminate_documents,

@@ -66,3 +66,27 @@ def test_blocking_metrics():
     assert out["true_pairs_found"] == 2
     assert abs(out["pair_completeness"] - 2 / 3) < 1e-12
     assert abs(out["reduction_ratio"] - 0.6) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_train_pair_weights():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rel_ray.pipelines.eval import train_pair_weights
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    y = rng.random(n) < 0.5
+    # separable-ish: positives have higher sims + noise
+    base = np.where(y, 0.8, 0.2)
+    feats = {c: pa.array(np.clip(base + rng.normal(0, 0.1, n), 0, 1))
+             for c in ("sim_jaccard", "sim_jw", "sim_emb")}
+    ds = rd.from_arrow(pa.table({**feats,
+                                 "same_entity": pa.array(y)})).repartition(4)
+    res = train_pair_weights(ds, epochs=30)
+    assert res["accuracy"] > 0.97
+    # loss strictly improves over training (full-batch GD on convex loss)
+    assert res["loss_curve"][-1] < res["loss_curve"][0] * 0.5
+    assert all(v > 0 for v in res["weights"].values())
