@@ -418,6 +418,60 @@ GROUP BY tok ORDER BY cnt DESC, term ASC LIMIT 20
 """
 
 
+def q_top_bigrams_documents(sf_dir: str):
+    """Global word-BIGRAM frequencies, top-20 (count desc, bigram asc):
+    the co-occurrence-statistics shape (PMI tables, phrase mining).
+    Adjacent in-document pairs from the flattened token ListArray with a
+    row-boundary mask (same trick as textstats._byte_pairs), value-counts
+    combiner before the vocab²-bounded groupby sum."""
+    from ..functions.normalize import extract_all_matches
+    from ..functions.rayutil import global_topk
+
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ml = extract_all_matches(t.column("text"), "[a-z]+")
+        if isinstance(ml, pa.ChunkedArray):
+            ml = ml.combine_chunks()
+        flat = ml.flatten()
+        offs = np.asarray(ml.offsets, dtype=np.int64)
+        n = len(flat)
+        empty = pa.table({"bigram": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if n < 2:
+            return empty
+        keep = np.ones(n - 1, dtype=bool)
+        starts = offs[1:-1]
+        starts = starts[(starts > 0) & (starts < n)]
+        keep[starts - 1] = False
+        idx = np.nonzero(keep)[0]
+        if not len(idx):
+            return empty
+        big = pc.binary_join_element_wise(
+            flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)), " ")
+        vc = pc.value_counts(big)
+        return pa.table({"bigram": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bigram").aggregate(Sum("cnt")))
+    agg = agg.map_batches(lambda t: t.rename_columns(["bigram", "cnt"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    return global_topk(agg, [("cnt", "descending"),
+                             ("bigram", "ascending")], 20)
+
+
+SQL_TOP_BIGRAMS_DOCUMENTS = """
+WITH docs AS (SELECT regexp_extract_all(text, '[a-z]+') AS w
+              FROM documents),
+pairs AS (SELECT unnest(list_zip(w[:-1], w[2:])) AS p FROM docs)
+SELECT p[1] || ' ' || p[2] AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20
+"""
+
+
 def q_pack_sequences_documents(sf_dir: str):
     """Sequence packing (LLM-training op): documents → fixed 512-token
     training packs by a distributed prefix scan (stages/packing.py) —
@@ -2259,6 +2313,32 @@ def q_lm_quality_documents(sf_dir: str):
     return lm_score(ds, id_col="doc_id", text_col="text")
 
 
+def q_histogram_lineitem(sf_dir: str):
+    """Exact fixed-width histogram (stages/profile.py::histogram_fixed):
+    price cents in 20 bins over [0, 12,000,000) — integer bin arithmetic
+    shared with the SQL twin, bincount combiner before the n_bins-row
+    groupby sum."""
+    from ..stages.profile import histogram_fixed
+
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"price_c": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return histogram_fixed(ds, val_col="price_c", lo=0, hi=12_000_000,
+                           n_bins=20)
+
+
+SQL_HISTOGRAM_LINEITEM = """
+WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+           FROM lineitem),
+bins AS (SELECT unnest(generate_series(0, 19)) AS bin),
+counts AS (SELECT (c - 0) // 600000 AS bin, COUNT(*) AS cnt
+           FROM v WHERE c >= 0 AND c < 12000000 GROUP BY 1)
+SELECT b.bin, b.bin * 600000 AS lo_edge, (b.bin + 1) * 600000 AS hi_edge,
+       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+FROM bins b LEFT JOIN counts c ON b.bin = c.bin
+"""
+
+
 def q_profile_events(sf_dir: str):
     """Table profiling (stages/profile.py::profile_table): one streaming
     pass → per-column row/null/distinct counts + typed min/max (int,
@@ -3051,6 +3131,7 @@ QUERIES = {
     "diff_corpora_documents": q_diff_corpora_documents,
     "json_props_agg_events": q_json_props_agg_events,
     "profile_events": q_profile_events,
+    "histogram_lineitem": q_histogram_lineitem,
     "lm_quality_documents": q_lm_quality_documents,
     "sample_k_events_per_user": q_sample_k_events_per_user,
     "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
@@ -3066,6 +3147,7 @@ QUERIES = {
     "grouped_quantiles_hist_lineitem": q_grouped_quantiles_hist_lineitem,
     "approx_quantiles_lineitem": q_approx_quantiles_lineitem,
     "top_terms_documents": q_top_terms_documents,
+    "top_bigrams_documents": q_top_bigrams_documents,
     "pack_sequences_documents": q_pack_sequences_documents,
     "union_sum": q_union_sum,
     "sample_lineitem": q_sample_lineitem,
@@ -3141,6 +3223,7 @@ ORACLE_SQL = {
     "diff_corpora_documents": SQL_DIFF_CORPORA_DOCUMENTS,
     "json_props_agg_events": SQL_JSON_PROPS_AGG_EVENTS,
     "profile_events": SQL_PROFILE_EVENTS,
+    "histogram_lineitem": SQL_HISTOGRAM_LINEITEM,
     "sample_k_events_per_user": SQL_SAMPLE_K_EVENTS_PER_USER,
     "partitioned_sink_roundtrip": SQL_PARTITIONED_SINK_ROUNDTRIP,
     "budget_sample_documents": SQL_BUDGET_SAMPLE_DOCUMENTS,
@@ -3153,6 +3236,7 @@ ORACLE_SQL = {
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "grouped_quantiles_hist_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,
+    "top_bigrams_documents": SQL_TOP_BIGRAMS_DOCUMENTS,
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
     "train_split_documents": SQL_TRAIN_SPLIT_DOCUMENTS,
     "union_sum": SQL_UNION_SUM,

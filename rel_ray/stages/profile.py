@@ -160,3 +160,38 @@ def profile_table(ds, *, columns: list[str],
         "max": pa.array([render(c, state[c]["max"]) for c in columns],
                         type=pa.string()),
     })
+
+
+def histogram_fixed(ds, *, val_col: str, lo: int, hi: int, n_bins: int):
+    """Exact fixed-width histogram over an integer column: one row per
+    bin (bin, lo_edge, hi_edge, cnt), values outside [lo, hi) ignored.
+    Integer bin arithmetic ON PURPOSE (bin = (v - lo) // width) so an
+    ANSI-SQL oracle reproduces the counts bit-for-bit — no float edges.
+
+    Combiner shape: each batch emits one n_bins-long partial (np.bincount)
+    as bin rows; a groupby(bin) sum merges them — the shuffle carries
+    O(n_bins × batches) rows, never the data."""
+    from ray.data.aggregate import Sum
+
+    assert n_bins > 0 and hi > lo
+    width = (hi - lo + n_bins - 1) // n_bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(val_col), dtype=np.int64)
+        v = v[(v >= lo) & (v < hi)]
+        b = (v - lo) // width
+        counts = np.bincount(b, minlength=n_bins)
+        return pa.table({"bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bin").aggregate(Sum("cnt")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "bin": t.column("bin"),
+            "lo_edge": pc.add(pc.multiply(t.column("bin"), width), lo),
+            "hi_edge": pc.add(pc.multiply(
+                pc.add(t.column("bin"), 1), width), lo),
+            "cnt": pc.cast(t.column(f"sum(cnt)"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -1781,3 +1781,18 @@ def test_budget_sample():
                                   weight_col="w", budget=100))
     assert sorted(out.column("id").to_pylist()) == \
         sorted(out2.column("id").to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_histogram_fixed_and_bigrams():
+    from rel_ray.stages.profile import histogram_fixed
+
+    t = pa.table({"v": pa.array([0, 5, 9, 10, 19, 25, -1, 100],
+                                type=pa.int64())})
+    out = _collect(histogram_fixed(rd.from_arrow(t).repartition(2),
+                                   val_col="v", lo=0, hi=30,
+                                   n_bins=3)).sort_by("bin")
+    # width 10: [0,10)->3, [10,20)->2, [20,30)->1; -1 and 100 ignored
+    assert out.column("cnt").to_pylist() == [3, 2, 1]
+    assert out.column("lo_edge").to_pylist() == [0, 10, 20]
+    assert out.column("hi_edge").to_pylist() == [10, 20, 30]
