@@ -2339,6 +2339,21 @@ FROM bins b LEFT JOIN counts c ON b.bin = c.bin
 """
 
 
+def q_prepare_corpus_report(sf_dir: str):
+    """Second-flagship composition (pipelines/prep.py::prepare_corpus):
+    filter → LM-quantile cut → exact+near dedup → decontaminate → chunk,
+    each stage checkpointable; returns the per-stage row funnel. Rows-only
+    (LSH near-dedup inside); resume semantics pinned in tests/test_resume."""
+    from ..pipelines.prep import prepare_corpus
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(
+            np.asarray(t.column("doc_id")) % 50 == 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return prepare_corpus(docs, bench)["report"]
+
+
 def q_profile_events(sf_dir: str):
     """Table profiling (stages/profile.py::profile_table): one streaming
     pass → per-column row/null/distinct counts + typed min/max (int,
@@ -3132,6 +3147,7 @@ QUERIES = {
     "json_props_agg_events": q_json_props_agg_events,
     "profile_events": q_profile_events,
     "histogram_lineitem": q_histogram_lineitem,
+    "prepare_corpus_report": q_prepare_corpus_report,
     "lm_quality_documents": q_lm_quality_documents,
     "sample_k_events_per_user": q_sample_k_events_per_user,
     "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,

@@ -147,3 +147,34 @@ def test_write_partitioned_resume(tmp_path):
     # markers carry accurate per-shard lineage
     man = json.load(open(os.path.join(vdir, "_done.json")))
     assert man["rows"] > 0 and man["files"] and man["bytes"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prepare_corpus_resume(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rel_ray.pipelines.prep import prepare_corpus
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(
+            np.asarray(t.column("doc_id")) % 50 == 0))
+        .select(["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ck = str(tmp_path / "prep_ck")
+    out1 = prepare_corpus(docs, bench, ckpt_dir=ck)
+    rep1 = out1["report"].to_pylist()
+    assert not any(s.get("resumed") for s in out1["lineage"])
+
+    # second run: every stage resumes from checkpoint, identical report
+    out2 = prepare_corpus(docs, bench, ckpt_dir=ck)
+    assert out2["report"].to_pylist() == rep1
+    assert all(s.get("resumed") for s in out2["lineage"])
+
+    # funnel is monotone and non-trivial
+    rows = {r["stage"]: r["rows"] for r in rep1}
+    assert rows["input"] >= rows["filtered"] >= rows["lm_filtered"] \
+        >= rows["deduped"] >= rows["decontaminated"] > 0
+    assert rows["chunks"] >= rows["decontaminated"]
