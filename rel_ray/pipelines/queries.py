@@ -2160,6 +2160,41 @@ FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
 """
 
 
+def q_region_nation_cross(sf_dir: str):
+    """CROSS JOIN as the degenerate constant-key case of
+    cogroup_join_multi — both sides land in one segment, the segment
+    cross-product IS the Cartesian product. Guarded use only (bounded
+    sides); value-hash-exact vs SQL CROSS JOIN."""
+    from ..stages.joins import cogroup_join_multi
+
+    reg = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).map_batches(
+        lambda t: pa.table({
+            "__k": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "r_regionkey": t.column("r_regionkey"),
+            "region_name": t.column("r_name")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nat = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        lambda t: pa.table({
+            "__k": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "n_nationkey": t.column("n_nationkey"),
+            "nation_name": t.column("n_name")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = cogroup_join_multi(reg, nat, key="__k",
+                             left_cols=["r_regionkey", "region_name"],
+                             right_cols=["n_nationkey", "nation_name"],
+                             num_buckets=1)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__k"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_REGION_NATION_CROSS = """
+SELECT r.r_regionkey, r.r_name AS region_name,
+       n.n_nationkey, n.n_name AS nation_name
+FROM region r CROSS JOIN nation n
+"""
+
+
 def q_rollup_lineitem(sf_dir: str):
     """ROLLUP multi-level aggregation (stages/rollup.py::rollup_sum): price
     cents summed at (returnflag, linestatus), (returnflag) and grand-total
@@ -3140,6 +3175,7 @@ QUERIES = {
     "customer_big_order_counts": q_customer_big_order_counts,
     "nation_customer_supplier_pairs": q_nation_customer_supplier_pairs,
     "user_activity_full_outer": q_user_activity_full_outer,
+    "region_nation_cross": q_region_nation_cross,
     "rollup_lineitem": q_rollup_lineitem,
     "customers_with_big_events": q_customers_with_big_events,
     "pagerank_events": q_pagerank_events,
@@ -3234,6 +3270,7 @@ ORACLE_SQL = {
     "customer_big_order_counts": SQL_CUSTOMER_BIG_ORDER_COUNTS,
     "nation_customer_supplier_pairs": SQL_NATION_CUSTOMER_SUPPLIER_PAIRS,
     "user_activity_full_outer": SQL_USER_ACTIVITY_FULL_OUTER,
+    "region_nation_cross": SQL_REGION_NATION_CROSS,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "customers_with_big_events": SQL_CUSTOMERS_WITH_BIG_EVENTS,
     "diff_corpora_documents": SQL_DIFF_CORPORA_DOCUMENTS,
