@@ -542,6 +542,40 @@ SELECT user_id, event_id, o_orderkey, price_cents FROM (
 """
 
 
+def q_asof_forward_events_orders(sf_dir: str):
+    """Forward as-of join (direction="forward"): each event → the user's
+    NEXT high-value event (value > 400) at-or-after its timestamp —
+    next-conversion attribution shape; the negated-time reuse of the
+    one-pass merge. Tie at equal ts: max event_id."""
+    from ..stages.temporal import asof_join
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    hi = ev.map_batches(
+        lambda t: (lambda f: pa.table({
+            "user_id": f.column("user_id"), "hts": f.column("ts"),
+            "hi_event_id": f.column("event_id"),
+            "hi_cents": _cents(f.column("value"))}))(
+            t.filter(pc.greater(t.column("value"), 400.0))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(ev, hi, key="user_id", left_ts="ts",
+                     right_ts="hts",
+                     left_cols=["user_id", "event_id"],
+                     right_cols=["hi_event_id", "hi_cents"],
+                     right_tie="hi_event_id", direction="forward")
+
+
+SQL_ASOF_FORWARD_EVENTS_ORDERS = """
+SELECT user_id, event_id, hi_event_id, hi_cents FROM (
+  SELECT e.user_id, e.event_id, h.event_id AS hi_event_id,
+         CAST(ROUND(h.value*100) AS BIGINT) AS hi_cents,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY h.ts ASC, h.event_id DESC) AS rn
+  FROM events e JOIN events h
+    ON h.user_id = e.user_id AND h.ts >= e.ts AND h.value > 400
+) WHERE rn = 1
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Gap-based sessionization (windowed streaming op a transcript pipeline
     needs for conversation segmentation): a >30-minute silence within a user
@@ -2195,6 +2229,64 @@ FROM region r CROSS JOIN nation n
 """
 
 
+def q_grouped_variance_lineitem(sf_dir: str):
+    """Grouped second-moment statistics, INTEGER-EXACT: per returnflag the
+    count, sum, sum-of-squares and the population-variance NUMERATOR
+    n*Σx² − (Σx)² over integral quantities — the combiner pattern (one
+    partial row per batch per group), no float accumulation anywhere, so
+    the value hash is exact and the merge is order-independent (the
+    parallel-variance pitfall of naive float Welford)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.column("l_returnflag")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        q = np.asarray(_cents(t.column("l_quantity"))) // 100  # integral
+        enc = pc.dictionary_encode(f)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "l_returnflag": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "s1": pa.array(np.bincount(codes, weights=q, minlength=k)
+                           .astype(np.int64)),
+            "s2": pa.array(np.bincount(codes, weights=q * q, minlength=k)
+                           .astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_returnflag").aggregate(Sum("n"), Sum("s1"),
+                                              Sum("s2")))
+    return agg.map_batches(
+        lambda t: (lambda n, s1, s2: pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "n": pa.array(n), "sum_q": pa.array(s1),
+            "sum_q2": pa.array(s2),
+            "var_num": pa.array(n * s2 - s1 * s1)}))(
+            np.asarray(t.column("sum(n)"), dtype=np.int64),
+            np.asarray(t.column("sum(s1)"), dtype=np.int64),
+            np.asarray(t.column("sum(s2)"), dtype=np.int64)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_GROUPED_VARIANCE_LINEITEM = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS sum_q2,
+       CAST(COUNT(*) * SUM(CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT))
+            - SUM(CAST(l_quantity AS BIGINT))
+              * SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS var_num
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_rollup_lineitem(sf_dir: str):
     """ROLLUP multi-level aggregation (stages/rollup.py::rollup_sum): price
     cents summed at (returnflag, linestatus), (returnflag) and grand-total
@@ -3160,6 +3252,7 @@ QUERIES = {
     "grouped_topk_events": q_grouped_topk_events,
     "sessionize_events": q_sessionize_events,
     "asof_join_events_orders": q_asof_join_events_orders,
+    "asof_forward_events_orders": q_asof_forward_events_orders,
     "range_join_events": q_range_join_events,
     "rolling_window_events": q_rolling_window_events,
     "window_functions_events": q_window_functions_events,
@@ -3176,6 +3269,7 @@ QUERIES = {
     "nation_customer_supplier_pairs": q_nation_customer_supplier_pairs,
     "user_activity_full_outer": q_user_activity_full_outer,
     "region_nation_cross": q_region_nation_cross,
+    "grouped_variance_lineitem": q_grouped_variance_lineitem,
     "rollup_lineitem": q_rollup_lineitem,
     "customers_with_big_events": q_customers_with_big_events,
     "pagerank_events": q_pagerank_events,
@@ -3255,6 +3349,7 @@ ORACLE_SQL = {
     "grouped_topk_events": SQL_GROUPED_TOPK_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "asof_join_events_orders": SQL_ASOF_JOIN_EVENTS_ORDERS,
+    "asof_forward_events_orders": SQL_ASOF_FORWARD_EVENTS_ORDERS,
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "rolling_window_events": SQL_ROLLING_WINDOW_EVENTS,
     "window_functions_events": SQL_WINDOW_FUNCTIONS_EVENTS,
@@ -3271,6 +3366,7 @@ ORACLE_SQL = {
     "nation_customer_supplier_pairs": SQL_NATION_CUSTOMER_SUPPLIER_PAIRS,
     "user_activity_full_outer": SQL_USER_ACTIVITY_FULL_OUTER,
     "region_nation_cross": SQL_REGION_NATION_CROSS,
+    "grouped_variance_lineitem": SQL_GROUPED_VARIANCE_LINEITEM,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "customers_with_big_events": SQL_CUSTOMERS_WITH_BIG_EVENTS,
     "diff_corpora_documents": SQL_DIFF_CORPORA_DOCUMENTS,

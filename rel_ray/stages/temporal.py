@@ -33,13 +33,20 @@ _SIDE = "__side"
 
 def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
               left_cols: list[str], right_cols: list[str],
-              right_tie: str | None = None, num_buckets: int = 256):
+              right_tie: str | None = None, num_buckets: int = 256,
+              direction: str = "backward"):
     """Inner as-of join: for every left row, the single right row with equal
     ``key`` and the greatest ``right_ts`` <= ``left_ts``; among equal
     timestamps the greatest ``right_tie`` wins (deterministic output).
 
+    ``direction="forward"`` flips the time semantics to the SMALLEST
+    ``right_ts`` >= ``left_ts`` (pandas merge_asof parity) — implemented
+    by negating the internal int64 time axis, so the one-pass cumsum
+    merge is reused verbatim; the equal-timestamp tie rule is unchanged.
+
     ``left_cols`` / ``right_cols`` name the payload columns to carry (key
     included in left_cols if wanted); they must not overlap."""
+    assert direction in ("backward", "forward"), direction
     l_schema = left.schema()
     r_schema = right.schema()
 
@@ -71,7 +78,10 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
                 if c == key:
                     cols[c] = t.column(key)
                 elif c == _T:
-                    cols[c] = pc.cast(t.column(ts_col), pa.int64())
+                    tv = pc.cast(t.column(ts_col), pa.int64())
+                    if direction == "forward":
+                        tv = pc.multiply(tv, pa.scalar(-1, pa.int64()))
+                    cols[c] = tv
                 elif c == _SIDE:
                     cols[c] = pa.array(np.full(n, side_val, dtype=np.int8))
                 elif c in mine:

@@ -1796,3 +1796,25 @@ def test_histogram_fixed_and_bigrams():
     assert out.column("cnt").to_pylist() == [3, 2, 1]
     assert out.column("lo_edge").to_pylist() == [0, 10, 20]
     assert out.column("hi_edge").to_pylist() == [10, 20, 30]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_forward():
+    from rel_ray.stages.temporal import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "lt": pa.array([5, 11, 30, 7], type=pa.int64()),
+        "lv": pa.array([100, 101, 102, 200], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "rt": pa.array([10, 20, 7], type=pa.int64()),
+        "rv": pa.array([-1, -2, -3], type=pa.int64())}))
+    out = _collect(asof_join(left, right, key="k", left_ts="lt",
+                             right_ts="rt", left_cols=["k", "lt", "lv"],
+                             right_cols=["rv"], direction="forward"))
+    got = sorted(zip(out.column("lv").to_pylist(),
+                     out.column("rv").to_pylist()))
+    # lt=5 -> first rt>=5 is 10 (rv -1); lt=11 -> 20 (-2); lt=30 -> none
+    # (dropped, inner); k=2 lt=7 -> rt=7 (equal allowed, -3)
+    assert got == [(100, -1), (101, -2), (200, -3)]
