@@ -207,11 +207,9 @@ def bloom_from_dataset(ds, col: str, *, m_bits: int, k: int = 7) -> np.ndarray:
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-    out = np.zeros(m_bits // 8, dtype=np.uint8)
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        for buf in pa.table(b).column("bits").to_pylist():
-            out |= np.frombuffer(buf, dtype=np.uint8)
-    return out
+    out = fold_grid_partials(parts, col="bits", op="or", dtype=np.uint8)
+    return out if out is not None else np.zeros(m_bits // 8,
+                                                dtype=np.uint8)
 
 
 def bloom_decontaminate(corpus, benchmark, *, id_col: str, text_col: str,
@@ -421,15 +419,12 @@ def count_min_terms(ds, *, text_col: str, depth: int = 4, width: int = 2048,
         return pa.table({"grid": pa.array([grid.ravel()],
                                           type=pa.list_(pa.int64()))})
 
-    sketch = np.zeros((depth, width), dtype=np.int64)
-    for b in ds.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True).iter_batches(
-                                batch_format="pyarrow"):
-        t = pa.table(b)
-        for row in range(t.num_rows):
-            sketch += np.asarray(
-                t.column("grid")[row].values).reshape(depth, width)
-    return sketch
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = fold_grid_partials(parts, col="grid")
+    if out is None:
+        return np.zeros((depth, width), dtype=np.int64)
+    return out.reshape(depth, width)
 
 
 # ---------------------------------------------------------------------------
@@ -465,14 +460,10 @@ def quantile_sketch(ds, *, val_col: str, eps: float = 0.01) -> np.ndarray:
         counts = np.bincount(np.minimum(b, nb - 1), minlength=nb)
         return pa.table({"bins": pa.array([counts], type=pa.list_(pa.int64()))})
 
-    sketch = np.zeros(nb, dtype=np.int64)
-    for batch in ds.map_batches(partial, batch_format="pyarrow",
-                                zero_copy_batch=True).iter_batches(
-                                    batch_format="pyarrow"):
-        t = pa.table(batch)
-        for row in range(t.num_rows):
-            sketch += np.asarray(t.column("bins")[row].values)
-    return sketch
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = fold_grid_partials(parts, col="bins")
+    return out if out is not None else np.zeros(nb, dtype=np.int64)
 
 
 def sketch_quantile(sketch: np.ndarray, q: float, eps: float = 0.01) -> float:
@@ -489,3 +480,64 @@ def sketch_quantile(sketch: np.ndarray, q: float, eps: float = 0.01) -> float:
     lo = base ** b           # == lower edge + 1
     hi = base ** (b + 1)     # == upper edge + 1
     return float(np.sqrt(lo * hi) - 1)
+
+
+# ---------------------------------------------------------------------------
+# distributed pre-fold for per-batch grid partials
+# ---------------------------------------------------------------------------
+
+def fold_grid_partials(parts, *, col: str, op: str = "sum",
+                       dtype=np.int64, batch_size: int = 64) -> np.ndarray:
+    """Fold a Dataset of per-batch grid partials (one list/binary row per
+    source batch) into ONE numpy array with a DISTRIBUTED pre-fold level:
+    a map_batches pass combines up to ``batch_size`` partial rows into one
+    on the workers, so the driver touches B/batch_size rows instead of B —
+    at 100 TB (10^5 source batches × 0.5 MiB grids) that is the difference
+    between ~50 GiB and ~1 GiB of driver traffic. Elementwise int ops are
+    associative, so the result is bit-identical to the flat driver fold.
+    ``op``: "sum" (counts) or "or" (bit sets). ``col`` may be a
+    list<int64/float64> or binary (uint8) column.
+    """
+    assert op in ("sum", "or"), op
+
+    def rows_of(t: pa.Table):
+        c = t.column(col)
+        for i in range(t.num_rows):
+            v = c[i].as_py() if pa.types.is_binary(c.type) else None
+            if v is not None:
+                yield np.frombuffer(v, dtype=np.uint8)
+            else:
+                yield np.asarray(c[i].values)
+
+    def local(t: pa.Table) -> pa.Table:
+        acc = None
+        for a in rows_of(t):
+            if acc is None:
+                acc = a.astype(dtype, copy=True) \
+                    if not pa.types.is_binary(t.column(col).type) else a.copy()
+            elif op == "sum":
+                acc += a
+            else:
+                acc |= a
+        if acc is None:
+            return pa.table({col: pa.array([], type=t.column(col).type)})
+        if pa.types.is_binary(t.column(col).type):
+            return pa.table({col: pa.array([acc.tobytes()],
+                                           type=pa.binary())})
+        return pa.table({col: pa.array([acc], type=t.column(col).type)})
+
+    reduced = parts.map_batches(local, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                batch_size=batch_size)
+    acc = None
+    for b in reduced.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for a in rows_of(t):
+            if acc is None:
+                acc = a.astype(dtype, copy=True) \
+                    if not pa.types.is_binary(t.column(col).type) else a.copy()
+            elif op == "sum":
+                acc += a
+            else:
+                acc |= a
+    return acc

@@ -223,14 +223,12 @@ def bigram_counts(ds, *, text_col: str) -> np.ndarray:
         grid = np.bincount(codes, minlength=65536).astype(np.int64)
         return pa.table({"grid": pa.array([grid], type=pa.list_(pa.int64()))})
 
-    total = np.zeros(65536, dtype=np.int64)
-    for b in ds.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True).iter_batches(
-                                batch_format="pyarrow"):
-        t = pa.table(b)
-        for row in range(t.num_rows):
-            total += np.asarray(t.column("grid")[row].values)
-    return total
+    from .sketches import fold_grid_partials
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = fold_grid_partials(parts, col="grid")
+    return out if out is not None else np.zeros(65536, dtype=np.int64)
 
 
 def lm_score(ds, *, id_col: str, text_col: str,
