@@ -170,8 +170,30 @@ def _pagerank_broadcast(edges, nodes, n: int, *, src: str, dst: str,
                                          type=pa.list_(pa.float64()))})
 
     def merge_sparse(ds) -> np.ndarray:
+        # worker-level pre-fold: combine up to 16 sparse partial rows into
+        # one before anything reaches the driver (same associativity
+        # argument as sketches.fold_grid_partials)
+        def local(t: pa.Table) -> pa.Table:
+            idxs, vals = [], []
+            for row in range(t.num_rows):
+                idxs.append(np.asarray(t.column("idx")[row].values))
+                vals.append(np.asarray(t.column("val")[row].values))
+            if not idxs:
+                return t
+            cat_i = np.concatenate(idxs)
+            cat_v = np.concatenate(vals)
+            uniq, inv = np.unique(cat_i, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(sums, inv, cat_v)
+            return pa.table({
+                "idx": pa.array([uniq], type=pa.list_(pa.int64())),
+                "val": pa.array([sums], type=pa.list_(pa.float64()))})
+
         out = np.zeros(n, dtype=np.float64)
-        for b in ds.iter_batches(batch_format="pyarrow"):
+        for b in ds.map_batches(local, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                batch_size=16).iter_batches(
+                                    batch_format="pyarrow"):
             t = pa.table(b)
             for row in range(t.num_rows):
                 np.add.at(out, np.asarray(t.column("idx")[row].values),

@@ -107,12 +107,58 @@ def profile_table(ds, *, columns: list[str],
     if base is not None:
         col_types = {f.name: f.type for f in base.base_schema}
 
+    def local_fold(t: pa.Table) -> pa.Table:
+        # worker-level pre-fold of partial rows (≤ one output row per
+        # column per 64 input rows): every stat folds associatively, so
+        # the driver sees B/64 rows instead of B × columns
+        groups: dict[str, list[int]] = {}
+        for i in range(t.num_rows):
+            groups.setdefault(t.column("column")[i].as_py(), []).append(i)
+        out_rows = []
+        for cname, idxs in groups.items():
+            def vals(col):
+                return [t.column(col)[i].as_py() for i in idxs]
+
+            def fold_mm(col, agg):
+                vs = [v for v in vals(col) if v is not None]
+                return agg(vs) if vs else None
+
+            uniq_parts = vals("uniq")
+            if any(u is None for u in uniq_parts):
+                uniq = None
+            else:
+                merged = set()
+                for u in uniq_parts:
+                    merged.update(u)
+                uniq = (sorted(merged)
+                        if len(merged) <= exact_distinct_max else None)
+            regs = np.zeros(1 << _P, dtype=np.uint8)
+            for i in idxs:
+                np.maximum(regs, np.frombuffer(
+                    t.column("regs")[i].as_py(), dtype=np.uint8),
+                    out=regs)
+            out_rows.append((
+                cname, sum(vals("n_rows")), sum(vals("n_nulls")),
+                fold_mm("min_i", min), fold_mm("max_i", max),
+                fold_mm("min_f", min), fold_mm("max_f", max),
+                fold_mm("min_s", min), fold_mm("max_s", max),
+                uniq, regs.tobytes()))
+        names = ["column", "n_rows", "n_nulls", "min_i", "max_i",
+                 "min_f", "max_f", "min_s", "max_s", "uniq", "regs"]
+        types = [pa.string(), pa.int64(), pa.int64(), pa.int64(),
+                 pa.int64(), pa.float64(), pa.float64(), pa.string(),
+                 pa.string(), pa.list_(pa.large_string()), pa.binary()]
+        return pa.table({nm: pa.array([r[j] for r in out_rows], type=ty)
+                         for j, (nm, ty) in enumerate(zip(names, types))})
+
     state = {c: {"rows": 0, "nulls": 0, "min": None, "max": None,
                  "set": set(), "exact": True,
                  "regs": np.zeros(1 << _P, dtype=np.uint8)}
              for c in columns}
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True).map_batches(
+        local_fold, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64)
     for b in parts.iter_batches(batch_format="pyarrow"):
         t = pa.table(b)
         for i in range(t.num_rows):
