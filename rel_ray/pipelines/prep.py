@@ -76,7 +76,9 @@ def prepare_corpus(
     s_filtered = mgr.run_stage("prep_filtered", [], build_filtered)
 
     def build_lm():
-        scored = lm_score(s_filtered.dataset, id_col=id_col, text_col=text_col)
+        from ..stages.textstats import bigram_counts
+
+        counts = bigram_counts(s_filtered.dataset, text_col=text_col)
         # threshold from the bounded-memory quantile sketch over the
         # POSITIVE integer view of the score (shift+scale; monotone).
         # eps and shift are sized so the sketch's RELATIVE bin width
@@ -84,28 +86,24 @@ def prepare_corpus(
         # in the shifted domain — at shift 16 and eps=5e-4 the bin width
         # near typical scores is ~0.013 log2 units
         EPS = 0.0005
-        shifted = scored.map_batches(
+        scored_ids = lm_score(s_filtered.dataset, id_col=id_col,
+                              text_col=text_col, counts=counts)
+        shifted = scored_ids.map_batches(
             lambda t: pa.table({"v": pa.array(np.maximum(
                 ((np.asarray(t.column("lm_logprob")) + 16.0) * 1000.0)
                 .astype(np.int64), 0))}),
             batch_format="pyarrow", zero_copy_batch=True)
         sk = quantile_sketch(shifted, val_col="v", eps=EPS)
-        cut_int = sketch_quantile(sk, lm_quantile, EPS)
-        cut = cut_int / 1000.0 - 16.0
-        keep_ids = scored.map_batches(
-            lambda t, c=cut: pa.table({id_col: t.filter(
-                pc.greater_equal(t.column("lm_logprob"), c))
-                .column(id_col)}),
+        cut = sketch_quantile(sk, lm_quantile, EPS) / 1000.0 - 16.0
+        # score WITH text carried through -> pure streaming filter; no
+        # driver-side keep-id collection (that list is O(corpus) at scale)
+        scored = lm_score(s_filtered.dataset, id_col=id_col,
+                          text_col=text_col, counts=counts,
+                          carry_cols=[text_col])
+        return scored.map_batches(
+            lambda t, c=cut: t.filter(pc.greater_equal(
+                t.column("lm_logprob"), c)).select([id_col, text_col]),
             batch_format="pyarrow", zero_copy_batch=True)
-        import ray as _ray
-
-        from ..functions.rayutil import collect_table
-        ids = collect_table(keep_ids,
-                            pa.schema([(id_col, pa.int64())]))
-        ref = _ray.put(ids.column(id_col).combine_chunks()
-                       if isinstance(ids.column(id_col), pa.ChunkedArray)
-                       else ids.column(id_col))
-        return broadcast_semi_anti(s_filtered.dataset, ref, key=id_col)
 
     s_lm = mgr.run_stage("prep_lm_filter", [s_filtered.fingerprint],
                          build_lm)

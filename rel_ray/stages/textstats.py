@@ -232,12 +232,15 @@ def bigram_counts(ds, *, text_col: str) -> np.ndarray:
 
 
 def lm_score(ds, *, id_col: str, text_col: str,
-             counts: np.ndarray | None = None):
+             counts: np.ndarray | None = None,
+             carry_cols: list[str] | None = None):
     """Per-document mean log2 P(byte | prev byte) under the corpus bigram
     model (add-one smoothed). Higher = more typical of the corpus; a
     quality filter thresholds low scorers. Two streaming passes total
     (counts pass + scoring pass); the 512 KiB log-prob table is ray.put
-    once. Docs with <2 bytes score 0.0."""
+    once. Docs with <2 bytes score 0.0. ``carry_cols`` carries extra
+    input columns through unchanged (a downstream filter then needs no
+    join-back and no driver-side id collection)."""
     import ray as _ray
 
     from ..functions.rayutil import get_broadcast
@@ -262,8 +265,11 @@ def lm_score(ds, *, id_col: str, text_col: str,
             np.add.at(sums, row_of, lp[codes].astype(np.float64))
             np.add.at(cnts, row_of, 1)
         mean = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
-        return pa.table({id_col: t.column(id_col),
-                         "lm_logprob": pa.array(mean)})
+        cols = {id_col: t.column(id_col)}
+        for c in (carry_cols or []):
+            cols[c] = t.column(c)
+        cols["lm_logprob"] = pa.array(mean)
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
