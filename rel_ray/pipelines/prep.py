@@ -58,7 +58,7 @@ def prepare_corpus(
     from ..stages.packing import chunk_documents
     from ..stages.sketches import quantile_sketch, sketch_quantile
     from ..stages.textstats import lang_id, lm_score
-    from ..stages.joins import broadcast_semi_anti
+    from ..stages.joins import semi_anti_join
 
     mgr = CheckpointContext(ckpt_dir, cfg.fingerprint()
                        if hasattr(cfg, "fingerprint") else "prep")
@@ -118,21 +118,15 @@ def prepare_corpus(
         clusters = near_dedup_minhash(exact_named, id_col=id_col,
                                       text_col=text_col, cfg=cfg,
                                       threshold=near_threshold)
+        # survivors = cluster representatives; keep their text via the
+        # BUCKETED semi join (no driver-side id collection — the rep list
+        # is O(corpus) at scale). near_dedup ids are strings; cast back.
         reps = clusters.map_batches(
-            lambda t: pa.table({id_col: t.filter(pc.equal(
+            lambda t: pa.table({id_col: pc.cast(t.filter(pc.equal(
                 t.column("record_id"), t.column("cluster_id")))
-                .column("record_id")}),
+                .column("record_id"), pa.int64())}),
             batch_format="pyarrow", zero_copy_batch=True)
-        import ray as _ray
-
-        from ..functions.rayutil import collect_table
-        rid = collect_table(reps, pa.schema([(id_col, pa.string())]))
-        col = rid.column(id_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        # near_dedup ids are strings; cast back to the doc id dtype
-        ref = _ray.put(pc.cast(col, pa.int64()))
-        return broadcast_semi_anti(exact_named, ref, key=id_col)
+        return semi_anti_join(exact_named, reps, key=id_col)
 
     s_dedup = mgr.run_stage("prep_dedup", [s_lm.fingerprint], build_dedup)
 
