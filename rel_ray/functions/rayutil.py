@@ -228,10 +228,21 @@ class DropCounter:
         if n:
             self._actor.add.remote(key, n)
 
-    def totals(self) -> dict:
+    def totals(self, *, expect_keys=(), timeout_s: float = 5.0) -> dict:
+        """Current totals. Increments are fire-and-forget from worker
+        tasks, so a read issued immediately after an execution can race
+        an in-flight add — pass ``expect_keys`` to poll briefly until
+        those keys appear (or the timeout passes)."""
+        import time as _time
+
         import ray as _ray
 
-        return _ray.get(self._actor.get.remote())
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            got = _ray.get(self._actor.get.remote())
+            if all(k in got for k in expect_keys) or                     _time.monotonic() >= deadline:
+                return got
+            _time.sleep(0.1)
 
 
 def adaptive_buckets(nrows: int, max_buckets: int,

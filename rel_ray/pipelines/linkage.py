@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..stages.blocking import blocking_stage, exact_precluster, records_stage
+from ..stages.blocking import exact_precluster, records_stage
 from ..stages.clustering import connected_components, expand_clusters
 from ..stages.conversation import conversation_stage
 from ..stages.pairs import pairs_stage

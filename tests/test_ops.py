@@ -1348,7 +1348,8 @@ def test_cogroup_join_multi():
         left, right, key="k", left_cols=["lv"], right_cols=["rv"],
         max_matches=2, counters=counters))
     assert capped.num_rows == 2 * 2 + 1
-    assert counters.totals().get("join_multi_matches") == 2
+    assert counters.totals(
+        expect_keys=["join_multi_matches"]).get("join_multi_matches") == 2
 
 
 @pytest.mark.usefixtures("ray_session")
