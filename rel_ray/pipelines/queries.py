@@ -2315,6 +2315,33 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_cube_lineitem(sf_dir: str):
+    """CUBE aggregation (stages/rollup.py::cube_sum): price cents summed
+    at every subset of (returnflag, linestatus) — finest level from one
+    fact pass, the other three levels from its tiny output."""
+    from ..stages.rollup import cube_sum
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "price_c": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cube_sum(ds, dims=["l_returnflag", "l_linestatus"],
+                    value_col="price_c")
+
+
+SQL_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS price_c
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def q_user_activity_full_outer(sf_dir: str):
     """FULL OUTER equi-join (stages/joins.py::cogroup_join_multi
     how="full"): even-keyed customers vs per-user event counts — unmatched
@@ -3271,6 +3298,7 @@ QUERIES = {
     "region_nation_cross": q_region_nation_cross,
     "grouped_variance_lineitem": q_grouped_variance_lineitem,
     "rollup_lineitem": q_rollup_lineitem,
+    "cube_lineitem": q_cube_lineitem,
     "customers_with_big_events": q_customers_with_big_events,
     "pagerank_events": q_pagerank_events,
     "diff_corpora_documents": q_diff_corpora_documents,
@@ -3368,6 +3396,7 @@ ORACLE_SQL = {
     "region_nation_cross": SQL_REGION_NATION_CROSS,
     "grouped_variance_lineitem": SQL_GROUPED_VARIANCE_LINEITEM,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "cube_lineitem": SQL_CUBE_LINEITEM,
     "customers_with_big_events": SQL_CUSTOMERS_WITH_BIG_EVENTS,
     "diff_corpora_documents": SQL_DIFF_CORPORA_DOCUMENTS,
     "json_props_agg_events": SQL_JSON_PROPS_AGG_EVENTS,

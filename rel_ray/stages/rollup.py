@@ -103,3 +103,65 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
 
     return ds.map_batches(long, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def cube_sum(ds, *, dims: list[str], value_col: str):
+    """SUM at EVERY subset of ``dims`` (SQL GROUP BY CUBE): the finest
+    level is computed once from the fact table (same partial-combine pass
+    as rollup_sum), and every coarser subset re-aggregates the FINEST
+    level's tiny output — 2^d - 1 extra aggregations over distinct-combo
+    cardinality, never over the data. NULL marks rolled-up dimensions.
+    Practical for the usual 2-4 dims (2^d levels)."""
+    import itertools
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    base = ds.schema().base_schema
+    dim_types = {f.name: f.type for f in base if f.name in dims}
+    val_type = next(f.type for f in base if f.name == value_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(dims + [value_col]).group_by(dims)
+        return g.aggregate([(value_col, "sum")]).rename_columns(
+            dims + [value_col])
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(dims).aggregate(Sum(value_col)))
+    finest = finest.map_batches(
+        lambda t: t.rename_columns(dims + [value_col]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def pad(level_dims: tuple[str, ...]):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for d in dims:
+                cols[d] = (t.column(d) if d in level_dims
+                           else pa.nulls(t.num_rows, type=dim_types[d]))
+            cols[value_col] = t.column(value_col)
+            return pa.table(cols)
+        return f
+
+    levels = [finest.map_batches(pad(tuple(dims)), batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+    for r in range(len(dims) - 1, -1, -1):
+        for keep in itertools.combinations(dims, r):
+            if keep:
+                lvl = finest.groupby(list(keep)).aggregate(Sum(value_col))
+                lvl = lvl.map_batches(
+                    lambda t, k=list(keep): t.rename_columns(
+                        k + [value_col]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            else:
+                total = finest.aggregate(Sum(value_col))[
+                    f"sum({value_col})"]
+                lvl = rd.from_arrow(pa.table({
+                    value_col: pa.array([total], type=val_type)}))
+            levels.append(lvl.map_batches(pad(keep),
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -1819,3 +1819,24 @@ def test_asof_join_forward():
     # lt=5 -> first rt>=5 is 10 (rv -1); lt=11 -> 20 (-2); lt=30 -> none
     # (dropped, inner); k=2 lt=7 -> rt=7 (equal allowed, -3)
     assert got == [(100, -1), (101, -2), (200, -3)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_sum():
+    from rel_ray.stages.rollup import cube_sum
+
+    t = pa.table({"a": pa.array(["x", "x", "y"]),
+                  "b": pa.array(["p", "q", "p"]),
+                  "v": pa.array([1, 2, 4], type=pa.int64())})
+    out = _collect(cube_sum(rd.from_arrow(t).repartition(2),
+                            dims=["a", "b"], value_col="v"))
+    got = sorted(zip(out.column("a").to_pylist(),
+                     out.column("b").to_pylist(),
+                     out.column("v").to_pylist()),
+                 key=lambda r: (r[0] or "", r[1] or "", r[2]))
+    assert got == sorted([
+        ("x", "p", 1), ("x", "q", 2), ("y", "p", 4),    # finest
+        ("x", None, 3), ("y", None, 4),                 # (a)
+        (None, "p", 5), (None, "q", 2),                 # (b) — CUBE-only
+        (None, None, 7)],                               # grand total
+        key=lambda r: (r[0] or "", r[1] or "", r[2]))
