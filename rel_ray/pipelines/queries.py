@@ -544,7 +544,7 @@ SELECT user_id, event_id, o_orderkey, price_cents FROM (
 
 def q_asof_forward_events_orders(sf_dir: str):
     """Forward as-of join (direction="forward"): each event → the user's
-    NEXT high-value event (value > 400) at-or-after its timestamp —
+    NEXT high-value event (value > 200) at-or-after its timestamp —
     next-conversion attribution shape; the negated-time reuse of the
     one-pass merge. Tie at equal ts: max event_id."""
     from ..stages.temporal import asof_join
@@ -555,7 +555,7 @@ def q_asof_forward_events_orders(sf_dir: str):
             "user_id": f.column("user_id"), "hts": f.column("ts"),
             "hi_event_id": f.column("event_id"),
             "hi_cents": _cents(f.column("value"))}))(
-            t.filter(pc.greater(t.column("value"), 400.0))),
+            t.filter(pc.greater(t.column("value"), 200.0))),
         batch_format="pyarrow", zero_copy_batch=True)
     return asof_join(ev, hi, key="user_id", left_ts="ts",
                      right_ts="hts",
@@ -571,7 +571,7 @@ SELECT user_id, event_id, hi_event_id, hi_cents FROM (
          ROW_NUMBER() OVER (PARTITION BY e.event_id
                             ORDER BY h.ts ASC, h.event_id DESC) AS rn
   FROM events e JOIN events h
-    ON h.user_id = e.user_id AND h.ts >= e.ts AND h.value > 400
+    ON h.user_id = e.user_id AND h.ts >= e.ts AND h.value > 200
 ) WHERE rn = 1
 """
 
