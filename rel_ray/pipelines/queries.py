@@ -2403,7 +2403,7 @@ SQL_BUDGET_SAMPLE_DOCUMENTS = """
 SELECT doc_id, lang, n_chars FROM documents
 QUALIFY SUM(n_chars) OVER (
   PARTITION BY lang
-  ORDER BY (doc_id % 2147483648) * 2654435761 % 2147483648, doc_id
+  ORDER BY ((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761 % 2147483648, doc_id
   ROWS UNBOUNDED PRECEDING) <= 5000
 """
 
@@ -2450,7 +2450,7 @@ SQL_SAMPLE_K_EVENTS_PER_USER = """
 SELECT event_id, user_id, event_type FROM events
 QUALIFY row_number() OVER (
   PARTITION BY user_id
-  ORDER BY (event_id % 2147483648) * 2654435761 % 2147483648,
+  ORDER BY ((event_id % 2147483648 + 2147483648) % 2147483648) * 2654435761 % 2147483648,
            event_id) <= 5
 """
 
@@ -2716,7 +2716,7 @@ def q_stratified_sample_documents(sf_dir: str):
 
 SQL_STRATIFIED_SAMPLE_DOCUMENTS = """
 SELECT doc_id, lang FROM documents
-WHERE ((doc_id % 2147483648) * 2654435761 % 2147483648) % 10000 <
+WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761 % 2147483648) % 10000 <
       CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 1000 END
 """
 

@@ -50,6 +50,26 @@ def write_partitioned(ds, out_dir: str, *, key_col: str,
     from ..functions.rayutil import _bucket_of
 
     os.makedirs(out_dir, exist_ok=True)
+    # Routing params are part of the on-disk contract: a resume with a
+    # different num_shards/key_col would route keys differently while the
+    # _done markers still claim completeness -> silent row loss. Persist
+    # them on first write, fail loudly on mismatch ever after.
+    manifest_path = os.path.join(out_dir, "_sink_manifest.json")
+    params = {"num_shards": int(num_shards), "key_col": key_col}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prior = json.load(f)
+        if prior != params:
+            raise ValueError(
+                f"write_partitioned resume mismatch at {out_dir}: sink was "
+                f"written with {prior}, resume requested {params}; rerun "
+                f"with the original params or use a fresh out_dir")
+    else:
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, manifest_path)
+
     finished, partial = [], []
     for shard, path in _shard_dirs(out_dir).items():
         if os.path.exists(os.path.join(path, "_done.json")):

@@ -39,6 +39,15 @@ def running_sum(ds, *, id_col: str, val_col: str, num_buckets: int = 64):
     stats = ds.aggregate(*_minmax(id_col))
     lo, hi = stats[f"min({id_col})"], stats[f"max({id_col})"]
     span = max(int(hi) - int(lo) + 1, 1)
+    if span - 1 > (2**63 - 1) // num_buckets:
+        # (ids - lo) * num_buckets would wrap int64 and produce negative
+        # range buckets -> a silently wrong prefix scan. Such a sparse id
+        # space needs sampled quantile boundaries instead of fixed-width
+        # range buckets; fail loudly rather than scan wrong.
+        raise ValueError(
+            f"running_sum: id span {span} x num_buckets {num_buckets} "
+            f"overflows int64 range bucketing; use denser ids or "
+            f"quantile-based boundaries")
 
     def add_rb(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(id_col), pa.int64()).to_numpy()

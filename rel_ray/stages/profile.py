@@ -84,6 +84,11 @@ def profile_table(ds, *, columns: list[str],
                 # timestamps: fold on the int64 epoch view, render later
                 mn = pc.min(valid.view(pa.int64())).as_py()
                 mx = pc.max(valid.view(pa.int64())).as_py()
+            if ch == "s" and mn is not None and not isinstance(mn, str):
+                # non-string fallback channel (bool, decimal, ...): fold on
+                # the str() rendering — pa.array([True], type=string)
+                # raises ArrowTypeError otherwise
+                mn, mx = str(mn), str(mx)
             rows.append((c, len(col), col.null_count,
                          mn if ch == "i" else None,
                          mx if ch == "i" else None,

@@ -20,6 +20,16 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def _named_sum(t: pa.Table, keys: list[str], sum_col: str,
+               out_col: str) -> pa.Table:
+    """Select ``keys + [sum_col]`` BY NAME and rename the sum column to
+    ``out_col``. Never relies on the aggregate output's column ORDER —
+    pyarrow/Ray have changed key-vs-aggregate ordering across versions,
+    and a positional rename would silently mislabel the sum as a dim."""
+    t = t.select(keys + [sum_col])
+    return t.rename_columns(keys + [out_col])
+
+
 def rollup_sum(ds, *, dims: list[str], value_col: str):
     """SUM ``value_col`` at every ROLLUP level of ``dims``.
 
@@ -37,13 +47,13 @@ def rollup_sum(ds, *, dims: list[str], value_col: str):
     def partial(t: pa.Table) -> pa.Table:
         g = t.select(dims + [value_col]).group_by(dims)
         out = g.aggregate([(value_col, "sum")])
-        return out.rename_columns(dims + [value_col])
+        return _named_sum(out, dims, f"{value_col}_sum", value_col)
 
     finest = (ds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
               .groupby(dims).aggregate(Sum(value_col)))
     finest = finest.map_batches(
-        lambda t: t.rename_columns(dims + [value_col]),
+        lambda t: _named_sum(t, dims, f"sum({value_col})", value_col),
         batch_format="pyarrow", zero_copy_batch=True)
 
     def pad(level_dims: list[str]):
@@ -64,7 +74,8 @@ def rollup_sum(ds, *, dims: list[str], value_col: str):
         if keep:
             lvl = prev.groupby(keep).aggregate(Sum(value_col))
             lvl = lvl.map_batches(
-                lambda t, k=keep: t.rename_columns(k + [value_col]),
+                lambda t, k=keep: _named_sum(
+                    t, k, f"sum({value_col})", value_col),
                 batch_format="pyarrow", zero_copy_batch=True)
         else:
             # grand total: one global streaming reduce -> a 1-row dataset
@@ -123,14 +134,14 @@ def cube_sum(ds, *, dims: list[str], value_col: str):
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.select(dims + [value_col]).group_by(dims)
-        return g.aggregate([(value_col, "sum")]).rename_columns(
-            dims + [value_col])
+        return _named_sum(g.aggregate([(value_col, "sum")]), dims,
+                          f"{value_col}_sum", value_col)
 
     finest = (ds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
               .groupby(dims).aggregate(Sum(value_col)))
     finest = finest.map_batches(
-        lambda t: t.rename_columns(dims + [value_col]),
+        lambda t: _named_sum(t, dims, f"sum({value_col})", value_col),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     def pad(level_dims: tuple[str, ...]):
@@ -150,8 +161,8 @@ def cube_sum(ds, *, dims: list[str], value_col: str):
             if keep:
                 lvl = finest.groupby(list(keep)).aggregate(Sum(value_col))
                 lvl = lvl.map_batches(
-                    lambda t, k=list(keep): t.rename_columns(
-                        k + [value_col]),
+                    lambda t, k=list(keep): _named_sum(
+                        t, k, f"sum({value_col})", value_col),
                     batch_format="pyarrow", zero_copy_batch=True)
             else:
                 total = finest.aggregate(Sum(value_col))[

@@ -27,7 +27,7 @@ _KNUTH = 2_654_435_761
 
 def sample_bucket(ids) -> np.ndarray:
     """id -> deterministic bucket in [0, 10000). Integer-exact; the SQL twin
-    is ``((id % 2147483648) * 2654435761 % 2147483648) % 10000``."""
+    is ``(((id % 2147483648 + 2147483648) % 2147483648) * 2654435761 % 2147483648) % 10000``."""
     x = np.asarray(pc.cast(ids, pa.int64())) % _MOD
     return (x * _KNUTH % _MOD) % 10000
 
@@ -56,7 +56,7 @@ def sample_k_per_group(ds, *, group_col: str, id_col: str, k: int,
     smallest Knuth multiplicative hash of ``id_col`` within each group —
     a reproducible reservoir-sample analog (same rows on every run,
     every cluster size, and in SQL: ``QUALIFY row_number() OVER
-    (PARTITION BY g ORDER BY (id % 2147483648) * 2654435761
+    (PARTITION BY g ORDER BY ((id % 2147483648 + 2147483648) % 2147483648) * 2654435761
     % 2147483648, id) <= k`` — the module's overflow-safe Knuth hash,
     see ``sample_bucket``). Groups with ≤ k rows keep all rows. One
     bucket exchange sorted by (group, hash, id); winners are segment

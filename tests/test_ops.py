@@ -1840,3 +1840,49 @@ def test_cube_sum():
         (None, "p", 5), (None, "q", 2),                 # (b) — CUBE-only
         (None, None, 7)],                               # grand total
         key=lambda r: (r[0] or "", r[1] or "", r[2]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_table_bool_column():
+    # regression (round-3 advice): bool routes to the string channel and
+    # used to crash pa.array([True], type=pa.string()) in the partial
+    from rel_ray.stages.profile import profile_table
+
+    t = pa.table({"b": pa.array([True, False, None, True])})
+    rows = {r["column"]: r
+            for r in profile_table(rd.from_arrow(t).repartition(2),
+                                   columns=["b"]).to_pylist()}
+    r = rows["b"]
+    assert r["n_rows"] == 4 and r["n_nulls"] == 1 and r["n_distinct"] == 2
+    assert r["min"] == "False" and r["max"] == "True"
+
+
+def test_sample_bucket_negative_ids_match_sql_twin():
+    # regression (round-3 advice): numpy % is non-negative while SQL %
+    # follows the dividend sign; the documented twin is now sign-safe
+    import duckdb
+
+    from rel_ray.stages.sampling import sample_bucket
+
+    ids = pa.array([-5, -2_147_483_649, -1, 0, 7, 2**62, -(2**62)],
+                   type=pa.int64())
+    got = sample_bucket(ids).tolist()
+    sql = duckdb.sql(
+        "SELECT (((id % 2147483648 + 2147483648) % 2147483648)"
+        " * 2654435761 % 2147483648) % 10000 AS b"
+        " FROM (SELECT unnest($ids) AS id)",
+        params={"ids": ids.to_pylist()}).fetchall()
+    assert got == [r[0] for r in sql]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_running_sum_overflow_guard():
+    # regression (round-3 advice): a sparse id span that would wrap int64
+    # in range bucketing must raise, not scan wrong
+    from rel_ray.stages.packing import running_sum
+
+    t = pa.table({"id": pa.array([0, 2**62], type=pa.int64()),
+                  "n": pa.array([1, 1], type=pa.int64())})
+    with pytest.raises(ValueError, match="overflows int64"):
+        running_sum(rd.from_arrow(t), id_col="id", val_col="n",
+                    num_buckets=64).materialize()

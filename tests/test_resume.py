@@ -178,3 +178,25 @@ def test_prepare_corpus_resume(tmp_path):
     assert rows["input"] >= rows["filtered"] >= rows["lm_filtered"] \
         >= rows["deduped"] >= rows["decontaminated"] > 0
     assert rows["chunks"] >= rows["decontaminated"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_partitioned_param_mismatch_fails_loudly(tmp_path):
+    # regression (round-3 advice): resuming with different routing params
+    # than the run that wrote the _done markers would silently drop rows;
+    # the sink manifest must reject it
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from rel_ray.sources.sinks import write_partitioned
+
+    out = str(tmp_path / "sink")
+    t = pa.table({"k": pa.array(np.arange(100) % 7, type=pa.int64()),
+                  "v": pa.array(np.arange(100), type=pa.int64())})
+    write_partitioned(rd.from_arrow(t), out, key_col="k", num_shards=8)
+    with _pytest.raises(ValueError, match="resume mismatch"):
+        write_partitioned(rd.from_arrow(t), out, key_col="k", num_shards=4)
+    with _pytest.raises(ValueError, match="resume mismatch"):
+        write_partitioned(rd.from_arrow(t), out, key_col="v", num_shards=8)
