@@ -2,10 +2,20 @@
 entry and its oracle_sql() twin over the same sf dir; compare row count,
 schema (column names) and an order-insensitive value hash.
 
+Crash resilience: Ray can abort the whole process from inside its core
+worker (observed once in round 2: ``reference_count.cc Check failed`` —
+a Ray-internal bug, not catchable as a Python exception). The sweep
+therefore runs in a CHILD process; the parent holds no Ray session, parses
+the child's per-query result lines, and on an abnormal child exit resumes
+a fresh child with the unreported queries — retrying the in-flight query
+once before declaring it failed.
+
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
 import hashlib
+import os
+import subprocess
 import sys
 import time
 
@@ -39,10 +49,10 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
+def run_child(sf_dir: str, names: list[str]) -> None:
+    """Run the given queries in THIS process (one Ray session), printing
+    one ``ok``/``FAIL`` line per query. Exits 0 when the sweep completes
+    (failures are reported via lines; the parent aggregates)."""
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
@@ -59,43 +69,106 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = 0
-    for name, fn in qs.items():
-        if only and name not in only:
+    # crash injection for the resilience test: abort hard (as Ray's
+    # reference_count.cc CHECK does) before running the named query, once
+    inject = os.environ.get("CHECK_ORACLE_INJECT_CRASH")
+    for name in names:
+        if name not in qs:
+            print(f"FAIL {name}: unknown query", flush=True)
             continue
+        if inject and name == inject:
+            marker = os.environ.get("CHECK_ORACLE_INJECT_MARKER")
+            if marker and not os.path.exists(marker):
+                open(marker, "w").close()
+                os._exit(134)
+        fn = qs[name]
         t0 = time.time()
         try:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
-            print(f"FAIL {name}: ray query raised {type(e).__name__}: {e}")
-            n_fail += 1
+            print(f"FAIL {name}: ray query raised {type(e).__name__}: {e}",
+                  flush=True)
             continue
         wall = time.time() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only, {len(ray_df)} rows ({wall:.1f}s)")
-            n_pass += 1
+            print(f"ok   {name}: rows-only, {len(ray_df)} rows ({wall:.1f}s)",
+                  flush=True)
             continue
         try:
             sql_df = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL raised {e}")
-            n_fail += 1
+            print(f"FAIL {name}: oracle SQL raised {e}", flush=True)
             continue
         problems = []
         if len(ray_df) != len(sql_df):
             problems.append(f"rows {len(ray_df)} vs {len(sql_df)}")
         if sorted(ray_df.columns) != sorted(sql_df.columns):
-            problems.append(f"cols {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}")
+            problems.append(
+                f"cols {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}")
         if not problems and value_hash(ray_df) != value_hash(sql_df):
             problems.append("value-hash mismatch")
         if problems:
-            print(f"FAIL {name}: {'; '.join(problems)} ({wall:.1f}s)")
-            n_fail += 1
+            print(f"FAIL {name}: {'; '.join(problems)} ({wall:.1f}s)",
+                  flush=True)
         else:
-            print(f"ok   {name}: {len(ray_df)} rows match ({wall:.1f}s)")
-            n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+            print(f"ok   {name}: {len(ray_df)} rows match ({wall:.1f}s)",
+                  flush=True)
     ray.shutdown()
+    sys.exit(0)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--run":
+        run_child(sys.argv[2], sys.argv[3:])
+        return
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+
+    # Parent holds no Ray session; it only needs the query NAMES in
+    # registry order (building the dict executes nothing).
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+    names = [n for n in entrymod.queries() if not only or n in only]
+
+    pending = list(names)
+    retried: set[str] = set()
+    n_pass = n_fail = 0
+    while pending:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--run", sf_dir,
+             *pending],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            tag = line.split(" ", 1)[0]
+            if tag in ("ok", "FAIL"):
+                name = line.split()[1].rstrip(":")
+                if pending and pending[0] == name:
+                    pending.pop(0)
+                print(line, flush=True)
+                if tag == "ok":
+                    n_pass += 1
+                else:
+                    n_fail += 1
+        rc = proc.wait()
+        if not pending:
+            break
+        if rc != 0:
+            culprit = pending[0]
+            if culprit in retried:
+                print(f"FAIL {culprit}: session crashed twice (rc={rc})",
+                      flush=True)
+                pending.pop(0)
+                n_fail += 1
+            else:
+                print(f"RETRY {culprit}: session crashed (rc={rc}); "
+                      f"rerunning in a fresh session", flush=True)
+                retried.add(culprit)
+        # rc == 0 with pending left can't happen (child prints every
+        # query), but the loop re-spawning on it is still correct.
+    print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
 

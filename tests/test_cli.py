@@ -66,3 +66,25 @@ def test_cli_profile_and_diff(ray_session, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert list(out["counts"]) == ["unchanged"]
+
+
+def test_check_oracle_survives_injected_crash(tmp_path):
+    # round-2 flake: a Ray-internal CHECK abort killed a 95-query sweep.
+    # The parent/child split must resume past a hard child crash and
+    # retry the in-flight query once in a fresh session.
+    import os
+    import subprocess
+    import sys
+
+    marker = str(tmp_path / "crashed_once")
+    env = dict(os.environ,
+               CHECK_ORACLE_INJECT_CRASH="top_customers",
+               CHECK_ORACLE_INJECT_MARKER=marker)
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/check_oracle.py",
+         "/root/testdata/sf0.001", "top_customers", "customers_per_nation"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert os.path.exists(marker)  # the injected crash actually fired
+    assert "RETRY top_customers" in proc.stdout
+    assert "2 pass, 0 fail" in proc.stdout
+    assert proc.returncode == 0
