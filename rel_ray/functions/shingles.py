@@ -188,6 +188,68 @@ def string_hash_u64(arr: pa.Array) -> np.ndarray:
         return splitmix64(out ^ lens.astype(np.uint64))
 
 
+def string_hash_u128(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-string 128-bit digest (two independent 64-bit
+    tabulation-style lanes over the raw Arrow buffers). Unlike
+    ``string_hash_u64`` this IS meant for equality decisions: with two
+    independently-mixed lanes the per-pair collision probability is
+    ~2^-128, so grouping on the digest instead of the text itself is
+    collision-free in practice at any corpus size (10^12 docs ⇒
+    P(any collision) < 10^-14) — and the exchange carries 16 bytes per
+    row instead of the document body.
+
+    Lane independence: each lane finalizes (byte, position) with
+    splitmix64 under a different lane constant, so a lane-1 collision
+    says nothing about lane 2 (h2 is NOT a function of h1)."""
+    offsets, data = _string_buffers(arr)
+    lens = offsets[1:] - offsets[:-1]
+    pos = _ragged_arange(lens)
+    _L2 = U64(0xC2B2AE3D27D4EB4F)  # xxhash prime — lane-2 tweak
+    with np.errstate(over="ignore"):
+        if len(data):
+            idx = np.repeat(offsets[:-1], lens) + pos
+            base = data[idx].astype(np.uint64) ^ (
+                pos.astype(np.uint64) * U64(0x9E3779B97F4A7C15))
+            m1 = splitmix64(base)
+            m2 = splitmix64(base ^ _L2)
+        else:
+            m1 = m2 = np.empty(0, dtype=np.uint64)
+        h1 = np.zeros(len(lens), dtype=np.uint64)
+        h2 = np.zeros(len(lens), dtype=np.uint64)
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz):
+            starts = (np.cumsum(lens) - lens)[nz]
+            h1[nz] = np.bitwise_xor.reduceat(m1, starts)
+            h2[nz] = np.bitwise_xor.reduceat(m2, starts)
+        ul = lens.astype(np.uint64)
+        return splitmix64(h1 ^ ul), splitmix64((h2 ^ ul) ^ _L2)
+
+
+def string_digest128_hex(arr: pa.Array) -> pa.Array:
+    """128-bit digest rendered as a 32-hex-char string column — a compact
+    drop-in group/join key for the string-key exchange machinery
+    (bucketing, sorting, segment detection all already handle strings).
+    Null inputs digest to the distinct sentinel ``"null"`` so SQL GROUP BY
+    semantics hold (all NULLs together, distinct from '')."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    h1, h2 = string_hash_u128(arr)
+    n = len(h1)
+    raw = np.empty((n, 2), dtype=">u8")
+    raw[:, 0], raw[:, 1] = h1, h2
+    b = raw.view(np.uint8).reshape(n, 16)
+    hexdig = np.array(list("0123456789abcdef"), dtype="U1")
+    chars = np.empty((n, 32), dtype="U1")
+    chars[:, 0::2] = hexdig[b >> 4]
+    chars[:, 1::2] = hexdig[b & 15]
+    out = pa.array(chars.view("U32").ravel(), type=pa.string())
+    if arr.null_count:
+        out = pc.if_else(pc.is_null(arr), pa.scalar("null"), out)
+    return out
+
+
 def minhash_signatures(
     codes: np.ndarray,
     row_splits: np.ndarray,

@@ -5,9 +5,10 @@ These generalize the linkage engine's blocking/pairing/clustering stages to
 arbitrary document tables (`documents.parquet` in the driver fixtures): the
 record-linkage flow *is* near-dedup with a scoring head (SURVEY §2.7).
 
-Scale notes: exact dedup groups on the raw string key (no hash collisions,
-Ray hash-shuffles by key); near-dup reuses exact pre-clustering so verbatim
-duplicates collapse before any pair is generated.
+Scale notes: exact dedup groups on a 128-bit content digest (32 fixed
+bytes per row through the exchange instead of the document body); near-dup
+reuses exact pre-clustering so verbatim duplicates collapse before any
+pair is generated.
 """
 
 from __future__ import annotations
@@ -71,22 +72,34 @@ def exact_dedup(ds, *, id_col: str, text_col: str):
 
     Oracle-SQL equivalent: SELECT min(id) AS id FROM t GROUP BY text.
 
+    The exchange key is a 128-bit CONTENT DIGEST (32-hex string), not the
+    text itself: grouping on raw text ships every document body through
+    the all-to-all shuffle, while the digest is a fixed 32 bytes per row
+    (~100× fewer exchange bytes on real corpora). Two independent
+    tabulation lanes make digest collisions negligible at any scale
+    (P < 10^-14 even at 10^12 docs — see ``string_digest128_hex``);
+    distinct texts therefore never merge in practice.
+
     The survivor id is the NUMERIC min: ids are zero-padded to fixed width
     before the string segment-min so lexicographic order == numeric order
     (min('09','10') vs min('9','10') — unpadded string-min picks '10').
     """
     from ..functions.rayutil import grouped_min
+    from ..functions.shingles import string_digest128_hex
 
     def as_str(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(id_col), pa.int64())
         assert pc.min(ids).as_py() is None or pc.min(ids).as_py() >= 0, \
             "exact_dedup requires non-negative ids for padded ordering"
-        return pa.table({text_col: pc.cast(t.column(text_col), pa.string()),
+        txt = pc.cast(t.column(text_col), pa.string())
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pa.table({"__digest": string_digest128_hex(txt),
                          "__id_str": pc.utf8_lpad(pc.cast(ids, pa.string()),
                                                   20, "0")})
     surv = grouped_min(ds.map_batches(as_str, batch_format="pyarrow",
                                       zero_copy_batch=True),
-                       text_col, "__id_str")
+                       "__digest", "__id_str")
     return surv.map_batches(
         lambda t: pa.table({id_col: pc.cast(t.column("__id_str"), pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)

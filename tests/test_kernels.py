@@ -182,3 +182,29 @@ def test_pairwise_jaccard_matches_per_pair_reference():
             np.asarray(ua.values, dtype=np.uint64),
             np.asarray(ub.values, dtype=np.uint64))
         assert got[i] == pytest.approx(ref, abs=1e-7)
+
+
+def test_string_digest128_lanes_independent_and_null_distinct():
+    import numpy as np
+    import pyarrow as pa
+
+    from rel_ray.functions.shingles import (string_digest128_hex,
+                                            string_hash_u128)
+
+    strs = ["", "a", "b", "ab", "ba", "abc", "abc ", " abc", "a" * 500,
+            "a" * 499 + "b", "Zoë 🎉", "Zoe"]
+    h1, h2 = string_hash_u128(pa.array(strs))
+    # lanes differ (h2 is not a function applied to h1's collisions) and
+    # all digests of distinct strings are distinct
+    assert len(set(zip(h1.tolist(), h2.tolist()))) == len(strs)
+    assert not np.array_equal(h1, h2)
+
+    dig = string_digest128_hex(pa.array(["x", None, "", "x"]))
+    vals = dig.to_pylist()
+    assert vals[0] == vals[3] and len(vals[0]) == 32
+    assert vals[1] == "null" and vals[2] != "null" and vals[2] != vals[0]
+
+    # determinism across calls and across chunking layouts
+    chunked = pa.chunked_array([pa.array(strs[:5]), pa.array(strs[5:])])
+    again = string_digest128_hex(chunked.combine_chunks()).to_pylist()
+    assert again == string_digest128_hex(pa.array(strs)).to_pylist()
