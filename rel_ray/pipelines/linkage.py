@@ -169,6 +169,41 @@ def _cluster_conf_table(rep_clusters, matched_edges) -> pa.Table:
     })
 
 
+def _cluster_conf_ds(rep_clusters, matched_edges, *, num_buckets: int = 256):
+    """Distributed twin of ``_cluster_conf_table`` for the large-vocabulary
+    path: full-outer co-group of the rep→cluster map with the per-rep edge
+    confidence — NO driver collection anywhere (the broadcast fast path's
+    premise "this table is small" is exactly what the fallback can't
+    assume). Both sides are unique per record_id so the join is 1:1; nulls
+    fill to self-cluster / zero-confidence, matching the driver-side twin
+    byte for byte."""
+    from ..stages.joins import cogroup_join_multi
+
+    merged = cogroup_join_multi(
+        rep_clusters, _edge_confidence(matched_edges, num_buckets),
+        key="record_id", left_cols=["cluster_id"],
+        right_cols=["best_score", "n_links"], num_buckets=num_buckets,
+        how="full",
+        left_schema=pa.schema([("record_id", pa.string()),
+                               ("cluster_id", pa.string())]),
+        right_schema=_CONF_SCHEMA)
+
+    def fill(t: pa.Table) -> pa.Table:
+        rid = t.column("record_id")
+        return pa.table({
+            "record_id": rid,
+            "cluster_id": pc.coalesce(t.column("cluster_id"), rid),
+            "best_score": pc.fill_null(
+                pc.cast(t.column("best_score"), pa.float32()),
+                pa.scalar(0.0, pa.float32())),
+            "n_links": pc.fill_null(pc.cast(t.column("n_links"), pa.int32()),
+                                    pa.scalar(0, pa.int32())),
+        })
+
+    return merged.map_batches(fill, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def _coref_edges_cogroup(records, *, num_buckets: int = 64):
     """Fallback for giant mention vocabularies: bucketed co-group on the
     coref target's record_id (target rows sort first; sources take the
@@ -269,7 +304,8 @@ def run_linkage(
                                          cfg.num_buckets)).materialize()
 
     if rep_map.count() > broadcast_max_rows:
-        return _run_linkage_cogroup(records0, turns, cfg, num_partitions)
+        return _run_linkage_cogroup(records0, turns, cfg, num_partitions,
+                                    broadcast_max_rows=broadcast_max_rows)
 
     from ..functions.rayutil import collect_table, dict_lookup, get_broadcast_dict
 
@@ -370,9 +406,19 @@ def run_linkage(
 
 
 def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
-                         num_partitions: int):
-    """Shuffle-based path for mention vocabularies too large to broadcast."""
-    records = exact_precluster(records0, cfg, num_partitions).materialize()
+                         num_partitions: int, *,
+                         broadcast_max_rows: int = 2_000_000):
+    """Shuffle-based path for mention vocabularies too large to broadcast.
+
+    Driver-free end to end: the rep→cluster + confidence merge runs as a
+    distributed full-outer co-group (``_cluster_conf_ds``) and cluster
+    expansion inherits the caller's broadcast budget — with
+    ``broadcast_max_rows=0`` no table of any size is ever collected to the
+    driver (byte-identical clusters to the broadcast path; see
+    tests/test_pipeline.py::test_linkage_cogroup_fallback_driver_free)."""
+    records = exact_precluster(
+        records0, cfg, num_partitions,
+        broadcast_max_rows=broadcast_max_rows).materialize()
 
     reps = records.map_batches(
         lambda t: t.filter(pc.equal(t.column("record_id"), t.column("rep_id"))).select(
@@ -392,14 +438,18 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
         lambda t: t.filter(t.column("is_match")).select(
             ["id_a", "id_b", "score"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    all_edges = matched.union(_coref_edges(records, reps, num_partitions))
+    all_edges = matched.union(_coref_edges(
+        records, reps, num_partitions,
+        broadcast_max_rows=broadcast_max_rows,
+        num_buckets=cfg.num_buckets))
 
     rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
                                         include_singletons=False)
-    import ray.data as rd
-    rep_conf = rd.from_arrow(_cluster_conf_table(rep_clusters, matched_scored))
+    rep_conf = _cluster_conf_ds(rep_clusters, matched_scored,
+                                num_buckets=cfg.num_buckets)
     clusters = expand_clusters(records, rep_conf, num_partitions,
-                               num_buckets=cfg.num_buckets)
+                               num_buckets=cfg.num_buckets,
+                               broadcast_max_rows=broadcast_max_rows)
     return {
         "turns": turns,
         "records": records,

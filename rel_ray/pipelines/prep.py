@@ -41,6 +41,7 @@ def prepare_corpus(
     min_tokens: int = 20,
     lm_quantile: float = 0.05,
     near_threshold: float = 0.7,
+    near_mode: str = "minhash",
     chunk_size: int = 50,
     stride: int = 40,
     ckpt_dir: str | None = None,
@@ -54,7 +55,8 @@ def prepare_corpus(
     from ..functions.normalize import token_counts
     from ..functions.rayutil import grouped_min
     from ..state.manifest import CheckpointContext
-    from ..stages.dedup import flag_contaminated, near_dedup_minhash
+    from ..stages.dedup import (flag_contaminated, near_dedup_exact,
+                                near_dedup_minhash)
     from ..stages.packing import chunk_documents
     from ..stages.sketches import quantile_sketch, sketch_quantile
     from ..stages.textstats import lang_id, lm_score
@@ -115,9 +117,20 @@ def prepare_corpus(
             lambda t: pa.table({id_col: t.column(id_col),
                                 text_col: t.column(text_col)}),
             batch_format="pyarrow", zero_copy_batch=True)
-        clusters = near_dedup_minhash(exact_named, id_col=id_col,
-                                      text_col=text_col, cfg=cfg,
-                                      threshold=near_threshold)
+        if near_mode == "exact":
+            # deterministic AllPairs path (near_threshold as an exact
+            # integer ratio) — pure function of the data, so the whole
+            # funnel is SQL-oracle-checkable; LSH stays the default for
+            # low thresholds / huge shingle sets
+            from fractions import Fraction
+            frac = Fraction(near_threshold).limit_denominator(1000)
+            clusters = near_dedup_exact(
+                exact_named, id_col=id_col, text_col=text_col, cfg=cfg,
+                tau_num=frac.numerator, tau_den=frac.denominator)
+        else:
+            clusters = near_dedup_minhash(exact_named, id_col=id_col,
+                                          text_col=text_col, cfg=cfg,
+                                          threshold=near_threshold)
         # survivors = cluster representatives; keep their text via the
         # BUCKETED semi join (no driver-side id collection — the rep list
         # is O(corpus) at scale). near_dedup ids are strings; cast back.
@@ -128,7 +141,9 @@ def prepare_corpus(
             batch_format="pyarrow", zero_copy_batch=True)
         return semi_anti_join(exact_named, reps, key=id_col)
 
-    s_dedup = mgr.run_stage("prep_dedup", [s_lm.fingerprint], build_dedup)
+    s_dedup = mgr.run_stage("prep_dedup",
+                            [s_lm.fingerprint, f"near={near_mode}"],
+                            build_dedup)
 
     def build_clean():
         flagged = flag_contaminated(s_dedup.dataset, benchmark, id_col=id_col,

@@ -370,10 +370,16 @@ def q_grouped_quantiles_hist_lineitem(sf_dir: str):
 
 def q_approx_quantiles_lineitem(sf_dir: str):
     """Mergeable quantile sketch (stages/sketches.py::quantile_sketch):
-    p50/p90/p99 of price cents from a fixed ~2.2k-bin geometric histogram —
+    p50/p90/p99 of price cents from a fixed ~4.4k-bin geometric histogram —
     the bounded-memory scale path (relative error <= ~2*eps) where the
-    exact variants shuffle rows or distinct values. Rows-only check; the
-    error bound and merge law are pinned in tests/test_ops.py."""
+    exact variants shuffle rows or distinct values. VALUE-EXACT vs
+    _approx_quantiles_sql(): the sketch is a deterministic function of the
+    data (geometric binning, cumulative rank-select, geometric-midpoint
+    readout), so the oracle replays the identical arithmetic in SQL; the
+    final ROUND-to-cents absorbs libm ULP variation between numpy and
+    DuckDB in log1p/pow (bin-edge collisions need a value within ~1e-13
+    relative of an irrational edge — absent by measure). Error bound and
+    merge law remain pinned in tests/test_ops.py."""
     from ..stages.sketches import quantile_sketch, sketch_quantile
 
     EPS = 0.005
@@ -386,6 +392,43 @@ def q_approx_quantiles_lineitem(sf_dir: str):
     return pa.table({"quantile": pa.array(names),
                      "approx_price_c": pa.array(
                          [int(round(v)) for v in vals], type=pa.int64())})
+
+
+def _approx_quantiles_sql(eps: float = 0.005) -> str:
+    """SQL replay of quantile_sketch + sketch_quantile over price cents:
+    bin = floor(log1p(v)/log1p(2*eps)) capped at nb-1, select the first
+    bin whose cumulative count reaches ceil(q*n) (identical to numpy
+    searchsorted-left: the landing bin always has a nonzero count), read
+    out round(sqrt(base^b * base^(b+1)) - 1). base/denominator literals
+    are spelled exactly as the engine computes them (1.0 + 2*eps with
+    2*eps an exact scaling of the eps double)."""
+    from ..stages.sketches import _qs_nbins
+
+    nb = _qs_nbins(eps)
+    # inline the exact doubles the engine uses: log1p avoids the 1+x
+    # rounding that ln(1.0 + eps2) would reintroduce on the SQL side
+    denom = repr(float(np.log1p(2 * eps)))
+    base = repr(1 + 2 * eps)
+    return f"""
+WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+bins AS (SELECT LEAST(CAST(FLOOR(ln(1.0 + CAST(c AS DOUBLE)) / {denom})
+                           AS BIGINT), {nb - 1}) AS b FROM v),
+hist AS (SELECT b, COUNT(*) AS cnt FROM bins GROUP BY b),
+cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM hist),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+qs AS (SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99))
+       AS t(quantile, q)),
+ranks AS (SELECT quantile,
+                 GREATEST(1, CAST(CEIL(q * (SELECT n FROM tot)) AS BIGINT))
+                 AS r FROM qs),
+sel AS (SELECT r.quantile, MIN(c.b) AS b
+        FROM ranks r JOIN cum c ON c.cum >= r.r GROUP BY r.quantile)
+SELECT quantile,
+       CAST(ROUND(SQRT(POWER({base}, b) * POWER({base}, b + 1))
+                  - 1.0) AS BIGINT) AS approx_price_c
+FROM sel
+"""
 
 
 def q_top_terms_documents(sf_dir: str):
@@ -2459,12 +2502,50 @@ def q_lm_quality_documents(sf_dir: str):
     """Char-bigram LM quality scoring (stages/textstats.py::lm_score, the
     CCNet-perplexity-filter shape): corpus bigram counts in one combiner
     pass, per-doc mean log2 P(byte|prev) in a second broadcast pass.
-    Rows-only (float fixpoint of a corpus-dependent model); the
-    discriminative power and the kernel are pinned in tests."""
+    VALUE-EXACT vs SQL_LM_QUALITY_DOCUMENTS: DuckDB's log2 matches numpy's
+    bit-for-bit at float64 (verified on this container), so casting the
+    smoothed log-prob to REAL on both sides reproduces the engine's
+    float32 table exactly; the per-doc mean is quantized to 1e-6 units,
+    absorbing only float64 summation-order noise (~1e-13)."""
     from ..stages.textstats import lm_score
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    return lm_score(ds, id_col="doc_id", text_col="text")
+    return lm_score(ds, id_col="doc_id", text_col="text").map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "lm_q": pc.cast(pc.round(pc.multiply(
+                t.column("lm_logprob"), pa.scalar(1e6))), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Byte-bigram LM twin. The documents fixture is pure ASCII (verified), so
+# per-character ascii() == the engine's per-byte view of the UTF-8 buffer.
+# Model contract mirrored from textstats.lm_score: add-one smoothing over
+# the full 256x256 grid (denominator = row total + 256), logp table cast
+# to float32, docs with < 2 bytes score 0.
+SQL_LM_QUALITY_DOCUMENTS = """
+WITH pairs AS (
+  SELECT d.doc_id,
+         ascii(substr(d.text, CAST(g.i AS INTEGER), 1)) AS a,
+         ascii(substr(d.text, CAST(g.i AS INTEGER) + 1, 1)) AS b
+  FROM documents d, unnest(range(1, CAST(length(d.text) AS BIGINT))) AS g(i)
+  WHERE length(d.text) >= 2),
+counts AS (
+  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS cnt FROM pairs GROUP BY a, b),
+rowtot AS (SELECT a, SUM(cnt) AS tot FROM counts GROUP BY a),
+logp AS (
+  SELECT c.a, c.b,
+         CAST(log2(c.cnt + 1.0) - log2(r.tot + 256.0) AS REAL) AS lp
+  FROM counts c JOIN rowtot r USING (a)),
+scored AS (
+  SELECT p.doc_id, SUM(CAST(l.lp AS DOUBLE)) AS s,
+         CAST(COUNT(*) AS DOUBLE) AS np
+  FROM pairs p JOIN logp l ON p.a = l.a AND p.b = l.b
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(ROUND(COALESCE(s.s / s.np, 0.0) * 1e6) AS BIGINT) AS lm_q
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
 
 
 def q_histogram_lineitem(sf_dir: str):
@@ -2496,8 +2577,12 @@ FROM bins b LEFT JOIN counts c ON b.bin = c.bin
 def q_prepare_corpus_report(sf_dir: str):
     """Second-flagship composition (pipelines/prep.py::prepare_corpus):
     filter → LM-quantile cut → exact+near dedup → decontaminate → chunk,
-    each stage checkpointable; returns the per-stage row funnel. Rows-only
-    (LSH near-dedup inside); resume semantics pinned in tests/test_resume."""
+    each stage checkpointable; returns the per-stage row funnel.
+    VALUE-EXACT vs _prep_report_sql(): near_mode="exact" swaps the LSH
+    near-dedup (recall < 1 by design, hence unverifiable) for the
+    deterministic AllPairs Jaccard join + CC, making every stage of the
+    funnel a pure function of the data; the LSH default path keeps its
+    pytest coverage (tests/test_resume, tests/test_dedup)."""
     from ..pipelines.prep import prepare_corpus
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -2505,7 +2590,153 @@ def q_prepare_corpus_report(sf_dir: str):
         lambda t: t.filter(pa.array(
             np.asarray(t.column("doc_id")) % 50 == 0)),
         batch_format="pyarrow", zero_copy_batch=True)
-    return prepare_corpus(docs, bench)["report"]
+    return prepare_corpus(docs, bench, near_mode="exact")["report"]
+
+
+def _prep_report_sql(*, min_tokens: int = 20, lm_quantile: float = 0.05,
+                     eps: float = 0.0005, tau_num: int = 7,
+                     tau_den: int = 10, stride: int = 40) -> str:
+    """SQL replay of the whole prepare_corpus funnel (near_mode="exact").
+
+    Stage twins: lang/token filter = _lang_sql + whitespace token count;
+    LM cut = byte-bigram model over the FILTERED subset (float32 logp table
+    — DuckDB log2 is bit-identical to numpy's here) + the geometric
+    quantile-sketch threshold replayed with the engine's exact double
+    constants; dedup = MIN(doc_id) per text, then AllPairs Jaccard >=
+    tau_num/tau_den over word trigrams + recursive-CTE min-label CC with
+    MIN-STRING representatives (connected_components operates on string
+    ids); decontam = distinct word-5-gram overlap vs the doc_id%%50==0
+    benchmark; chunks = ceil(len/stride) per surviving doc."""
+    from ..stages.sketches import _qs_nbins
+
+    nb = _qs_nbins(eps)
+    denom = repr(float(np.log1p(2 * eps)))
+    base = repr(1 + 2 * eps)
+    lang = _lang_sql()
+    return rf"""
+WITH RECURSIVE
+lang AS MATERIALIZED ({lang}),
+ntok AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
+  FROM documents),
+filtered AS MATERIALIZED (
+  SELECT t.doc_id, t.text
+  FROM ntok t JOIN lang l USING (doc_id)
+  WHERE l.lang_pred = 'en' AND t.n_tokens >= {min_tokens}),
+bpairs AS MATERIALIZED (
+  SELECT d.doc_id,
+         ascii(substr(d.text, CAST(g.i AS INTEGER), 1)) AS a,
+         ascii(substr(d.text, CAST(g.i AS INTEGER) + 1, 1)) AS b
+  FROM filtered d, unnest(range(1, CAST(length(d.text) AS BIGINT))) AS g(i)
+  WHERE length(d.text) >= 2),
+bcounts AS (
+  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS cnt FROM bpairs GROUP BY a, b),
+rowtot AS (SELECT a, SUM(cnt) AS tot FROM bcounts GROUP BY a),
+logp AS MATERIALIZED (
+  SELECT c.a, c.b,
+         CAST(log2(c.cnt + 1.0) - log2(r.tot + 256.0) AS REAL) AS lp
+  FROM bcounts c JOIN rowtot r USING (a)),
+scored AS MATERIALIZED (
+  SELECT f.doc_id, f.text, COALESCE(s.s / s.np, 0.0) AS score
+  FROM filtered f LEFT JOIN (
+    SELECT p.doc_id, SUM(CAST(l.lp AS DOUBLE)) AS s,
+           CAST(COUNT(*) AS DOUBLE) AS np
+    FROM bpairs p JOIN logp l ON p.a = l.a AND p.b = l.b
+    GROUP BY p.doc_id) s USING (doc_id)),
+shifted AS MATERIALIZED (
+  SELECT GREATEST(CAST(TRUNC((score + 16.0) * 1000.0) AS BIGINT), 0) AS v
+  FROM scored),
+qbins AS (
+  SELECT LEAST(CAST(FLOOR(ln(1.0 + CAST(v AS DOUBLE)) / {denom}) AS BIGINT),
+               {nb - 1}) AS b FROM shifted),
+qhist AS (SELECT b, COUNT(*) AS cnt FROM qbins GROUP BY b),
+qcum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM qhist),
+qtot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM shifted),
+qsel AS (
+  SELECT MIN(c.b) AS b FROM qcum c
+  WHERE c.cum >= GREATEST(1, CAST(CEIL({lm_quantile!r} * (SELECT n FROM qtot))
+                                  AS BIGINT))),
+cut AS (
+  SELECT COALESCE(
+    (SQRT(POWER({base}, b) * POWER({base}, b + 1)) - 1.0) / 1000.0 - 16.0,
+    -16.0) AS thr
+  FROM qsel),
+lm_kept AS MATERIALIZED (
+  SELECT doc_id, text FROM scored WHERE score >= (SELECT thr FROM cut)),
+dedup AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id, text FROM lm_kept GROUP BY text),
+w AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws FROM dedup),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS s(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+epairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ovl
+        FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE {tau_den} * c.ovl >= {tau_num} * (sa.sz + sb.sz - c.ovl)),
+sym AS MATERIALIZED (
+  SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b FROM epairs
+  UNION ALL
+  SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM epairs),
+lbl(nd, l) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT s.b, MIN(x.l) FROM lbl x JOIN sym s ON s.a = x.nd GROUP BY s.b),
+comp AS MATERIALIZED (SELECT nd, MIN(l) AS cl FROM lbl GROUP BY nd),
+survivors AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM dedup d
+  LEFT JOIN comp c ON c.nd = CAST(d.doc_id AS VARCHAR)
+  WHERE COALESCE(c.cl, CAST(d.doc_id AS VARCHAR)) = CAST(d.doc_id AS VARCHAR)),
+btoks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents WHERE doc_id % 50 = 0),
+bgrams AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN len(tk) < 5 THEN array_to_string(tk, ' ')
+              ELSE array_to_string(list_slice(tk, i, i + 4), ' ') END AS gram
+  FROM btoks,
+       unnest(CASE WHEN len(tk) = 0 THEN []
+                   WHEN len(tk) < 5 THEN [1]
+                   ELSE range(1, len(tk) - 3) END) AS u(i)),
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM survivors),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id,
+               CASE WHEN len(tk) < 5 THEN array_to_string(tk, ' ')
+                    ELSE array_to_string(list_slice(tk, i, i + 4), ' ')
+               END AS gram
+        FROM ctoks,
+             unnest(CASE WHEN len(tk) < 5 THEN [1]
+                         ELSE range(1, len(tk) - 3) END) AS u(i)) g
+  JOIN bgrams b USING (gram)),
+clean AS MATERIALIZED (
+  SELECT s.doc_id, s.text FROM survivors s
+  LEFT JOIN contam c USING (doc_id) WHERE c.doc_id IS NULL),
+toks2 AS (
+  SELECT CAST(array_length(regexp_extract_all(lower(text), '[a-z]+'))
+              AS BIGINT) AS len FROM clean),
+chunkn AS (
+  SELECT COALESCE(SUM(CASE WHEN len > 0 THEN (len + {stride - 1}) // {stride}
+                           ELSE 0 END), 0) AS n FROM toks2)
+SELECT 'input' AS stage,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS "rows"
+UNION ALL SELECT 'filtered', CAST((SELECT COUNT(*) FROM filtered) AS BIGINT)
+UNION ALL SELECT 'lm_filtered', CAST((SELECT COUNT(*) FROM lm_kept) AS BIGINT)
+UNION ALL SELECT 'deduped', CAST((SELECT COUNT(*) FROM survivors) AS BIGINT)
+UNION ALL SELECT 'decontaminated',
+          CAST((SELECT COUNT(*) FROM clean) AS BIGINT)
+UNION ALL SELECT 'chunks', CAST((SELECT n FROM chunkn) AS BIGINT)
+"""
 
 
 def q_profile_events(sf_dir: str):
@@ -2628,9 +2859,12 @@ FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
 
 def q_pagerank_events(sf_dir: str):
     """Distributed PageRank (stages/graph.py::pagerank) over the bipartite
-    user → event_type interaction graph. Rows-only check (iterative
-    fixpoint; the update rule is pinned against a dense float64 reference
-    and the broadcast/co-group paths against each other in tests)."""
+    user → event_type interaction graph. VALUE-EXACT vs a DuckDB oracle
+    that unrolls the same 10 damped iterations as chained CTEs
+    (_pagerank_sql): both sides emit rank quantized to 1e-9 units, which
+    absorbs the only legitimate divergence (float64 summation order) while
+    any semantic drift — damping, dangling mass, multi-edge multiplicity —
+    shifts ranks by far more than 0.5e-9."""
     from ..stages.graph import pagerank
 
     ev = _pq(sf_dir, "events", ["user_id", "event_type"]).map_batches(
@@ -2641,7 +2875,53 @@ def q_pagerank_events(sf_dir: str):
             "dst": pc.binary_join_element_wise(
                 pa.array(["t"] * t.num_rows), t.column("event_type"), "")}),
         batch_format="pyarrow", zero_copy_batch=True)
-    return pagerank(ev, iters=10)
+    return pagerank(ev, iters=10).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "rank_e9": pc.cast(pc.round(pc.multiply(
+                t.column("rank"), pa.scalar(1e9))), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank twin of stages/graph.py::pagerank
+    (same update: dangling mass redistributed uniformly, multi-edges count
+    per occurrence, rank init 1/N). Recursive CTEs can't aggregate over the
+    recursive relation, so the 10 iterations are generated as chained CTEs."""
+    d = repr(damping)
+    parts = [f"""
+WITH edges AS MATERIALIZED (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst
+  FROM events),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(o.c, 0) AS DOUBLE) AS outdeg
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src) o
+  USING (node)),
+r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+b{k} AS MATERIALIZED (
+  SELECT (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * COALESCE((SELECT SUM(r.rank) FROM r{p} r
+                           JOIN deg g USING (node) WHERE g.outdeg = 0), 0.0)
+           / (SELECT n FROM nn) AS base),
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank / g.outdeg) AS c
+  FROM edges e JOIN r{p} r ON r.node = e.src
+  JOIN deg g ON g.node = e.src
+  GROUP BY e.dst),
+r{k} AS MATERIALIZED (
+  SELECT n.node, {d} * COALESCE(c.c, 0.0) + (SELECT base FROM b{k}) AS rank
+  FROM nodes n LEFT JOIN c{k} c USING (node))""")
+    parts.append(f"""
+SELECT node, CAST(ROUND(rank * 1e9) AS BIGINT) AS rank_e9 FROM r{iters}""")
+    return "".join(parts)
 
 
 def q_customers_with_big_events(sf_dir: str):
@@ -3436,4 +3716,8 @@ ORACLE_SQL = {
     "conversation_windows": _conversation_windows_sql(),
     "decontaminate_documents": SQL_DECONTAMINATE_DOCUMENTS,
     "repetition_documents": SQL_REPETITION_DOCUMENTS,
+    "pagerank_events": _pagerank_sql(),
+    "lm_quality_documents": SQL_LM_QUALITY_DOCUMENTS,
+    "approx_quantiles_lineitem": _approx_quantiles_sql(),
+    "prepare_corpus_report": _prep_report_sql(),
 }

@@ -202,6 +202,43 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
                            num_buckets=cfg.num_buckets)
 
 
+def near_dedup_exact(ds, *, id_col: str, text_col: str,
+                     cfg: PipelineConfig, tau_num: int = 7,
+                     tau_den: int = 10, token_pattern: str = "[a-z]+",
+                     ngram: int = 3, num_partitions: int = 8):
+    """DETERMINISTIC near-dedup: exact AllPairs/PPJoin Jaccard self-join at
+    tau_num/tau_den over distinct word-``ngram`` shingles → connected
+    components. Same (record_id, cluster_id) string contract as
+    near_dedup_minhash, but with no LSH recall gap — every pair at or above
+    the threshold is found, so the result is a pure function of the data
+    and SQL-oracle-checkable (prepare_corpus near_mode="exact" relies on
+    this). Costs one extra prefix-code exchange vs the LSH path; pick LSH
+    when the threshold is low or shingle sets are huge."""
+    from .clustering import connected_components, expand_clusters
+    from .simjoin import similarity_self_join
+
+    pairs = similarity_self_join(ds, id_col=id_col, text_col=text_col,
+                                 tau_num=tau_num, tau_den=tau_den,
+                                 token_pattern=token_pattern, ngram=ngram)
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "id_a": pc.cast(t.column("id_a"), pa.string()),
+            "id_b": pc.cast(t.column("id_b"), pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nodes = ds.map_batches(
+        lambda t: pa.table({
+            "record_id": pc.cast(t.column(id_col), pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rep_clusters = connected_components(nodes, edges, cfg, num_partitions,
+                                        include_singletons=False)
+    with_rep = nodes.map_batches(
+        lambda t: pa.table({"record_id": t.column("record_id"),
+                            "rep_id": t.column("record_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return expand_clusters(with_rep, rep_clusters, num_partitions,
+                           num_buckets=cfg.num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

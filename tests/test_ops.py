@@ -57,6 +57,23 @@ def test_near_dedup_minhash(doc_table):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_near_dedup_exact(doc_table):
+    """Deterministic AllPairs near-dedup: same cluster contract as the LSH
+    path but with guaranteed recall — the prep-report oracle's backbone."""
+    from rel_ray.stages.dedup import near_dedup_exact
+    out = _collect(near_dedup_exact(rd.from_arrow(doc_table),
+                                    id_col="doc_id", text_col="text",
+                                    cfg=DEFAULT_CONFIG,
+                                    tau_num=1, tau_den=2))
+    cl = dict(zip(out.column("record_id").to_pylist(),
+                  out.column("cluster_id").to_pylist()))
+    assert cl["0"] == cl["1"] == cl["2"]  # exact + near dups share a cluster
+    assert cl["3"] != cl["0"] and cl["4"] != cl["0"]
+    assert len(cl) == 6
+    assert cl["5"] == "5"  # shingle-free doc stays a singleton
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_near_dedup_simhash(doc_table):
     from rel_ray.stages.dedup import near_dedup_simhash
     out = _collect(near_dedup_simhash(rd.from_arrow(doc_table), id_col="doc_id",

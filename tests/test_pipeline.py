@@ -136,3 +136,35 @@ def test_entity_summary():
     out2 = pa.concat_tables([pa.table(b) for b in entity_summary(
         clusters2, records2).iter_batches(batch_format="pyarrow")])
     assert out2.to_pylist()[0]["top_form"] == "aa"
+
+
+def test_linkage_cogroup_fallback_driver_free(ray_session, tiny_corpus,
+                                              monkeypatch):
+    """Round-3 gate: with broadcast_max_rows=0 (and the distributed CC loop
+    forced) the large-vocabulary fallback must never collect a table to the
+    driver — the conf merge runs as a distributed full-outer co-group — and
+    must produce byte-identical cluster rows (ids AND confidence columns)
+    to the broadcast fast path."""
+    import dataclasses
+
+    import ray.data as rd
+
+    import rel_ray.functions.rayutil as rayutil
+
+    tr = rd.from_arrow(tiny_corpus["transcripts"])
+    fast = run_linkage(tr, DEFAULT_CONFIG, num_partitions=2)
+    f = {r["record_id"]: (r["cluster_id"], round(r["best_score"], 5),
+                          r["n_links"])
+         for r in fast["clusters"].take_all()}
+
+    def no_collect(*a, **k):
+        raise AssertionError(
+            "collect_table called in the driver-free fallback path")
+
+    monkeypatch.setattr(rayutil, "collect_table", no_collect)
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, cc_local_max_edges=0)
+    slow = run_linkage(tr, cfg2, num_partitions=2, broadcast_max_rows=0)
+    s = {r["record_id"]: (r["cluster_id"], round(r["best_score"], 5),
+                          r["n_links"])
+         for r in slow["clusters"].take_all()}
+    assert f == s and len(f) > 0
