@@ -202,6 +202,55 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_store(args) -> int:
+    """Resolve a transcripts corpus and freeze its entity store
+    (mention_norm → cluster_id parquet) — the artifact ``link-one``
+    serves requests against."""
+    from .config import DEFAULT_CONFIG
+
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.incremental import build_entity_store
+    from .pipelines.linkage import run_linkage
+
+    out = run_linkage(rd.read_parquet(args.input), DEFAULT_CONFIG)
+    n = _write(build_entity_store(out), args.out)
+    print(json.dumps({"store_rows": n, "out": args.out}))
+    return 0
+
+
+def cmd_link_one(args) -> int:
+    """Request-level entry — the batch analog of REL's HTTP server
+    (REL:src/REL/server.py): ONE conversation in (transcripts-shaped JSON
+    lines), cluster assignments out as one JSON line per record on stdout.
+    Reuses incremental_link against the frozen store, so repeated requests
+    share the broadcast store and never re-resolve the base corpus."""
+    from .config import DEFAULT_CONFIG
+
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.incremental import incremental_link
+    from .sources.readers import read_transcripts_jsonl
+
+    tr = read_transcripts_jsonl(args.request)
+    store = rd.read_parquet(args.store)
+    res = incremental_link(tr, store, DEFAULT_CONFIG)
+    # request-level output: a single conversation's assignments are tiny
+    # by definition — stdout JSON is the serving-response analog
+    rows = sorted(res["assignments"].take_all(),
+                  key=lambda r: r["record_id"])
+    for r in rows:
+        print(json.dumps({"record_id": r["record_id"],
+                          "cluster_id": r["cluster_id"],
+                          "matched_old": bool(r["matched_old"])}))
+    print(json.dumps({"n_records": len(rows),
+                      "n_matched_old": sum(bool(r["matched_old"])
+                                           for r in rows)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m rel_ray")
     common = argparse.ArgumentParser(add_help=False)
@@ -254,6 +303,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--columns", default=None,
                    help="comma-separated (default: all)")
     s.set_defaults(fn=cmd_profile)
+
+    s = sub.add_parser("store", parents=[common],
+                       help="freeze an entity store from transcripts parquet")
+    s.add_argument("input")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_store)
+
+    s = sub.add_parser("link-one", parents=[common],
+                       help="link one conversation (JSONL) against a frozen "
+                            "entity store (REL server analog)")
+    s.add_argument("request", help="transcripts-shaped JSON-lines file")
+    s.add_argument("--store", required=True,
+                   help="entity store parquet dir (from the store command)")
+    s.set_defaults(fn=cmd_link_one)
 
     s = sub.add_parser("diff", parents=[common],
                        help="diff two corpus snapshots by id + text")

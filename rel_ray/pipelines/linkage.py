@@ -259,9 +259,15 @@ def run_linkage(
     *,
     num_partitions: int = 16,
     broadcast_max_rows: int = 2_000_000,
+    scorer=None,
+    scorer_kwargs: dict | None = None,
 ):
     """Returns dict of lazily-composed Datasets:
     records / pairs / edges / clusters.
+
+    ``scorer``/``scorer_kwargs``: optional protocols.PairScorer plug-in
+    class forwarded to scoring_stage (actor-pool scheduled — model load
+    once per actor); see rel_ray/examples/model_scorer.py.
 
     Broadcast fast path (mention vocabulary ≤ broadcast_max_rows, the normal
     case after exact pre-clustering): the rep map (mention_norm → min
@@ -305,14 +311,24 @@ def run_linkage(
 
     if rep_map.count() > broadcast_max_rows:
         return _run_linkage_cogroup(records0, turns, cfg, num_partitions,
-                                    broadcast_max_rows=broadcast_max_rows)
+                                    broadcast_max_rows=broadcast_max_rows,
+                                    scorer=scorer,
+                                    scorer_kwargs=scorer_kwargs)
 
-    from ..functions.rayutil import collect_table, dict_lookup, get_broadcast_dict
+    from ..functions.rayutil import (collect_table, dict_lookup,
+                                     get_broadcast, get_broadcast_dict)
 
     _rep_schema = pa.schema([("mention_norm", pa.string()),
                              ("record_id", pa.string())])
     with _phase_timer("collect_rep_map"):
         rep_tab = collect_table(rep_map, _rep_schema)
+    # sort by record_id so a row's POSITION is an order-preserving int64
+    # code for its rep: the blocking/pair exchanges then move 16 B coded
+    # rows instead of the two fat strings, and every downstream sort/min/
+    # window decision on codes is bit-identical to the string ordering
+    # (the sort is driver-side but vocabulary-sized — already paid by the
+    # collect above)
+    rep_tab = rep_tab.sort_by([("record_id", "ascending")]).combine_chunks()
     # broadcast the zero-copy Arrow TABLE; each worker builds the Python dict
     # once per process (get_broadcast_dict) — the O(vocabulary) dict build
     # runs on the workers in parallel, not on the driver's critical path
@@ -327,19 +343,47 @@ def run_linkage(
                                    zero_copy_batch=True)
 
     # split the in-memory reps table into many blocks — a single block would
-    # serialize the whole blocking/pairing fan-out into one task
-    rep_sel = rep_tab.select(["record_id", "mention_norm"])
+    # serialize the whole blocking/pairing fan-out into one task.
+    # coded layout for the default scorer (a plug-in PairScorer gets the
+    # documented string layout of protocols.PairScorer)
+    import numpy as _np
+
+    coded = scorer is None
+    rep_cols = {"record_id": rep_tab.column("record_id"),
+                "mention_norm": rep_tab.column("mention_norm")}
+    if coded:
+        rep_cols["rep_code"] = pa.array(
+            _np.arange(rep_tab.num_rows, dtype=_np.int64), type=pa.int64())
+    rep_sel = pa.table(rep_cols)
     chunk = max(1024, rep_sel.num_rows // 64 + 1)
     reps = rd.from_arrow([rep_sel.slice(i, chunk)
                           for i in range(0, max(rep_sel.num_rows, 1), chunk)])
 
     from ..stages.salting import salted_blocking
     blocks = salted_blocking(reps, cfg,
-                             est_rows=rep_sel.num_rows * cfg.bands)
-    pairs = pairs_stage(blocks, cfg, num_partitions)
+                             est_rows=rep_sel.num_rows * cfg.bands,
+                             coded=coded)
+    pairs = pairs_stage(blocks, cfg, num_partitions, coded=coded)
     # materialize edges: consumed twice (match filter + user output)
     with _phase_timer("score_edges_materialize"):
-        edges = scoring_stage(pairs, cfg).materialize()
+        edges = scoring_stage(pairs, cfg, scorer=scorer,
+                              scorer_kwargs=scorer_kwargs,
+                              decode_ref=rep_ref if coded else None
+                              ).materialize()
+
+    if coded:
+        # API surface keeps the documented string layout; the decode runs
+        # only if a consumer actually reads the pairs output
+        def _decode_pairs(t: pa.Table) -> pa.Table:
+            tab = get_broadcast(rep_ref)
+            rid = tab.column("record_id")
+            mn = tab.column("mention_norm")
+            ca, cb = t.column("code_a"), t.column("code_b")
+            return pa.table({"id_a": rid.take(ca), "id_b": rid.take(cb),
+                             "mn_a": mn.take(ca), "mn_b": mn.take(cb)})
+
+        pairs = pairs.map_batches(_decode_pairs, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     matched = edges.map_batches(
         lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
@@ -407,7 +451,8 @@ def run_linkage(
 
 def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
                          num_partitions: int, *,
-                         broadcast_max_rows: int = 2_000_000):
+                         broadcast_max_rows: int = 2_000_000,
+                         scorer=None, scorer_kwargs: dict | None = None):
     """Shuffle-based path for mention vocabularies too large to broadcast.
 
     Driver-free end to end: the rep→cluster + confidence merge runs as a
@@ -429,7 +474,8 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
     blocks = salted_blocking(reps, cfg,
                              est_rows=records.count() * cfg.bands)
     pairs = pairs_stage(blocks, cfg, num_partitions)
-    edges = scoring_stage(pairs, cfg).materialize()
+    edges = scoring_stage(pairs, cfg, scorer=scorer,
+                          scorer_kwargs=scorer_kwargs).materialize()
 
     matched = edges.map_batches(
         lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),

@@ -113,10 +113,19 @@ class BlockKeys:
 
     Vectorized over the Arrow string buffers: shingle → MinHash → band keys,
     then per-record unique keys exploded with a single `take`.
+
+    ``coded=True`` (the linkage fast path): the input carries an int64
+    ``rep_code`` (the rep's position in the record_id-SORTED broadcast rep
+    table) and the output is (block_key, rep_code) — 16 B/row instead of
+    the ~50-70 B of the two strings. Code order == record_id string order
+    by construction, so every downstream sort/min/window decision is
+    bit-identical; the scorer decodes codes back to strings from the same
+    broadcast table (stages/scoring.make_score_fn).
     """
 
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, coded: bool = False):
         self.cfg = cfg
+        self.coded = coded
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -140,17 +149,21 @@ class BlockKeys:
         row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         block_key = keys_sorted[uniq_mask]
 
+        # int64 bit-view: Ray's hash-shuffle keys don't support uint64
+        bk = pa.array(block_key.view(np.int64), type=pa.int64())
+        if self.coded:
+            codes = batch.column("rep_code").take(pa.array(row_idx))
+            return pa.table({"block_key": bk, "rep_code": codes})
         taken = batch.select(["record_id", "mention_norm"]).take(pa.array(row_idx))
         return pa.table(
             {
-                # int64 bit-view: Ray's hash-shuffle keys don't support uint64
-                "block_key": pa.array(block_key.view(np.int64), type=pa.int64()),
+                "block_key": bk,
                 "record_id": taken.column("record_id"),
                 "mention_norm": taken.column("mention_norm"),
             }
         )
 
 
-def blocking_stage(reps, cfg: PipelineConfig):
-    return reps.map_batches(BlockKeys(cfg), batch_format="pyarrow",
+def blocking_stage(reps, cfg: PipelineConfig, *, coded: bool = False):
+    return reps.map_batches(BlockKeys(cfg, coded), batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=cfg.batch_size)

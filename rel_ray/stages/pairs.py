@@ -59,19 +59,20 @@ class PairGen:
     a single Arrow `take` per bucket materializes all pair payloads.
     """
 
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, coded: bool = False):
         self.cfg = cfg
+        self.coded = coded
 
     def __call__(self, bucket: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = bucket.num_rows
         if n == 0:
-            return _empty_pairs()
+            return _empty_pairs(self.coded)
         starts = segment_starts(bucket.column("block_key"))
         lens = np.diff(np.append(starts, n))
         multi = np.nonzero(lens >= 2)[0]
         if len(multi) == 0:
-            return _empty_pairs()
+            return _empty_pairs(self.coded)
         xs_all: list[np.ndarray] = []
         ys_all: list[np.ndarray] = []
         for si in multi:
@@ -81,6 +82,12 @@ class PairGen:
             ys_all.append(ys + s)
         xi = pa.array(np.concatenate(xs_all))
         yi = pa.array(np.concatenate(ys_all))
+        if self.coded:
+            # code order == record_id order (order-preserving codes), so
+            # x < y stays canonical and the emitted pair set is identical
+            codes = bucket.column("rep_code")
+            return pa.table({"code_a": codes.take(xi),
+                             "code_b": codes.take(yi)})
         payload = bucket.select(["record_id", "mention_norm"])
         a = payload.take(xi)
         b = payload.take(yi)
@@ -94,7 +101,10 @@ class PairGen:
         })
 
 
-def _empty_pairs() -> pa.Table:
+def _empty_pairs(coded: bool = False) -> pa.Table:
+    if coded:
+        return pa.table({"code_a": pa.array([], type=pa.int64()),
+                         "code_b": pa.array([], type=pa.int64())})
     return pa.table(
         {
             "id_a": pa.array([], type=pa.string()),
@@ -108,14 +118,17 @@ def _empty_pairs() -> pa.Table:
 def _dedup_bucket(bucket: pa.Table) -> pa.Table:
     """Adjacent-duplicate filter over a bucket sorted by (id_a, id_b); the
     same pair emitted from different LSH bands carries identical payload, so
-    keeping the first occurrence is an exact dedup."""
+    keeping the first occurrence is an exact dedup. Works on the coded
+    (code_a, code_b) layout too — integer equality instead of string."""
     import pyarrow.compute as pc
 
     n = bucket.num_rows
     if n < 2:
         return bucket
-    a = bucket.column("id_a")
-    b = bucket.column("id_b")
+    ka, kb = (("code_a", "code_b") if "code_a" in bucket.schema.names
+              else ("id_a", "id_b"))
+    a = bucket.column(ka)
+    b = bucket.column(kb)
     keep = np.ones(n, dtype=bool)
     same_a = np.asarray(pc.equal(a.slice(1), a.slice(0, n - 1)))
     same_b = np.asarray(pc.equal(b.slice(1), b.slice(0, n - 1)))
@@ -123,7 +136,8 @@ def _dedup_bucket(bucket: pa.Table) -> pa.Table:
     return bucket.filter(pa.array(keep))
 
 
-def pairs_stage(blocks, cfg: PipelineConfig, num_partitions: int = 0):
+def pairs_stage(blocks, cfg: PipelineConfig, num_partitions: int = 0,
+                *, coded: bool = False):
     """blocks → canonical deduped candidate pairs.
 
     1. Bucketed PairGen (windowed, capped) — one Python call per bucket,
@@ -131,8 +145,20 @@ def pairs_stage(blocks, cfg: PipelineConfig, num_partitions: int = 0):
     2. Band dedup: bucketed by id_a (duplicates of a pair always share id_a),
        adjacent-duplicate filter after the in-bucket (id_a, id_b) sort.
        Measured 10× faster than a multi-string-key Min-aggregate groupby.
-    `num_partitions` kept for API stability; unused.
+    ``coded=True``: blocks carry int64 rep_code instead of the two strings
+    (see BlockKeys) — both exchanges here move 16 B rows instead of fat
+    strings, and the sorts compare ints. `num_partitions` kept for API
+    stability; unused.
     """
+    if coded:
+        pairs = bucketed_group_apply(
+            blocks, "block_key", PairGen(cfg, coded=True),
+            num_buckets=cfg.num_buckets,
+            sort_cols=[("rep_code", "ascending")])
+        return bucketed_group_apply(
+            pairs, "code_a", _dedup_bucket,
+            num_buckets=cfg.num_buckets,
+            sort_cols=[("code_b", "ascending")])
     pairs = bucketed_group_apply(
         blocks, "block_key", PairGen(cfg),
         num_buckets=cfg.num_buckets,

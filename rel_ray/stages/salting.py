@@ -146,7 +146,12 @@ def salt_blocks(blocks, hot_tab: pa.Table, *, key_col: str = "block_key",
         ids = t.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        h = splitmix64(string_hash_u64(ids.take(pa.array(hi))))
+        taken = ids.take(pa.array(hi))
+        if pa.types.is_integer(ids.type):
+            # coded layout (rep_code int64): mix the code directly
+            h = splitmix64(np.asarray(taken, dtype=np.int64).view(np.uint64))
+        else:
+            h = splitmix64(string_hash_u64(taken))
         ns = h_tab["shards"][pos_c[hi]].astype(np.uint64)
         shard = h % ns
         ku_hit = k.view(np.uint64)[hi]
@@ -172,7 +177,8 @@ def salt_blocks(blocks, hot_tab: pa.Table, *, key_col: str = "block_key",
                               zero_copy_batch=True)
 
 
-def salted_blocking(reps, cfg: PipelineConfig, *, est_rows: int | None = None):
+def salted_blocking(reps, cfg: PipelineConfig, *, est_rows: int | None = None,
+                    coded: bool = False):
     """blocking_stage + hot-key salting, gated by corpus size.
 
     `est_rows` is the caller's row-count estimate for the blocks table
@@ -184,7 +190,7 @@ def salted_blocking(reps, cfg: PipelineConfig, *, est_rows: int | None = None):
     """
     from .blocking import blocking_stage
 
-    blocks = blocking_stage(reps, cfg)
+    blocks = blocking_stage(reps, cfg, coded=coded)
     if not cfg.salt_hot_keys:
         return blocks
     if est_rows is not None and est_rows < cfg.hot_key_min:
@@ -193,4 +199,5 @@ def salted_blocking(reps, cfg: PipelineConfig, *, est_rows: int | None = None):
     hot = hot_key_table(blocking_stage(sampled, cfg), cfg)
     if hot.num_rows == 0:
         return blocks
-    return salt_blocks(blocks, hot)
+    return salt_blocks(blocks, hot,
+                       id_col="rep_code" if coded else "record_id")

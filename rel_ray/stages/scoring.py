@@ -211,21 +211,57 @@ class PairScorer:
 _SCORER_CACHE: dict[str, PairScorer] = {}
 
 
-def make_score_fn(cfg: PipelineConfig):
+def make_score_fn(cfg: PipelineConfig, decode_ref=None):
+    """``decode_ref``: broadcast handle of the record_id-SORTED rep table
+    (record_id, mention_norm). When set and the batch arrives in the coded
+    (code_a, code_b) layout, the two int64 code columns are decoded back to
+    id/mention strings with two vectorized takes against the broadcast
+    table — the pair exchanges upstream moved 16 B rows, and the strings
+    reappear only here, inside the compute stage, never on an exchange."""
     key = cfg.fingerprint()
 
     def score_pairs(batch: pa.Table) -> pa.Table:
         scorer = _SCORER_CACHE.get(key)
         if scorer is None:
             scorer = _SCORER_CACHE.setdefault(key, PairScorer(cfg))
+        if decode_ref is not None and "code_a" in batch.schema.names:
+            from ..functions.rayutil import get_broadcast
+
+            tab = get_broadcast(decode_ref)
+            rid = tab.column("record_id")
+            mn = tab.column("mention_norm")
+            ca = batch.column("code_a")
+            cb = batch.column("code_b")
+            batch = pa.table({"id_a": rid.take(ca), "id_b": rid.take(cb),
+                              "mn_a": mn.take(ca), "mn_b": mn.take(cb)})
         return scorer(batch)
 
     return score_pairs
 
 
-def scoring_stage(pairs, cfg: PipelineConfig):
+def scoring_stage(pairs, cfg: PipelineConfig, scorer=None,
+                  scorer_kwargs: dict | None = None, decode_ref=None):
+    """Score candidate pairs into edges.
+
+    ``scorer`` is the protocols.PairScorer plug-in seam: pass a callable
+    CLASS (pairs batch in → edges batch out) and it is scheduled as an
+    autoscaling ACTOR pool — ``__init__`` (model load, artifact read) runs
+    once per actor, ``__call__`` per batch. The default engine scorer stays
+    on the task pool with per-process state (measured faster for its cheap
+    setup — see _SCORER_CACHE note); a real model's load cost is exactly
+    what the actor pool amortizes. Worked example:
+    rel_ray/examples/model_scorer.py."""
+    if scorer is not None:
+        return pairs.map_batches(
+            scorer,
+            fn_constructor_kwargs=scorer_kwargs or {},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+            concurrency=(1, cfg.scorer_concurrency),
+        )
     return pairs.map_batches(
-        make_score_fn(cfg),
+        make_score_fn(cfg, decode_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,

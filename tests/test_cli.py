@@ -88,3 +88,38 @@ def test_check_oracle_survives_injected_crash(tmp_path):
     assert "RETRY top_customers" in proc.stdout
     assert "2 pass, 0 fail" in proc.stdout
     assert proc.returncode == 0
+
+
+def test_cli_store_then_link_one(ray_session, tmp_path, capsys):
+    """REL server analog: freeze an entity store, then serve a single
+    conversation as a JSONL request — shared surface forms attach to
+    existing clusters (matched_old)."""
+    corpus = str(tmp_path / "corpus")
+    assert main(["synth", corpus, "--n-convs", "60", "--seed", "11"]) == 0
+    paths = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    store = str(tmp_path / "store")
+    assert main(["store", paths["transcripts"], store]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["store_rows"] > 0
+
+    # request: the first conversation of the SAME corpus re-sent as JSONL
+    # (every surface form already exists in the store -> all matched_old)
+    tab = pq.read_table(paths["transcripts"])
+    conv0 = tab.column("conv_id")[0].as_py()
+    req = tab.filter(
+        __import__("pyarrow.compute", fromlist=["equal"]).equal(
+            tab.column("conv_id"), conv0))
+    req_path = str(tmp_path / "request.jsonl")
+    with open(req_path, "w") as f:
+        for r in req.to_pylist():
+            r["ts"] = r["ts"].strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(json.dumps(r) + "\n")
+
+    assert main(["link-one", req_path, "--store", store]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    tail = lines[-1]
+    assert tail["n_records"] == len(lines) - 1 > 0
+    assert tail["n_matched_old"] == tail["n_records"]
+    assert all("cluster_id" in r for r in lines[:-1])
