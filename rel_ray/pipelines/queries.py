@@ -3223,6 +3223,77 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_bm25_topk_documents(sf_dir: str):
+    """Lexical retrieval, BM25 head: top-20 documents by integer-quantized
+    BM25 (k1=3/2, b=3/4) against the same fixed query as the TF-IDF twin.
+    All-integer rational form (stages/retrieval.py::bm25_topk) so the score
+    is bit-exact vs the SQL oracle; two streaming passes, no corpus
+    shuffle."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, id_col="doc_id", text_col="text",
+                     query=TFIDF_QUERY, k=20)
+
+
+SQL_BM25_TOPK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+q(tok) AS (VALUES ('dup'),('fast'),('merge'),('sort'),('window')),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                 (SELECT COUNT(*) FROM toks) AS big_l),
+df AS (SELECT q.tok, COUNT(DISTINCT t.doc_id) AS df
+       FROM q JOIN toks t USING (tok) GROUP BY 1),
+w AS (SELECT tok, (SELECT n_docs FROM stats) * 256 // df AS w
+      FROM df WHERE df > 0),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+tf AS (SELECT t.doc_id, t.tok, COUNT(*) AS tf
+       FROM toks t JOIN w USING (tok) GROUP BY 1, 2)
+SELECT tf.doc_id,
+       CAST(SUM(w.w * tf.tf * 20 * s.big_l //
+                (8 * s.big_l * tf.tf + 3 * s.big_l + 9 * dl.dl * s.n_docs))
+            AS BIGINT) AS score
+FROM tf JOIN w USING (tok) JOIN dl USING (doc_id), stats s
+GROUP BY tf.doc_id
+HAVING SUM(w.w * tf.tf * 20 * s.big_l //
+           (8 * s.big_l * tf.tf + 3 * s.big_l + 9 * dl.dl * s.n_docs)) > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_bottomk_sample_documents(sf_dir: str):
+    """Deterministic global 100-row uniform sample without replacement: the
+    100 docs with the smallest Knuth hash of doc_id (bottom-k sketch —
+    mergeable, consistent under corpus growth, reproducible across engines;
+    stages/sampling.py::bottomk_sample). Local bottom-k per batch, one
+    k-per-block global reduce — no full shuffle."""
+    from ..stages.sampling import bottomk_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    return bottomk_sample(ds, id_col="doc_id", k=100, carry_cols=["lang"])
+
+
+SQL_BOTTOMK_SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang FROM documents
+ORDER BY ((doc_id % 2147483648 + 2147483648) % 2147483648) * 2654435761
+         % 2147483648, doc_id
+LIMIT 100
+"""
+
+
+def q_dup_passages_documents(sf_dir: str):
+    """Duplicate-passage mining: every word 5-gram appearing in >= 2
+    distinct documents with its distinct-doc count (the discovery half of
+    exact-substring dedup, Lee et al. ACL 2022;
+    stages/dedup.py::dup_passages). Per-batch distinct (doc, gram) pre-fold
+    -> one groupby-sum over unique grams -> threshold."""
+    from ..stages.dedup import dup_passages
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return dup_passages(ds, text_col="text", n=5, min_docs=2)
+
+
 # shared gram CTE for the decontamination/repetition oracles: word 5-grams
 # per doc; docs with fewer than 5 tokens contribute one whole-doc gram,
 # empty docs none (word_ngram_codes contract)
@@ -3369,6 +3440,14 @@ SELECT t.doc_id,
        CAST(coalesce(a.total, 0) AS BIGINT) AS total_grams,
        CAST(coalesce(a.dist, 0) AS BIGINT) AS distinct_grams
 FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_DUP_PASSAGES_DOCUMENTS = rf"""
+WITH {_SQL_GRAMS}
+SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
@@ -3597,6 +3676,9 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "scrub_pii_documents": q_scrub_pii_documents,
     "tfidf_topk_documents": q_tfidf_topk_documents,
+    "bm25_topk_documents": q_bm25_topk_documents,
+    "bottomk_sample_documents": q_bottomk_sample_documents,
+    "dup_passages_documents": q_dup_passages_documents,
     "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
     "grouped_quantiles_hist_lineitem": q_grouped_quantiles_hist_lineitem,
     "approx_quantiles_lineitem": q_approx_quantiles_lineitem,
@@ -3691,6 +3773,9 @@ ORACLE_SQL = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "scrub_pii_documents": SQL_SCRUB_PII_DOCUMENTS,
     "tfidf_topk_documents": SQL_TFIDF_TOPK_DOCUMENTS,
+    "bm25_topk_documents": SQL_BM25_TOPK_DOCUMENTS,
+    "bottomk_sample_documents": SQL_BOTTOMK_SAMPLE_DOCUMENTS,
+    "dup_passages_documents": SQL_DUP_PASSAGES_DOCUMENTS,
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "grouped_quantiles_hist_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,

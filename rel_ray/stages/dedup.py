@@ -553,3 +553,88 @@ def keep_latest(ds, *, key: str, order_cols: list[str],
     return bucketed_group_apply(
         ds, key, head, num_buckets=num_buckets,
         sort_cols=[(c, "descending") for c in order_cols])
+
+
+def word_ngram_strings(texts: pa.Array, n: int = 5
+                       ) -> tuple[pa.Array, np.ndarray]:
+    """Word n-gram STRINGS with their row indices — (grams, row_idx),
+    unordered within a row. word_ngram_codes contract: tokens are maximal
+    ``\\S+`` runs; rows with 0 tokens emit no gram; 0 < tokens < n emit one
+    whole-row gram. Fully vectorized: token gather via ``take`` on the flat
+    token array + one ``binary_join_element_wise`` for the sliding grams,
+    one ``binary_join`` for the short rows."""
+    from ..functions.normalize import extract_all_matches
+    from ..functions.shingles import _ragged_arange
+
+    ml = extract_all_matches(texts, r"\S+")
+    counts = np.asarray(pc.list_value_length(ml), dtype=np.int64)
+    flat = pc.list_flatten(ml)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+
+    slide = counts >= n
+    g_slide = np.where(slide, counts - n + 1, 0)
+    starts = np.repeat(offsets[:-1], g_slide) + _ragged_arange(g_slide)
+    if n > 1:
+        parts = [flat.take(pa.array(starts + i)) for i in range(n)]
+        grams_slide = pc.binary_join_element_wise(*parts, " ")
+    else:
+        grams_slide = flat.take(pa.array(starts))
+    rows_slide = np.repeat(np.arange(len(counts), dtype=np.int64), g_slide)
+
+    short = (counts > 0) & ~slide
+    grams_short = pc.binary_join(ml.filter(pa.array(short)), " ")
+    rows_short = np.nonzero(short)[0].astype(np.int64)
+
+    grams = pa.concat_arrays([
+        grams_slide.combine_chunks() if isinstance(grams_slide, pa.ChunkedArray)
+        else grams_slide,
+        grams_short.combine_chunks() if isinstance(grams_short, pa.ChunkedArray)
+        else grams_short])
+    return grams, np.concatenate([rows_slide, rows_short])
+
+
+def dup_passages(ds, *, text_col: str, n: int = 5, min_docs: int = 2,
+                 out_gram: str = "gram", out_count: str = "n_docs"):
+    """Duplicate-passage mining: every word ``n``-gram appearing in at least
+    ``min_docs`` DISTINCT documents, with its distinct-document count — the
+    discovery half of exact-substring training-data dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022
+    finds duplicate spans; this surfaces them as an auditable table; feed
+    the result to ``decontaminate`` to cut the spans).
+
+    Plan: per batch, distinct (doc, gram) pairs via one dictionary-encode +
+    one np.unique (a doc's row is never split across batches, so per-batch
+    distinct == global distinct contribution) -> per-batch (gram, partial
+    distinct-doc count) -> one groupby-sum over unique grams -> threshold.
+    The exchange carries each batch's UNIQUE grams once, never the corpus;
+    at extreme scale swap in a first pass over gram HASHES to prefilter
+    grams below ``min_docs`` before shipping strings (two-pass variant,
+    same contract)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        grams, rows = word_ngram_strings(texts, n)
+        if len(grams) == 0:
+            return pa.table({out_gram: pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        enc = pc.dictionary_encode(grams)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        pair = np.unique(codes * t.num_rows + rows)
+        cnt = np.bincount(pair // t.num_rows,
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        keep = cnt > 0
+        return pa.table({out_gram: enc.dictionary.filter(pa.array(keep)),
+                         "n": pa.array(cnt[keep])})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(out_gram).sum("n"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([out_gram, out_count])
+        return t.filter(pc.greater_equal(t.column(out_count),
+                                         pa.scalar(min_docs)))
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

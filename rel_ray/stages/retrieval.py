@@ -123,3 +123,104 @@ def tfidf_topk(ds, *, id_col: str, text_col: str, query: str, k: int = 20,
     from ..functions.rayutil import global_topk
     return global_topk(scored, [("score", "descending"),
                                 (id_col, "ascending")], k)
+
+
+def _match_terms_dl(texts, token_pattern: str, terms: pa.Array):
+    """Like _match_terms, plus each row's TOTAL token count (doc length)."""
+    from ..functions.normalize import extract_all_matches
+
+    ml = extract_all_matches(pc.utf8_lower(texts), token_pattern)
+    counts = np.asarray(pc.list_value_length(ml), dtype=np.int64)
+    flat = pc.list_flatten(ml)
+    qi = pc.index_in(flat, value_set=terms)
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    hit = np.asarray(pc.is_valid(qi))
+    return rows[hit], np.asarray(qi.drop_null(), dtype=np.int64), counts
+
+
+def bm25_topk(ds, *, id_col: str, text_col: str, query: str, k: int = 20,
+              token_pattern: str = "[a-z]+", scale: int = 256,
+              batch_size: int = 4096):
+    """Top-k docs by integer-quantized BM25 (k1=3/2, b=3/4) against
+    ``query`` (distinct query terms; query tf ignored, the short-query BM25
+    convention).
+
+    Integer-exact scoring (house rule, see tfidf_topk): with ``w(t) =
+    (N*scale) // df(t)``, ``L`` = total corpus tokens and ``dl`` the doc's
+    token count, the per-(term,doc) contribution of classic BM25
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/(L/N)))
+
+    multiplied through by ``8L`` becomes the all-integer
+
+        (w * tf * 20 * L) // (8*L*tf + 3*L + 9*dl*N)
+
+    — floor-quantized, so the int64 score sum is bit-exact across engines
+    and summation orders (DuckDB ``//`` is the same floor division).
+    Overflow guard: ``max(w) * max(tf) * 20 * L`` must stay < 2^63 —
+    asserted per batch; lower ``scale`` for larger corpora.
+
+    Same two streaming passes as tfidf_topk (df/L pass + score pass); no
+    corpus shuffle; local top-k per batch then a <=k-per-block global sort.
+    """
+    terms, _ = tokenize_query(query, token_pattern)
+    if not terms:
+        raise ValueError("query has no terms under token_pattern")
+    q = len(terms)
+    term_arr = pa.array(terms, type=pa.string())
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        rows, qi, counts = _match_terms_dl(texts, token_pattern, term_arr)
+        pair = np.unique(rows * q + qi)
+        dfp = np.bincount(pair % q, minlength=q).astype(np.int64)
+        return pa.table({
+            "term_idx": pa.array(np.arange(-2, q, dtype=np.int64)),
+            "n": pa.array(np.concatenate(
+                ([int(counts.sum()), t.num_rows], dfp)))})
+
+    agg = (ds.map_batches(df_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("term_idx").sum("n"))
+    rows_map = {int(r["term_idx"]): int(r["sum(n)"]) for r in agg.take_all()}
+    n_docs = rows_map.pop(-1, 0)
+    big_l = rows_map.pop(-2, 0)
+    df = np.zeros(q, dtype=np.int64)
+    for i, v in rows_map.items():
+        df[i] = v
+    w = np.where(df > 0, (n_docs * scale) // np.maximum(df, 1), 0)
+    if n_docs == 0 or big_l == 0:
+        raise ValueError("empty corpus under token_pattern")
+
+    w_max = int(w.max())
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        rows, qi, counts = _match_terms_dl(texts, token_pattern, term_arr)
+        key = rows * q + qi
+        pair, tf = np.unique(key, return_counts=True)
+        tf = tf.astype(np.int64)
+        p_row, p_term = pair // q, pair % q
+        if len(tf) and w_max * int(tf.max()) * 20 * big_l >= 2 ** 63:
+            raise OverflowError("bm25_topk int64 overflow — lower scale")
+        contrib = (w[p_term] * tf * 20 * big_l) // (
+            8 * big_l * tf + 3 * big_l + 9 * counts[p_row] * n_docs)
+        s = np.bincount(p_row, weights=contrib.astype(np.float64),
+                        minlength=t.num_rows).astype(np.int64)
+        keep = s > 0
+        out = pa.table({id_col: t.column(id_col).filter(pa.array(keep)),
+                        "score": pa.array(s[keep])})
+        if out.num_rows > k:
+            out = out.sort_by([("score", "descending"),
+                               (id_col, "ascending")]).slice(0, k)
+        return out
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+    from ..functions.rayutil import global_topk
+    return global_topk(scored, [("score", "descending"),
+                                (id_col, "ascending")], k)

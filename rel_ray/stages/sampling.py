@@ -122,3 +122,40 @@ def budget_sample(ds, *, group_col: str, id_col: str, weight_col: str,
     return bucketed_group_apply(
         hashed, group_col, take_budget, num_buckets=num_buckets,
         sort_cols=[("__h", "ascending"), (id_col, "ascending")])
+
+
+def bottomk_sample(ds, *, id_col: str, k: int, carry_cols: list[str] | None = None,
+                   batch_size: int = 8192):
+    """Deterministic global k-row uniform sample WITHOUT replacement: the k
+    rows with the smallest Knuth multiplicative hash of ``id_col`` (ties by
+    id). The bottom-k sketch construction (Cohen & Kaplan, PODC'07): because
+    membership is a pure function of the id, the sample is reproducible
+    across runs/engines/cluster sizes, mergeable across shards, and
+    CONSISTENT — growing the corpus only ever swaps rows in/out through the
+    hash frontier, so longitudinal comparisons see overlapping samples.
+
+    SQL twin: ``ORDER BY ((id % 2147483648 + 2147483648) % 2147483648) *
+    2654435761 % 2147483648, id LIMIT k`` (the module's overflow-safe hash,
+    see sample_bucket).
+
+    Scale: per-batch local bottom-k prune, then one global sort over the
+    <= k-per-block survivors — no full shuffle, driver never sees more than
+    the result."""
+    from ..functions.rayutil import global_topk
+
+    keep = [id_col] + list(carry_cols or [])
+
+    def local(t: pa.Table) -> pa.Table:
+        x = np.asarray(pc.cast(t.column(id_col), pa.int64())) % _MOD
+        out = pa.table({**{c: t.column(c) for c in keep},
+                        "__h": pa.array(x * _KNUTH % _MOD)})
+        if out.num_rows > k:
+            out = out.sort_by([("__h", "ascending"),
+                               (id_col, "ascending")]).slice(0, k)
+        return out
+
+    top = global_topk(ds.map_batches(local, batch_format="pyarrow",
+                                     zero_copy_batch=True,
+                                     batch_size=batch_size),
+                      [("__h", "ascending"), (id_col, "ascending")], k)
+    return top.drop_columns(["__h"])

@@ -1903,3 +1903,92 @@ def test_running_sum_overflow_guard():
     with pytest.raises(ValueError, match="overflows int64"):
         running_sum(rd.from_arrow(t), id_col="id", val_col="n",
                     num_buckets=64).materialize()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_topk_hand_computed():
+    """Integer-quantized BM25 against the formula computed by hand in
+    Python ints (the same rational form the SQL oracle runs)."""
+    from rel_ray.stages.retrieval import bm25_topk
+
+    texts = [
+        "rare common common",            # dl=3
+        "common common common common",   # dl=4
+        "rare rare",                     # dl=2
+        "nothing relevant here at all",  # dl=5
+    ]
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                     "text": pa.array(texts)})
+    out = _collect(bm25_topk(rd.from_arrow(docs), id_col="doc_id",
+                             text_col="text", query="rare common ghost",
+                             k=10, scale=256))
+    # hand computation: N=4, L=14, df(rare)=2, df(common)=2
+    toks = [t.split() for t in texts]
+    N, L = 4, 14
+    w = {"rare": 4 * 256 // 2, "common": 4 * 256 // 2}
+    exp = {}
+    for doc_id, tk in zip([1, 2, 3, 4], toks):
+        dl, s = len(tk), 0
+        for term, wt in w.items():
+            tf = tk.count(term)
+            if tf:
+                s += (wt * tf * 20 * L) // (8 * L * tf + 3 * L + 9 * dl * N)
+        if s > 0:
+            exp[doc_id] = s
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("score").to_pylist()))
+    assert got == exp
+    # ranking is score desc, id asc
+    scores = out.column("score").to_pylist()
+    assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bottomk_sample_matches_naive():
+    from rel_ray.stages.sampling import _KNUTH, _MOD, bottomk_sample
+
+    ids = np.arange(1000, dtype=np.int64) * 7 - 500   # includes negatives
+    t = pa.table({"doc_id": pa.array(ids),
+                  "lang": pa.array(["en"] * len(ids))})
+    out = _collect(bottomk_sample(rd.from_arrow(t), id_col="doc_id", k=25,
+                                  carry_cols=["lang"], batch_size=100))
+    h = (ids % _MOD) * _KNUTH % _MOD
+    exp = ids[np.lexsort((ids, h))][:25]
+    assert out.column("doc_id").to_pylist() == exp.tolist()
+    assert out.num_rows == 25 and out.column_names == ["doc_id", "lang"]
+
+
+def test_word_ngram_strings_contract():
+    from rel_ray.stages.dedup import word_ngram_strings
+
+    texts = pa.array([
+        "a b c d e f",     # 6 tokens -> 2 sliding 5-grams
+        "x y",             # short -> one whole-doc gram
+        "",                # empty -> none
+        "   ",             # whitespace-only -> none
+        "p q r s t",       # exactly 5 -> one gram
+    ])
+    grams, rows = word_ngram_strings(texts, n=5)
+    got = sorted(zip(rows.tolist(), grams.to_pylist()))
+    assert got == [(0, "a b c d e"), (0, "b c d e f"), (1, "x y"),
+                   (4, "p q r s t")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_passages_known_answer():
+    from rel_ray.stages.dedup import dup_passages
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps high",      # shares 5-gram with d2
+            "see the quick brown fox jumps",       # "the quick brown fox jumps"
+            "the quick brown fox jumps high",      # exact dup of d1
+            "totally unrelated little text here",
+        ])})
+    out = _collect(dup_passages(rd.from_arrow(docs), text_col="text",
+                                n=5, min_docs=2))
+    got = dict(zip(out.column("gram").to_pylist(),
+                   out.column("n_docs").to_pylist()))
+    assert got == {"the quick brown fox jumps": 3,
+                   "quick brown fox jumps high": 2}
