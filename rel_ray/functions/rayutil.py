@@ -287,7 +287,21 @@ def grouped_min(ds, key_col: str, val_col: str, *, num_buckets: int = 512):
         return pa.table({key_col: bucket.column(key_col).take(starts),
                          val_col: bucket.column(val_col).take(starts)})
 
-    skinny = ds.map_batches(lambda t: t.select([key_col, val_col]),
+    # combiner pre-fold: one (key, min val) per distinct key per BATCH
+    # before the bucket exchange — on the flagship's rep-map the exchange
+    # drops from 9.7M record rows to ~vocabulary-per-block rows (~5×
+    # fewer bytes through the all-to-all); identical result, the per-batch
+    # sort is the same work the bucket sort would have done anyway
+    def local_fold(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, val_col])
+        if t.num_rows:
+            t = t.sort_by([(key_col, "ascending"), (val_col, "ascending")])
+            starts = pa.array(segment_starts(t.column(key_col)))
+            t = pa.table({key_col: t.column(key_col).take(starts),
+                          val_col: t.column(val_col).take(starts)})
+        return t
+
+    skinny = ds.map_batches(local_fold,
                             batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_group_apply(skinny, key_col, seg_min,
                                 num_buckets=num_buckets,

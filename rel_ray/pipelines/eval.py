@@ -356,3 +356,127 @@ def train_pair_weights(features, *, feature_cols=("sim_jaccard", "sim_jw",
             "bias": float(b),
             "loss_curve": [round(x, 6) for x in losses],
             "accuracy": final[d + 2] / n_total}
+
+
+def _dict_codes(col) -> tuple["np.ndarray", pa.Array]:
+    """Dictionary-encode a (possibly chunked) column → (int64 codes, dict)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        # ChunkedArray.combine_chunks() returns a plain DictionaryArray
+        enc = enc.combine_chunks()
+    return np.asarray(enc.indices, dtype=np.int64), enc.dictionary
+
+
+def partition_agreement(ds, *, pred_col: str, gold_col: str,
+                        scale: int = 10 ** 6, num_buckets: int = 64) -> pa.Table:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin, LREC 1998 — the
+    standard entity-resolution cluster metric) and the Adjusted Rand Index
+    (Hubert & Arabie 1985) between two partitions of the same rows, given as
+    two categorical columns. One row out, ALL-INTEGER so the result is
+    bit-exact vs a SQL oracle:
+
+      n, pairs_both = Σ C(n_cg,2), pairs_pred = Σ C(n_c,2),
+      pairs_gold = Σ C(n_g,2)                      (exact sufficient stats)
+      b3p_e6 = (Σ_cg (n_cg²·scale // n_c)) · 10⁶ // (n·scale)   (floor-
+      b3r_e6, b3f_e6 likewise                       quantized B³ metrics)
+      ari_e6 = trunc(2·(pairs_both·total − a·b) · 10⁶
+                     / ((a+b)·total − 2·a·b)),  total = C(n,2)
+
+    where n_cg is the (pred,gold) contingency count. ARI uses TRUNCATING
+    division (DuckDB's ``//`` truncates toward zero on negatives, numpy/
+    Python floor) — the one term that can go negative; every other quotient
+    is non-negative, where floor == truncation.
+
+    Plan (no full-data shuffle beyond one skinny aggregate): per-batch
+    contingency partial (two dictionary-encodes + one np.unique) →
+    groupby(pred,gold).sum — the only exchange, sized by DISTINCT label
+    pairs, not rows → two bucketed passes over the contingency table (pred-
+    keyed and gold-keyed) emitting integer partial sums via
+    np.add.reduceat → driver folds a ≤2·num_buckets-row table of partials.
+    Overflow guard: n_cg²·scale must stay < 2⁶³ (asserted; lower ``scale``
+    for corpora past ~3·10⁶ rows per label pair at the default)."""
+    from ..functions.rayutil import (bucketed_group_apply, collect_table,
+                                    segment_starts)
+
+    def cont_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({pred_col: pa.array([], type=pa.string()),
+                             gold_col: pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        pi, pd_ = _dict_codes(t.column(pred_col))
+        gi, gd = _dict_codes(t.column(gold_col))
+        key = pi * max(len(gd), 1) + gi
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({pred_col: pd_.take(pa.array(u // max(len(gd), 1))),
+                         gold_col: gd.take(pa.array(u % max(len(gd), 1))),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    cont = (ds.map_batches(cont_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([pred_col, gold_col]).sum("n"))
+
+    lim = 2 ** 62 // scale
+
+    def side_fn(key: str, with_shared: bool):
+        def fn(g: pa.Table) -> pa.Table:
+            n = np.asarray(g.column("sum(n)"), dtype=np.int64)
+            if len(n) == 0:
+                return pa.table({"b3": pa.array([], type=pa.int64()),
+                                 "pairs": pa.array([], type=pa.int64()),
+                                 "both": pa.array([], type=pa.int64()),
+                                 "rows": pa.array([], type=pa.int64())})
+            if int(n.max()) ** 2 > lim:
+                raise OverflowError(
+                    "partition_agreement int64 overflow — lower scale")
+            starts = segment_starts(g.column(key))
+            sizes = np.add.reduceat(n, starts)
+            seg_of = np.repeat(np.arange(len(starts)),
+                               np.diff(np.append(starts, len(n))))
+            b3 = int(((n * n * scale) // sizes[seg_of]).sum())
+            pairs = int((sizes * (sizes - 1) // 2).sum())
+            both = int((n * (n - 1) // 2).sum()) if with_shared else 0
+            rows = int(sizes.sum()) if with_shared else 0
+            return pa.table({"b3": pa.array([b3]),
+                             "pairs": pa.array([pairs]),
+                             "both": pa.array([both]),
+                             "rows": pa.array([rows])})
+        return fn
+
+    pred_parts = collect_table(bucketed_group_apply(
+        cont, pred_col, side_fn(pred_col, True), num_buckets=num_buckets))
+    gold_parts = collect_table(bucketed_group_apply(
+        cont, gold_col, side_fn(gold_col, False), num_buckets=num_buckets))
+
+    def tot(t: pa.Table, c: str) -> int:
+        return int(pc.sum(t.column(c)).as_py() or 0)
+
+    n = tot(pred_parts, "rows")
+    if n == 0:
+        raise ValueError("partition_agreement: empty input")
+    pn, rn = tot(pred_parts, "b3"), tot(gold_parts, "b3")
+    a, b = tot(pred_parts, "pairs"), tot(gold_parts, "pairs")
+    both = tot(pred_parts, "both")
+    total = n * (n - 1) // 2
+    e6 = 10 ** 6
+    num = 2 * (both * total - a * b)
+    den = (a + b) * total - 2 * a * b
+    if den == 0:
+        ari = e6
+    elif num >= 0:
+        ari = num * e6 // den
+    else:
+        ari = -((-num) * e6 // den)
+    f_den = (pn + rn) * n * scale
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "pairs_both": pa.array([both], type=pa.int64()),
+        "pairs_pred": pa.array([a], type=pa.int64()),
+        "pairs_gold": pa.array([b], type=pa.int64()),
+        "b3p_e6": pa.array([pn * e6 // (n * scale)], type=pa.int64()),
+        "b3r_e6": pa.array([rn * e6 // (n * scale)], type=pa.int64()),
+        "b3f_e6": pa.array([2 * pn * rn * e6 // f_den if f_den else 0],
+                           type=pa.int64()),
+        "ari_e6": pa.array([ari], type=pa.int64()),
+    })

@@ -3451,6 +3451,86 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+def q_dup_ratio_documents(sf_dir: str):
+    """Per-document duplication ratio: fraction (floor-scaled e6) of each
+    doc's DISTINCT word 5-grams that appear in >= 2 distinct docs — the
+    per-doc score pipelines threshold on to drop near-boilerplate documents
+    (stages/dedup.py::dup_ratio; Lee et al. ACL 2022). Docs with no tokens
+    emit no row."""
+    from ..stages.dedup import dup_ratio
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ratio(ds, id_col="doc_id", text_col="text", n=5, min_docs=2)
+
+
+SQL_DUP_RATIO_DOCUMENTS = rf"""
+WITH {_SQL_GRAMS},
+pairs AS (SELECT DISTINCT doc_id, gram FROM grams),
+gc AS (SELECT gram, COUNT(*) AS d FROM pairs GROUP BY 1)
+SELECT p.doc_id,
+       CAST(SUM(CASE WHEN gc.d >= 2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS dup_e6
+FROM pairs p JOIN gc USING (gram) GROUP BY 1
+"""
+
+
+def q_agreement_lang_id_documents(sf_dir: str):
+    """Partition-agreement eval of the lang-ID classifier: B-cubed P/R/F1
+    (Bagga & Baldwin '98, THE standard entity-resolution cluster metric)
+    and Adjusted Rand Index between the predicted-language partition of
+    documents and the labeled `lang` partition — one all-integer row
+    (pipelines/eval.py::partition_agreement), bit-exact vs SQL including
+    the floor/truncation conventions."""
+    from ..stages.textstats import lang_id
+    from .eval import partition_agreement
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(
+        lambda t: pa.table({"lang_pred": lang_id(t.column("text")),
+                            "lang": t.column("lang")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return partition_agreement(pred, pred_col="lang_pred", gold_col="lang")
+
+
+def _sql_agreement_lang_id() -> str:
+    # HUGEINT casts: the ARI cross-terms (~n^4) overflow int64 past ~55k
+    # rows. DuckDB's // truncates toward zero — partition_agreement matches
+    # (trunc on the one possibly-negative ARI quotient, floor==trunc on the
+    # non-negative rest).
+    return f"""
+WITH pred AS ({_lang_sql()}),
+j AS (SELECT p.lang_pred AS pred, d.lang AS gold
+      FROM pred p JOIN documents d USING (doc_id)),
+cont AS (SELECT pred, gold, CAST(COUNT(*) AS HUGEINT) AS ncg
+         FROM j GROUP BY 1, 2),
+csz AS (SELECT pred, SUM(ncg) AS nc FROM cont GROUP BY 1),
+gsz AS (SELECT gold, SUM(ncg) AS ng FROM cont GROUP BY 1),
+s AS (SELECT
+  (SELECT SUM(ncg) FROM cont) AS n,
+  (SELECT SUM(ncg * (ncg - 1) // 2) FROM cont) AS pb,
+  (SELECT SUM(nc * (nc - 1) // 2) FROM csz) AS a,
+  (SELECT SUM(ng * (ng - 1) // 2) FROM gsz) AS b,
+  (SELECT SUM(ncg * ncg * 1000000 // nc)
+   FROM cont JOIN csz USING (pred)) AS pn,
+  (SELECT SUM(ncg * ncg * 1000000 // ng)
+   FROM cont JOIN gsz USING (gold)) AS rn)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(pb AS BIGINT) AS pairs_both,
+  CAST(a AS BIGINT) AS pairs_pred,
+  CAST(b AS BIGINT) AS pairs_gold,
+  CAST(pn * 1000000 // (n * 1000000) AS BIGINT) AS b3p_e6,
+  CAST(rn * 1000000 // (n * 1000000) AS BIGINT) AS b3r_e6,
+  CAST(CASE WHEN pn + rn = 0 THEN 0
+       ELSE 2 * pn * rn * 1000000 // ((pn + rn) * n * 1000000)
+       END AS BIGINT) AS b3f_e6,
+  CAST(CASE WHEN (a + b) * (n * (n - 1) // 2) - 2 * a * b = 0 THEN 1000000
+       ELSE 2 * (pb * (n * (n - 1) // 2) - a * b) * 1000000
+            // ((a + b) * (n * (n - 1) // 2) - 2 * a * b)
+       END AS BIGINT) AS ari_e6
+FROM s
+"""
+
+
 def q_tpch_q3_style(sf_dir: str):
     """TPC-H Q3-style 3-table pipeline: filtered customer KEYS broadcast
     semi-join orders (keys-only small side: ~8 B/customer, broadcastable at
@@ -3679,6 +3759,8 @@ QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "bottomk_sample_documents": q_bottomk_sample_documents,
     "dup_passages_documents": q_dup_passages_documents,
+    "dup_ratio_documents": q_dup_ratio_documents,
+    "agreement_lang_id_documents": q_agreement_lang_id_documents,
     "grouped_quantiles_lineitem": q_grouped_quantiles_lineitem,
     "grouped_quantiles_hist_lineitem": q_grouped_quantiles_hist_lineitem,
     "approx_quantiles_lineitem": q_approx_quantiles_lineitem,
@@ -3776,6 +3858,8 @@ ORACLE_SQL = {
     "bm25_topk_documents": SQL_BM25_TOPK_DOCUMENTS,
     "bottomk_sample_documents": SQL_BOTTOMK_SAMPLE_DOCUMENTS,
     "dup_passages_documents": SQL_DUP_PASSAGES_DOCUMENTS,
+    "dup_ratio_documents": SQL_DUP_RATIO_DOCUMENTS,
+    "agreement_lang_id_documents": _sql_agreement_lang_id(),
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "grouped_quantiles_hist_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,

@@ -638,3 +638,71 @@ def dup_passages(ds, *, text_col: str, n: int = 5, min_docs: int = 2,
                                          pa.scalar(min_docs)))
 
     return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_ratio(ds, *, id_col: str, text_col: str, n: int = 5,
+              min_docs: int = 2, num_buckets: int = 64,
+              out_col: str = "dup_e6"):
+    """Per-document duplication ratio: for each doc with >= 1 word n-gram,
+    the fraction (floor-scaled to 1e6) of its DISTINCT n-grams that appear
+    in at least ``min_docs`` distinct documents — the per-doc score
+    training-data pipelines threshold on to drop near-boilerplate docs
+    (the action half of dup_passages; Lee et al. ACL 2022). Docs with zero
+    tokens emit no row (same contract as the SQL twin, which starts from
+    the gram table).
+
+    Plan: per-batch DISTINCT (gram, doc) pairs (a doc's row is never split
+    across batches, so batch-distinct == global-distinct) → one gram-keyed
+    bucketed pass marks each pair's gram as duplicated via segment sizes
+    (np.add.reduceat) → one doc-keyed groupby folds (dup_count, gram_count)
+    → floor-scaled ratio. Two exchanges, both carrying the distinct pair
+    table (proportional to corpus tokens, same class as dup_passages)."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    sch = ds.schema()
+    id_type = getattr(sch, "base_schema", sch).field(id_col).type
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        grams, rows = word_ngram_strings(texts, n)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=id_type)})
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        enc = pc.dictionary_encode(grams)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        u = np.unique(codes * t.num_rows + rows)
+        return pa.table({"gram": enc.dictionary.take(pa.array(u // t.num_rows)),
+                         id_col: ids.take(pa.array(u % t.num_rows))})
+
+    pairs = ds.map_batches(pairs_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_gram(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "dup": pa.array([], type=pa.int64()),
+                             "one": pa.array([], type=pa.int64())})
+        starts = segment_starts(g.column("gram"))
+        sizes = np.add.reduceat(np.ones(g.num_rows, dtype=np.int64), starts)
+        seg_of = np.repeat(np.arange(len(starts)),
+                           np.diff(np.append(starts, g.num_rows)))
+        dup = (sizes[seg_of] >= min_docs).astype(np.int64)
+        return pa.table({id_col: g.column(id_col), "dup": pa.array(dup),
+                         "one": pa.array(np.ones(g.num_rows, dtype=np.int64))})
+
+    flagged = bucketed_group_apply(pairs, "gram", per_gram,
+                                   num_buckets=num_buckets)
+    agg = flagged.groupby(id_col).sum(["dup", "one"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("sum(dup)"), dtype=np.int64)
+        c = np.asarray(t.column("sum(one)"), dtype=np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         out_col: pa.array(d * 1_000_000 // c)})
+
+    return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

@@ -1992,3 +1992,92 @@ def test_dup_passages_known_answer():
                    out.column("n_docs").to_pylist()))
     assert got == {"the quick brown fox jumps": 3,
                    "quick brown fox jumps high": 2}
+
+
+def _naive_agreement(pred, gold, scale=10**6):
+    """Mirror of partition_agreement's integer formulas via dict counting."""
+    from collections import Counter
+    cont = Counter(zip(pred, gold))
+    cs, gs = Counter(pred), Counter(gold)
+    n = len(pred)
+    pn = sum(v * v * scale // cs[p] for (p, _), v in cont.items())
+    rn = sum(v * v * scale // gs[g] for (_, g), v in cont.items())
+    both = sum(v * (v - 1) // 2 for v in cont.values())
+    a = sum(v * (v - 1) // 2 for v in cs.values())
+    b = sum(v * (v - 1) // 2 for v in gs.values())
+    total = n * (n - 1) // 2
+    e6 = 10**6
+    num, den = 2 * (both * total - a * b), (a + b) * total - 2 * a * b
+    if den == 0:
+        ari = e6
+    elif num >= 0:
+        ari = num * e6 // den
+    else:
+        ari = -((-num) * e6 // den)
+    return {"n": n, "pairs_both": both, "pairs_pred": a, "pairs_gold": b,
+            "b3p_e6": pn * e6 // (n * scale), "b3r_e6": rn * e6 // (n * scale),
+            "b3f_e6": (2 * pn * rn * e6 // ((pn + rn) * n * scale)
+                       if pn + rn else 0),
+            "ari_e6": ari}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_agreement_matches_naive():
+    from rel_ray.pipelines.eval import partition_agreement
+
+    rng = np.random.default_rng(11)
+    gold = [f"g{i}" for i in rng.integers(0, 7, 500)]
+    # correlated pred: mostly gold's cluster, 20% scrambled
+    pred = [g if rng.random() < 0.8 else f"g{rng.integers(0, 7)}"
+            for g in gold]
+    t = pa.table({"p": pa.array(pred), "g": pa.array(gold)})
+    out = _collect(partition_agreement(
+        rd.from_arrow(t).repartition(7), pred_col="p", gold_col="g"))
+    got = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert got == _naive_agreement(pred, gold)
+    assert got["ari_e6"] > 200_000  # correlated partitions agree
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_agreement_edge_cases():
+    from rel_ray.pipelines.eval import partition_agreement
+
+    # identical partitions -> perfect scores
+    t = pa.table({"p": pa.array(["a", "a", "b", "c", "c"]),
+                  "g": pa.array(["x", "x", "y", "z", "z"])})
+    out = _collect(partition_agreement(rd.from_arrow(t),
+                                       pred_col="p", gold_col="g"))
+    got = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert (got["b3p_e6"], got["b3r_e6"], got["b3f_e6"], got["ari_e6"]) == (
+        10**6, 10**6, 10**6, 10**6)
+
+    # anti-correlated -> negative ARI, truncation (not floor) semantics
+    pred = ["x", "y", "x", "y", "x"]
+    gold = ["a", "a", "a", "b", "b"]
+    t2 = pa.table({"p": pa.array(pred), "g": pa.array(gold)})
+    out2 = _collect(partition_agreement(rd.from_arrow(t2),
+                                        pred_col="p", gold_col="g"))
+    got2 = {c: out2.column(c)[0].as_py() for c in out2.column_names}
+    exp2 = _naive_agreement(pred, gold)
+    assert got2 == exp2
+    assert got2["ari_e6"] < 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ratio_known_answer():
+    from rel_ray.stages.dedup import dup_ratio
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps high",   # both grams duplicated
+            "see the quick brown fox jumps",    # 1 of 2 duplicated
+            "the quick brown fox jumps high",   # exact dup of d1
+            "totally unrelated little text here",  # unique gram
+            "   ",                              # no tokens -> no row
+        ])})
+    out = _collect(dup_ratio(rd.from_arrow(docs), id_col="doc_id",
+                             text_col="text", n=5, min_docs=2))
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("dup_e6").to_pylist()))
+    assert got == {1: 10**6, 2: 500_000, 3: 10**6, 4: 0}
