@@ -480,3 +480,125 @@ def partition_agreement(ds, *, pred_col: str, gold_col: str,
                            type=pa.int64()),
         "ari_e6": pa.array([ari], type=pa.int64()),
     })
+
+
+def fellegi_sunter_em(features, *, feature_cols=("sim_jaccard", "sim_jw",
+                                                 "sim_emb"),
+                      cuts=(0.5, 0.88), iters: int = 200,
+                      init_lambda: float = 0.1, smooth: float = 0.5,
+                      tol: float = 1e-10) -> pa.Table:
+    """Unsupervised Fellegi-Sunter match/unmatch weight training via EM
+    (Fellegi & Sunter JASA 1969; the estimation procedure popularized by
+    Winkler 1988 and implemented by Splink) — the classic entity-resolution
+    parameter-learning op, and the unsupervised sibling of
+    ``train_pair_weights`` (REL's supervised LR training analog).
+
+    Input: a Dataset of CANDIDATE pairs (blocking output — unlabeled) with
+    similarity feature columns in [0, 1]. Each feature is discretized into
+    ``len(cuts)+1`` agreement levels; under the standard conditional-
+    independence model the pair likelihood is a two-component mixture
+    (match rate ``lambda``) of per-feature categorical distributions m / u.
+
+    Distributed shape: EM's sufficient statistic is just the count of every
+    agreement PATTERN (level tuple), so the whole algorithm is ONE streaming
+    pass — per-batch pattern-code counts (mixed-radix int, np.unique) → one
+    skinny groupby sized by DISTINCT patterns (≤ levels^features, e.g. 27),
+    never rows → the EM fixpoint runs driver-side on that tiny contingency.
+    Nothing else leaves the workers; iteration count costs no extra passes.
+
+    Identifiability caveat (documented, asserted): with d features and L
+    levels the model has 1 + 2·d·(L−1) free parameters against L^d − 1
+    observable cells — d ≥ 3 binary features (or 2 features × 3 levels is
+    NOT enough) is the classic requirement; callers get an assertion error
+    rather than a silently unidentified fit. Component orientation is fixed
+    deterministically: the component whose expected agreement level is
+    higher is 'match' (EM is label-symmetric; without this the m/u roles
+    can swap between runs).
+
+    Returns one row per (feature, level): m_prob, u_prob, the
+    log2(m/u) match weight, plus lambda / n_pairs / em_iters (constant
+    columns). Rows-only correctness check (float fixpoint); the planted-
+    mixture recovery guarantee is pinned in tests.
+    """
+    cuts_arr = np.asarray(cuts, dtype=np.float64)
+    L = len(cuts_arr) + 1
+    d = len(feature_cols)
+    if (L ** d - 1) < 1 + 2 * d * (L - 1):
+        raise ValueError(
+            f"Fellegi-Sunter model with {d} features x {L} levels is not "
+            "identifiable (fewer observable cells than parameters); use "
+            "more features or levels")
+    radix = np.array([L ** f for f in range(d)], dtype=np.int64)
+
+    def pattern_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pattern": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        code = np.zeros(t.num_rows, dtype=np.int64)
+        for f, c in enumerate(feature_cols):
+            x = np.asarray(t.column(c), dtype=np.float64)
+            code += np.searchsorted(cuts_arr, x, side="left") * radix[f]
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table({"pattern": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    from ..functions.rayutil import collect_table
+
+    cont = collect_table(
+        features.map_batches(pattern_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).groupby("pattern").sum("n"),
+        pa.schema([("pattern", pa.int64()), ("sum(n)", pa.int64())]))
+    if cont.num_rows == 0:
+        raise ValueError("fellegi_sunter_em: empty input")
+    pats = np.asarray(cont.column("pattern"), dtype=np.int64)
+    cnt = np.asarray(cont.column("sum(n)"), dtype=np.float64)
+    n_pairs = float(cnt.sum())
+    # lvl[i, f] = agreement level of pattern i on feature f
+    lvl = (pats[:, None] // radix[None, :]) % L
+
+    # deterministic monotone init: match mass tilted to high levels,
+    # unmatch to low — breaks label symmetry from the first E-step
+    m = np.tile((np.arange(L) + 1.0) / (L * (L + 1) / 2), (d, 1))
+    u = m[:, ::-1].copy()
+    lam = float(init_lambda)
+    it = 0
+    for it in range(1, iters + 1):
+        logm = np.log(m[np.arange(d)[None, :], lvl]).sum(axis=1)
+        logu = np.log(u[np.arange(d)[None, :], lvl]).sum(axis=1)
+        # responsibilities via the stable logistic of the log-odds
+        z = np.log(lam) - np.log1p(-lam) + logm - logu
+        r = 1.0 / (1.0 + np.exp(-z))
+        wm = r * cnt
+        wu = cnt - wm
+        m_new = np.empty_like(m)
+        u_new = np.empty_like(u)
+        for f in range(d):
+            sm = np.bincount(lvl[:, f], weights=wm, minlength=L) + smooth
+            su = np.bincount(lvl[:, f], weights=wu, minlength=L) + smooth
+            m_new[f] = sm / sm.sum()
+            u_new[f] = su / su.sum()
+        lam_new = min(max(wm.sum() / n_pairs, 1e-9), 1 - 1e-9)
+        delta = max(abs(lam_new - lam), float(np.abs(m_new - m).max()),
+                    float(np.abs(u_new - u).max()))
+        m, u, lam = m_new, u_new, lam_new
+        if delta < tol:
+            break
+    # orient: 'match' is the component with the higher expected level
+    levels = np.arange(L, dtype=np.float64)
+    if float(((m - u) @ levels).sum()) < 0:
+        m, u, lam = u, m, 1.0 - lam
+
+    feat_rep = np.repeat(np.arange(d), L)
+    lvl_rep = np.tile(np.arange(L), d)
+    return pa.table({
+        "feature": pa.array([feature_cols[f] for f in feat_rep],
+                            type=pa.string()),
+        "level": pa.array(lvl_rep, type=pa.int64()),
+        "m_prob": pa.array(m[feat_rep, lvl_rep]),
+        "u_prob": pa.array(u[feat_rep, lvl_rep]),
+        "weight_log2": pa.array(np.log2(m[feat_rep, lvl_rep]
+                                        / u[feat_rep, lvl_rep])),
+        "lambda_match": pa.array(np.full(d * L, lam)),
+        "n_pairs": pa.array(np.full(d * L, int(n_pairs), dtype=np.int64)),
+        "em_iters": pa.array(np.full(d * L, it, dtype=np.int64)),
+    })

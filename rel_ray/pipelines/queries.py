@@ -3474,6 +3474,89 @@ FROM pairs p JOIN gc USING (gram) GROUP BY 1
 """
 
 
+def q_drop_boilerplate_documents(sf_dir: str):
+    """Boilerplate drop: keep documents whose dup_ratio <= 0.35 (floor e6),
+    token-less docs kept — dup_ratio's two skinny exchanges + the bucketed
+    anti join (stages/dedup.py::drop_high_dup_ratio; the threshold-apply
+    half of Lee et al. ACL 2022). Value-exact vs DuckDB."""
+    from ..stages.dedup import drop_high_dup_ratio
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    kept = drop_high_dup_ratio(ds, id_col="doc_id", text_col="text",
+                               n=5, min_docs=2, max_dup_e6=350_000)
+    return kept.map_batches(lambda t: t.select(["doc_id"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DROP_BOILERPLATE_DOCUMENTS = rf"""
+WITH {_SQL_GRAMS},
+pairs AS (SELECT DISTINCT doc_id, gram FROM grams),
+gc AS (SELECT gram, COUNT(*) AS d FROM pairs GROUP BY 1),
+score AS (
+  SELECT p.doc_id,
+         CAST(SUM(CASE WHEN gc.d >= 2 THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) AS BIGINT) AS dup_e6
+  FROM pairs p JOIN gc USING (gram) GROUP BY 1)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM score WHERE dup_e6 > 350000)
+"""
+
+
+def q_heavy_hitters_exact_documents(sf_dir: str):
+    """EXACT phi-heavy hitters (phi=1/64) over document tokens: Misra-Gries
+    candidates → exact recount → HAVING cnt*64 > N
+    (stages/sketches.py::heavy_hitters_exact — two streaming passes, no
+    token shuffle). The value-exact sibling of the rows-only MG/CMS sketch
+    queries."""
+    from ..stages.sketches import heavy_hitters_exact
+
+    ds = _pq(sf_dir, "documents", ["text"])
+    return heavy_hitters_exact(ds, text_col="text", k=64)
+
+
+SQL_HEAVY_HITTERS_EXACT_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS token FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks, tot
+GROUP BY token, tot.n
+HAVING count(*) * 64 > tot.n
+"""
+
+
+def q_semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): out-of-core
+    k-means blocks → within-cluster cosine >= 0.99 verify → connected
+    components (stages/similarity.py::semantic_dedup). Rows-only
+    (k-means blocking); planted-duplicate recovery and the LSH-path
+    equivalence on verified pairs are pinned in tests."""
+    from ..stages.similarity import semantic_dedup
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold=0.99, n_clusters=8, iters=4)
+
+
+def q_fellegi_sunter_transcripts(sf_dir: str):
+    """UNSUPERVISED Fellegi-Sunter m/u/lambda estimation via EM over the
+    flagship's blocking candidates (pipelines/eval.py::fellegi_sunter_em;
+    Fellegi & Sunter 1969, Winkler 1988 — the Splink-style ER parameter
+    learner, the unsupervised sibling of train_pair_scorer). The JW gate is
+    disabled (threshold=0) so the sim features are ungated; EM's only
+    distributed work is ONE pattern-count pass. Rows-only (float fixpoint);
+    planted-mixture recovery is pinned in tests."""
+    import dataclasses
+
+    from .eval import fellegi_sunter_em
+    from .linkage import run_linkage
+
+    ungated = dataclasses.replace(CFG, threshold=0.0)
+    out = run_linkage(transcripts_from_events(sf_dir), ungated)
+    return fellegi_sunter_em(
+        out["edges"], feature_cols=("sim_jaccard", "sim_jw", "sim_emb"),
+        cuts=(0.5, 0.88))
+
+
 def q_agreement_lang_id_documents(sf_dir: str):
     """Partition-agreement eval of the lang-ID classifier: B-cubed P/R/F1
     (Bagga & Baldwin '98, THE standard entity-resolution cluster metric)
@@ -3801,6 +3884,10 @@ QUERIES = {
     "blocking_metrics_transcripts": q_blocking_metrics,
     "entity_summary_transcripts": q_entity_summary,
     "train_pair_scorer_transcripts": q_train_pair_scorer,
+    "fellegi_sunter_transcripts": q_fellegi_sunter_transcripts,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "heavy_hitters_exact_documents": q_heavy_hitters_exact_documents,
+    "drop_boilerplate_documents": q_drop_boilerplate_documents,
     "best_match_per_record": q_best_match_per_record,
     "conversation_windows": q_conversation_windows,
     "decontaminate_documents": q_decontaminate_documents,
@@ -3859,6 +3946,8 @@ ORACLE_SQL = {
     "bottomk_sample_documents": SQL_BOTTOMK_SAMPLE_DOCUMENTS,
     "dup_passages_documents": SQL_DUP_PASSAGES_DOCUMENTS,
     "dup_ratio_documents": SQL_DUP_RATIO_DOCUMENTS,
+    "drop_boilerplate_documents": SQL_DROP_BOILERPLATE_DOCUMENTS,
+    "heavy_hitters_exact_documents": SQL_HEAVY_HITTERS_EXACT_DOCUMENTS,
     "agreement_lang_id_documents": _sql_agreement_lang_id(),
     "grouped_quantiles_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "grouped_quantiles_hist_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,

@@ -706,3 +706,33 @@ def dup_ratio(ds, *, id_col: str, text_col: str, n: int = 5,
                          out_col: pa.array(d * 1_000_000 // c)})
 
     return agg.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def drop_high_dup_ratio(ds, *, id_col: str, text_col: str, n: int = 5,
+                        min_docs: int = 2, max_dup_e6: int = 500_000,
+                        num_buckets: int = 64):
+    """Boilerplate drop — the ACTION half of ``dup_ratio`` (Lee et al. ACL
+    2022 apply the threshold the score half computes): keep every document
+    whose duplication ratio is <= ``max_dup_e6`` (floor-scaled 1e6).
+    Documents with zero word n-grams have no score row and are KEPT (nothing
+    to judge them on), which is why the filter is an ANTI join against the
+    DROPPED id set rather than a semi join against survivors.
+
+    Scale shape: dup_ratio's two bucketed exchanges produce a skinny
+    (id, dup_e6) table; the over-threshold ids feed the engine's bucketed
+    semi/anti join (right side reduced to distinct keys per batch) — the
+    full documents never shuffle. Output schema == input schema.
+    """
+    from .joins import semi_anti_join
+
+    scores = dup_ratio(ds, id_col=id_col, text_col=text_col, n=n,
+                       min_docs=min_docs, num_buckets=num_buckets)
+    thr = int(max_dup_e6)
+
+    def over(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("dup_e6"), thr)).select([id_col])
+
+    dropped = scores.map_batches(over, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return semi_anti_join(ds, dropped, key=id_col, anti=True,
+                          num_buckets=num_buckets)

@@ -213,9 +213,6 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, n_planes: int = 8,
     pairs per block); nothing is dropped silently — pair-count reduction vs
     all-pairs is reported through `counters` (rayutil.DropCounter).
     """
-    from ..functions.rayutil import bucketed_group_apply, segment_starts
-    from .pairs import window_pair_indices
-
     if dim is None:
         first = ds.take_batch(1, batch_format="pyarrow")
         dim = len(first.column(vec_col)[0].as_py())
@@ -242,6 +239,24 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, n_planes: int = 8,
 
     blocks = ds.map_batches(explode, batch_format="pyarrow",
                             zero_copy_batch=True)
+    return _cosine_block_cc(
+        ds, blocks, threshold=threshold, window=window,
+        max_pairs_per_block=max_pairs_per_block, id_col=id_col, cfg=cfg,
+        num_partitions=num_partitions, counters=counters,
+        counter_name="embedding_lsh_pairs_windowed_away")
+
+
+def _cosine_block_cc(ds, blocks, *, threshold: float, window: int,
+                     max_pairs_per_block: int, id_col: str,
+                     cfg: PipelineConfig, num_partitions: int,
+                     counters=None, counter_name: str = "pairs_windowed_away"):
+    """Shared back half of the embedding near-dup family: a `blocks` dataset
+    (block_key, record_id, vec float32 list) → windowed in-block candidate
+    pairs → exact cosine ≥ τ verify → pair dedup → connected components with
+    singletons attached. Used by both the sign-LSH (`embedding_near_dup`)
+    and the k-means (`semantic_dedup`) blocking fronts."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+    from .pairs import window_pair_indices
 
     def _empty_edges() -> pa.Table:
         return pa.table({"id_a": pa.array([], type=pa.string()),
@@ -269,7 +284,7 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, n_planes: int = 8,
             xs_all.append(s + xs)
             ys_all.append(s + ys)
         if windowed_away > 0 and counters is not None:
-            counters.add("embedding_lsh_pairs_windowed_away", windowed_away)
+            counters.add(counter_name, windowed_away)
         xi = np.concatenate(xs_all)
         yi = np.concatenate(ys_all)
         sims = np.einsum("ij,ij->i", mat[xi], mat[yi])
@@ -299,6 +314,81 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, n_planes: int = 8,
                               include_singletons=False)
     return attach_singleton_clusters(ds, id_col, cc, cfg=cfg,
                                      num_partitions=num_partitions)
+
+
+def semantic_dedup(ds, *, threshold: float = 0.92, n_clusters: int = 32,
+                   iters: int = 6, id_col: str = "vec_id",
+                   vec_col: str = "embedding", num_partitions: int = 8,
+                   cfg: PipelineConfig = DEFAULT_CONFIG, window: int = 64,
+                   max_pairs_per_block: int = 4096, counters=None):
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv
+    2303.09540): k-means over L2-normalized embeddings partitions the space,
+    then near-duplicates are resolved WITHIN clusters only — cosine ≥ τ
+    verify → connected components → (record_id, cluster_id), min-id
+    survivor rule downstream, identical output contract to
+    ``embedding_near_dup``.
+
+    Versus the sign-LSH front: k-means blocks adapt to the data's density
+    (LSH planes are data-oblivious), at the price of the centroid-training
+    passes. Blocking is ONE partition per point (no multi-table union), so
+    recall across a cluster boundary is 0 by construction — the published
+    trade-off; raise ``n_clusters`` slower than O(n) so clusters stay big
+    enough, or use ``embedding_near_dup`` when boundary recall matters.
+
+    Scale shape: centroids come from the existing out-of-core ``kmeans``
+    (per-batch partial sums; deterministic maximin init), ride to workers as
+    ONE broadcast object; assignment+explode is a single stateless pass, and
+    the pair/verify/CC back half is the same bucketed machinery as the LSH
+    path (`_cosine_block_cc`) — no all-pairs blowup, windowed caps counted
+    via ``counters``."""
+    from ..functions.rayutil import get_broadcast
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column(vec_col)[0].as_py())
+
+    def normalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.string()),
+                vec_col: pa.array([], type=pa.list_(pa.float32(), dim)),
+            })
+        m = _l2_normalize(_embedding_matrix(t, vec_col)).astype(np.float32)
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.string()),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), dim),
+        })
+
+    normed = ds.map_batches(normalize, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    _, cents, _ = kmeans(normed, n_clusters=n_clusters, iters=iters,
+                         id_col=id_col, vec_col=vec_col)
+    c_ref = ray.put(_l2_normalize(np.asarray(cents, dtype=np.float64))
+                    .astype(np.float32))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "block_key": pa.array([], type=pa.int64()),
+                "record_id": pa.array([], type=pa.string()),
+                "vec": pa.array([], type=pa.list_(pa.float32(), dim)),
+            })
+        C = get_broadcast(c_ref)
+        m = _embedding_matrix(batch, vec_col).astype(np.float32)
+        assign = np.argmax(m @ C.T, axis=1).astype(np.int64)
+        return pa.table({
+            "block_key": pa.array(assign),
+            "record_id": pc.cast(batch.column(id_col), pa.string()),
+            "vec": batch.column(vec_col),
+        })
+
+    blocks = normed.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return _cosine_block_cc(
+        normed, blocks, threshold=threshold, window=window,
+        max_pairs_per_block=max_pairs_per_block, id_col=id_col, cfg=cfg,
+        num_partitions=num_partitions, counters=counters,
+        counter_name="semantic_dedup_pairs_windowed_away")
 
 
 # ---------------------------------------------------------------------------

@@ -541,3 +541,67 @@ def fold_grid_partials(parts, *, col: str, op: str = "sum",
             else:
                 acc |= a
     return acc
+
+
+def heavy_hitters_exact(ds, *, text_col: str, k: int = 64,
+                        token_pattern: str = "[a-z]+") -> pa.Table:
+    """EXACT phi-heavy hitters (phi = 1/k): every token whose count exceeds
+    N/k, with its exact count — deterministic, no sketch error, and still
+    never a token-keyed shuffle. Two streaming passes:
+
+    1. Misra-Gries (``heavy_hitter_terms``) produces a <= k-entry CANDIDATE
+       hash set; MG's no-lost-heavy-hitter guarantee (est error <= N/k)
+       means every true heavy hitter is in it.
+    2. Exact recount: each batch tokenizes vectorized, keeps only candidate
+       tokens (np.isin against the <= k-hash closure array) and emits
+       per-batch (token, cnt) partials plus ONE null-token row carrying the
+       batch's total token count; the driver folds O(k x batches) skinny
+       rows and filters cnt * k > N.
+
+    The output is SQL-exact (GROUP BY token HAVING count(*) * k > total) —
+    the value-checkable sibling of the rows-only MG/CMS queries; hash
+    collisions in pass 1 only ever ADD candidates (recount is by string).
+    `ds` is read twice — pass a materialized dataset if upstream is
+    expensive. Returns a driver-side table (token, cnt), cnt desc.
+    """
+    from ..functions.normalize import extract_all_matches
+    from ..functions.shingles import string_hash_u64
+
+    cand = heavy_hitter_terms(ds, text_col=text_col, k=k,
+                              token_pattern=token_pattern)
+    cand_hashes = np.asarray(cand.column("token_hash"), dtype=np.uint64)
+
+    def recount(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(extract_all_matches(col, token_pattern))
+        total = len(toks)
+        tokens: list = [None]
+        counts: list = [total]
+        if total:
+            h = string_hash_u64(toks)
+            mask = np.isin(h, cand_hashes)
+            if mask.any():
+                vc = pc.value_counts(toks.filter(pa.array(mask)))
+                tokens = vc.field("values").to_pylist() + tokens
+                counts = vc.field("counts").to_pylist() + counts
+        return pa.table({"token": pa.array(tokens, type=pa.string()),
+                         "c": pa.array(counts, type=pa.int64())})
+
+    parts = [pa.table(b) for b in
+             ds.map_batches(recount, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow")]
+    folded = pa.concat_tables([p for p in parts if p.num_rows]) if parts \
+        else pa.table({"token": pa.array([], type=pa.string()),
+                       "c": pa.array([], type=pa.int64())})
+    null_mask = pc.is_null(folded.column("token"))
+    n_total = int(pc.sum(folded.filter(null_mask).column("c")).as_py() or 0)
+    named = folded.filter(pc.invert(null_mask))
+    agg = named.group_by("token").aggregate([("c", "sum")])
+    cnt = pc.cast(agg.column("c_sum"), pa.int64())
+    keep = pc.greater(pc.multiply(cnt, pa.scalar(k, type=pa.int64())),
+                      pa.scalar(n_total, type=pa.int64()))
+    out = pa.table({"token": agg.column("token"), "cnt": cnt}).filter(keep)
+    return out.sort_by([("cnt", "descending"), ("token", "ascending")])

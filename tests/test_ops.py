@@ -2081,3 +2081,133 @@ def test_dup_ratio_known_answer():
     got = dict(zip(out.column("doc_id").to_pylist(),
                    out.column("dup_e6").to_pylist()))
     assert got == {1: 10**6, 2: 500_000, 3: 10**6, 4: 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_exact_matches_naive():
+    from rel_ray.stages.sketches import heavy_hitters_exact
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i:03d}" for i in range(200)]
+    # zipf-ish: token 0 very frequent, long tail
+    weights = 1.0 / (np.arange(1, 201) ** 1.3)
+    weights /= weights.sum()
+    words = rng.choice(vocab, size=20_000, p=weights)
+    docs = [" ".join(words[i:i + 40]) for i in range(0, len(words), 40)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    k = 32
+    out = heavy_hitters_exact(ds, text_col="text", k=k,
+                              token_pattern="[a-z0-9]+")
+    # naive reference
+    from collections import Counter
+    import re
+    c = Counter()
+    for d in docs:
+        c.update(re.findall("[a-z0-9]+", d))
+    n = sum(c.values())
+    want = sorted(((t, m) for t, m in c.items() if m * k > n),
+                  key=lambda x: (-x[1], x[0]))
+    got = list(zip(out.column("token").to_pylist(),
+                   out.column("cnt").to_pylist()))
+    assert got == want
+    assert len(want) >= 3  # the fixture actually exercises the filter
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drop_high_dup_ratio_keeps_tokenless_and_drops_boilerplate():
+    from rel_ray.stages.dedup import drop_high_dup_ratio
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    texts = [
+        boiler,                                            # 0: pure boilerplate
+        boiler + " extra words here",                      # 1: mostly boilerplate
+        "a genuinely unique document about arrow compute kernels and rays",
+        "another unique document concerning entity resolution at scale",
+        "",                                                # 4: token-less -> kept
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = _collect(drop_high_dup_ratio(
+        rd.from_arrow(t), id_col="doc_id", text_col="text", n=5,
+        min_docs=2, max_dup_e6=500_000))
+    kept = sorted(out.column("doc_id").to_pylist())
+    # doc 0's single 5-gram window set is fully shared with doc 1 -> both
+    # docs' shared grams are duplicated; doc 0 is 100% dup, doc 1 partially
+    assert 0 not in kept
+    assert 2 in kept and 3 in kept and 4 in kept
+    # schema preserved
+    assert out.column_names == ["doc_id", "text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_recovers_planted_duplicates():
+    from rel_ray.stages.similarity import semantic_dedup
+    rng = np.random.default_rng(5)
+    dim = 16
+    base = rng.normal(size=(40, dim))
+    vecs = [v for v in base]
+    ids = [f"v{i:03d}" for i in range(len(base))]
+    # plant near-duplicates of the first 6 vectors (tiny perturbation)
+    for i in range(6):
+        vecs.append(base[i] + rng.normal(scale=1e-4, size=dim))
+        ids.append(f"dup{i:03d}")
+    mat = np.asarray(vecs)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), dim),
+    })
+    out = _collect(semantic_dedup(
+        rd.from_arrow(t), threshold=0.999, n_clusters=4, iters=4,
+        id_col="vec_id", vec_col="embedding"))
+    cl = dict(zip(out.column("record_id").to_pylist(),
+                  out.column("cluster_id").to_pylist()))
+    assert len(cl) == len(ids)  # every record assigned (singletons included)
+    for i in range(6):
+        # planted dup lands in the SAME cluster as its source (same kmeans
+        # cell by construction: cosine ~1 -> same argmax centroid)
+        assert cl[f"dup{i:03d}"] == cl[f"v{i:03d}"]
+    # non-duplicated records are singletons: cluster sizes are 2 for planted
+    # pairs, 1 elsewhere
+    from collections import Counter
+    sizes = Counter(cl.values())
+    assert sorted(sizes.values(), reverse=True)[:6] == [2] * 6
+    assert max(sizes.values()) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fellegi_sunter_em_recovers_planted_mixture():
+    from rel_ray.pipelines.eval import fellegi_sunter_em
+    rng = np.random.default_rng(7)
+    n = 60_000
+    lam = 0.22
+    L = 3
+    reps = np.array([0.2, 0.7, 0.95])  # representative value per level
+    m_planted = np.array([[0.05, 0.15, 0.80],
+                          [0.10, 0.20, 0.70],
+                          [0.15, 0.25, 0.60]])
+    u_planted = np.array([[0.70, 0.20, 0.10],
+                          [0.60, 0.30, 0.10],
+                          [0.55, 0.35, 0.10]])
+    z = rng.random(n) < lam
+    cols = {}
+    for f in range(3):
+        lvl_m = rng.choice(L, size=n, p=m_planted[f])
+        lvl_u = rng.choice(L, size=n, p=u_planted[f])
+        cols[f"f{f}"] = reps[np.where(z, lvl_m, lvl_u)]
+    ds = rd.from_arrow(pa.table({k: pa.array(v) for k, v in cols.items()}))
+    out = fellegi_sunter_em(ds, feature_cols=("f0", "f1", "f2"),
+                            cuts=(0.5, 0.88))
+    lam_hat = out.column("lambda_match")[0].as_py()
+    assert abs(lam_hat - lam) < 0.05
+    m_hat = np.asarray(out.column("m_prob")).reshape(3, L)
+    u_hat = np.asarray(out.column("u_prob")).reshape(3, L)
+    assert np.abs(m_hat - m_planted).max() < 0.08
+    assert np.abs(u_hat - u_planted).max() < 0.08
+    # match weights are monotone in agreement level for every feature
+    w = np.asarray(out.column("weight_log2")).reshape(3, L)
+    assert (np.diff(w, axis=1) > 0).all()
+
+
+def test_fellegi_sunter_em_rejects_unidentifiable():
+    from rel_ray.pipelines.eval import fellegi_sunter_em
+    with pytest.raises(ValueError, match="identifiable"):
+        fellegi_sunter_em(None, feature_cols=("a", "b"), cuts=(0.5, 0.88))
