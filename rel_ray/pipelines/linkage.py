@@ -253,6 +253,28 @@ def _coref_edges_cogroup(records, *, num_buckets: int = 64):
         num_buckets=num_buckets, sort_cols=[("side", "ascending")])
 
 
+def _match_filtered(edges, match_rule):
+    """(matched, matched_scored) edge views under the match decision.
+
+    ``match_rule`` is the linkage's DECISION seam: None keeps the scorer's
+    ``is_match`` column (score >= cfg.threshold); otherwise it is a factory
+    called ONCE with the materialized edges dataset (it may run its own
+    passes, e.g. the Fellegi-Sunter EM fit in eval.fs_match_rule) and must
+    return a per-batch boolean-filter fn over the edge columns."""
+    if match_rule is None:
+        def fltr(t: pa.Table):
+            return t.column("is_match")
+    else:
+        fltr = match_rule(edges)
+    matched = edges.map_batches(
+        lambda t: t.filter(fltr(t)).select(["id_a", "id_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    matched_scored = edges.map_batches(
+        lambda t: t.filter(fltr(t)).select(["id_a", "id_b", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return matched, matched_scored
+
+
 def run_linkage(
     transcripts,
     cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -261,6 +283,7 @@ def run_linkage(
     broadcast_max_rows: int = 2_000_000,
     scorer=None,
     scorer_kwargs: dict | None = None,
+    match_rule=None,
 ):
     """Returns dict of lazily-composed Datasets:
     records / pairs / edges / clusters.
@@ -268,6 +291,9 @@ def run_linkage(
     ``scorer``/``scorer_kwargs``: optional protocols.PairScorer plug-in
     class forwarded to scoring_stage (actor-pool scheduled — model load
     once per actor); see rel_ray/examples/model_scorer.py.
+    ``match_rule``: optional match-DECISION plug-in replacing the fixed
+    score-threshold rule — see ``_match_filtered`` and
+    ``eval.fs_match_rule`` (the unsupervised Fellegi-Sunter decision).
 
     Broadcast fast path (mention vocabulary ≤ broadcast_max_rows, the normal
     case after exact pre-clustering): the rep map (mention_norm → min
@@ -313,7 +339,8 @@ def run_linkage(
         return _run_linkage_cogroup(records0, turns, cfg, num_partitions,
                                     broadcast_max_rows=broadcast_max_rows,
                                     scorer=scorer,
-                                    scorer_kwargs=scorer_kwargs)
+                                    scorer_kwargs=scorer_kwargs,
+                                    match_rule=match_rule)
 
     from ..functions.rayutil import (collect_table, dict_lookup,
                                      get_broadcast, get_broadcast_dict)
@@ -385,13 +412,7 @@ def run_linkage(
         pairs = pairs.map_batches(_decode_pairs, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    matched = edges.map_batches(
-        lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    matched_scored = edges.map_batches(
-        lambda t: t.filter(t.column("is_match")).select(
-            ["id_a", "id_b", "score"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    matched, matched_scored = _match_filtered(edges, match_rule)
 
     def coref_resolve(t: pa.Table) -> pa.Table:
         rows = t.filter(pc.not_equal(t.column("coref_prev_mn"), ""))
@@ -452,7 +473,8 @@ def run_linkage(
 def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
                          num_partitions: int, *,
                          broadcast_max_rows: int = 2_000_000,
-                         scorer=None, scorer_kwargs: dict | None = None):
+                         scorer=None, scorer_kwargs: dict | None = None,
+                         match_rule=None):
     """Shuffle-based path for mention vocabularies too large to broadcast.
 
     Driver-free end to end: the rep→cluster + confidence merge runs as a
@@ -477,13 +499,7 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
     edges = scoring_stage(pairs, cfg, scorer=scorer,
                           scorer_kwargs=scorer_kwargs).materialize()
 
-    matched = edges.map_batches(
-        lambda t: t.filter(t.column("is_match")).select(["id_a", "id_b"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    matched_scored = edges.map_batches(
-        lambda t: t.filter(t.column("is_match")).select(
-            ["id_a", "id_b", "score"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    matched, matched_scored = _match_filtered(edges, match_rule)
     all_edges = matched.union(_coref_edges(
         records, reps, num_partitions,
         broadcast_max_rows=broadcast_max_rows,

@@ -3554,7 +3554,26 @@ def q_fellegi_sunter_transcripts(sf_dir: str):
     out = run_linkage(transcripts_from_events(sf_dir), ungated)
     return fellegi_sunter_em(
         out["edges"], feature_cols=("sim_jaccard", "sim_jw", "sim_emb"),
-        cuts=(0.5, 0.88))
+        cuts=(0.3, 0.5, 0.7, 0.9))
+
+
+def q_linkage_em_transcripts(sf_dir: str):
+    """END-TO-END UNSUPERVISED linkage: the flagship pipeline with the
+    match decision LEARNED by Fellegi-Sunter EM instead of the fixed
+    weighted-score threshold (run_linkage's ``match_rule`` seam +
+    eval.fs_match_rule — fit is one pattern-count pass over the candidate
+    edges, decision is a posterior pattern filter). Rows-only (LSH + EM
+    fixpoint); the F1 >= 0.98 / precision >= 0.999 gate vs labels is pinned
+    in tests/test_pipeline.py::test_fs_em_match_rule_f1_gate."""
+    import dataclasses
+
+    from .eval import fs_match_rule
+    from .linkage import run_linkage
+
+    ungated = dataclasses.replace(CFG, threshold=0.0)
+    out = run_linkage(transcripts_from_events(sf_dir), ungated,
+                      match_rule=fs_match_rule())
+    return out["clusters"]
 
 
 def q_agreement_lang_id_documents(sf_dir: str):
@@ -3885,6 +3904,7 @@ QUERIES = {
     "entity_summary_transcripts": q_entity_summary,
     "train_pair_scorer_transcripts": q_train_pair_scorer,
     "fellegi_sunter_transcripts": q_fellegi_sunter_transcripts,
+    "linkage_em_transcripts": q_linkage_em_transcripts,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "heavy_hitters_exact_documents": q_heavy_hitters_exact_documents,
     "drop_boilerplate_documents": q_drop_boilerplate_documents,
