@@ -45,6 +45,7 @@ co-group fallback instead of silently OOMing workers.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -221,3 +222,69 @@ def incremental_link(
     assignments = records0.map_batches(assign, batch_format="pyarrow",
                                        zero_copy_batch=True)
     return {"records": records0, "edges": edges, "assignments": assignments}
+
+
+def merge_entity_stores(store_a, store_b, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        *, num_partitions: int = 8, num_buckets: int = 64,
+                        broadcast_max_rows: int = 2_000_000):
+    """Merge two frozen entity stores (mention_norm, cluster_id) into one.
+
+    A surface form present in BOTH stores is evidence its two cluster ids
+    name the same real-world entity, so the merge is connected components
+    over cluster ids with shared-form bridge edges (the store-level analog
+    of the flagship's exact pre-cluster step; REL parity: combining two
+    wiki-version p(e|m) stores). The merged id is the component MINIMUM —
+    the engine-wide survivor rule, which keeps the merge idempotent
+    (merge(a, a) == a) and associative up to id choice.
+
+    Scale shape: one bucketed pass over the unioned stores emits star
+    bridge edges (head -> other ids per shared form, vectorized via
+    segment heads); CC runs on the skinny cluster-id graph (edges <= rows
+    of the smaller store); the final remap reuses expand_clusters — Arrow
+    broadcast under `broadcast_max_rows`, bucketed co-group above it.
+    Nothing document-sized ever shuffles.
+    """
+    from ..functions.rayutil import (bucketed_group_apply, grouped_min,
+                                     segment_starts)
+    from ..stages.clustering import connected_components, expand_clusters
+
+    union = store_a.union(store_b)
+
+    def bridge(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string())})
+        starts = segment_starts(g.column("mention_norm"))
+        seg_of = np.repeat(np.arange(len(starts)),
+                           np.diff(np.append(starts, n)))
+        cl = g.column("cluster_id")
+        if isinstance(cl, pa.ChunkedArray):
+            cl = cl.combine_chunks()
+        head = cl.take(pa.array(starts[seg_of]))
+        keep = pc.not_equal(head, cl)
+        return pa.table({"id_a": head.filter(keep), "id_b": cl.filter(keep)})
+
+    edges = bucketed_group_apply(union, "mention_norm", bridge,
+                                 num_buckets=num_buckets,
+                                 sort_cols=[("cluster_id", "ascending")])
+    nodes = union.map_batches(
+        lambda t: pa.table({"record_id": t.column("cluster_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cc = connected_components(nodes, edges, cfg, num_partitions,
+                              include_singletons=False)
+    as_members = union.map_batches(
+        lambda t: pa.table({"record_id": t.column("mention_norm"),
+                            "rep_id": t.column("cluster_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    mapped = expand_clusters(as_members, cc, num_partitions,
+                             num_buckets=num_buckets,
+                             broadcast_max_rows=broadcast_max_rows)
+    renamed = mapped.map_batches(
+        lambda t: pa.table({"mention_norm": t.column("record_id"),
+                            "cluster_id": t.column("cluster_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # a form present in both stores now carries the same merged id twice;
+    # grouped_min is pure dedup at that point
+    return grouped_min(renamed, "mention_norm", "cluster_id",
+                       num_buckets=num_buckets)

@@ -1646,6 +1646,36 @@ def q_incremental_link(sf_dir: str):
     return incremental_link(new_tr, store, CFG)["assignments"]
 
 
+def q_merge_stores_transcripts(sf_dir: str):
+    """Entity-store MERGE (pipelines/incremental.py::merge_entity_stores):
+    resolve the two corpus halves independently into frozen stores, then
+    merge — shared surface forms bridge cluster ids, connected components
+    over the skinny id graph pick the min-id survivor (the REL analog of
+    combining two wiki-version p(e|m) stores). Rows-only (LSH-derived
+    stores); bridging/transitivity/idempotence pinned in
+    tests/test_incremental.py."""
+    from .incremental import build_entity_store, merge_entity_stores
+    from .linkage import run_linkage
+
+    tr = transcripts_from_events(sf_dir)
+
+    def split(even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            n = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 1),
+                        pa.int64())
+            m = pc.equal(pc.bit_wise_and(n, 1), 0 if even else 1)
+            return t.filter(m)
+        return f
+
+    a = build_entity_store(run_linkage(
+        tr.map_batches(split(True), batch_format="pyarrow",
+                       zero_copy_batch=True), CFG)).materialize()
+    b = build_entity_store(run_linkage(
+        tr.map_batches(split(False), batch_format="pyarrow",
+                       zero_copy_batch=True), CFG)).materialize()
+    return merge_entity_stores(a, b, CFG)
+
+
 def q_linkage_edges(sf_dir: str):
     """Scored candidate edges from the flagship pipeline (no SQL oracle)."""
     from .linkage import run_linkage
@@ -3905,6 +3935,7 @@ QUERIES = {
     "train_pair_scorer_transcripts": q_train_pair_scorer,
     "fellegi_sunter_transcripts": q_fellegi_sunter_transcripts,
     "linkage_em_transcripts": q_linkage_em_transcripts,
+    "merge_stores_transcripts": q_merge_stores_transcripts,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "heavy_hitters_exact_documents": q_heavy_hitters_exact_documents,
     "drop_boilerplate_documents": q_drop_boilerplate_documents,

@@ -81,3 +81,43 @@ def test_store_ids_never_invented(incremental_result):
     # ...and fresh clusters never collide with the old id space
     assert not (set(fresh.column("cluster_id").to_pylist()) & old_ids)
     assert matched.num_rows > 0 and fresh.num_rows >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_entity_stores_bridges_and_idempotent():
+    import ray.data as rd
+
+    from rel_ray.pipelines.incremental import merge_entity_stores
+
+    a = pa.table({"mention_norm": ["alice", "bob", "carol", "dave"],
+                  "cluster_id": ["A1", "A2", "A2", "A3"]})
+    # "bob" bridges A2<->B7; "carol" bridges A2<->B9 -> {A2,B7,B9} one
+    # component; "erin" is new; "dave" untouched
+    b = pa.table({"mention_norm": ["bob", "carol", "erin"],
+                  "cluster_id": ["B7", "B9", "B9"]})
+    out = merge_entity_stores(rd.from_arrow(a), rd.from_arrow(b))
+    got = {r["mention_norm"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {"alice": "A1", "bob": "A2", "carol": "A2",
+                   "dave": "A3", "erin": "A2"}
+    # idempotence: merging a store with itself is the identity
+    out2 = merge_entity_stores(rd.from_arrow(a), rd.from_arrow(a))
+    got2 = {r["mention_norm"]: r["cluster_id"] for r in out2.take_all()}
+    assert got2 == dict(zip(a.column("mention_norm").to_pylist(),
+                            a.column("cluster_id").to_pylist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_entity_stores_transitive_chain():
+    import ray.data as rd
+
+    from rel_ray.pipelines.incremental import merge_entity_stores
+
+    # chain ACROSS the two stores: m1 links X1-Y1, m2 links Y1-X2,
+    # m3 links X2-Y2 -> all four ids collapse to min "X1"
+    a = pa.table({"mention_norm": ["m1", "m2", "m3", "solo"],
+                  "cluster_id": ["X1", "X2", "X2", "Z9"]})
+    b = pa.table({"mention_norm": ["m1", "m2", "m3"],
+                  "cluster_id": ["Y1", "Y1", "Y2"]})
+    out = merge_entity_stores(rd.from_arrow(a), rd.from_arrow(b))
+    got = {r["mention_norm"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {"m1": "X1", "m2": "X1", "m3": "X1", "solo": "Z9"}
