@@ -665,3 +665,60 @@ def fs_match_rule(feature_cols=("sim_jaccard", "sim_jw", "sim_emb"),
             return pa.array(np.isin(code, match_codes))
         return fltr
     return rule
+
+
+def fs_review_pairs(edges, *, feature_cols=("sim_jaccard", "sim_jw",
+                                            "sim_emb"),
+                    cuts=(0.3, 0.5, 0.7, 0.9), band=(0.1, 0.9),
+                    k: int = 200, **em_kwargs) -> pa.Table:
+    """Clerical-review queue — the human-in-the-loop step of the classic
+    Fellegi-Sunter workflow (the original 1969 paper's third region between
+    the link/non-link thresholds; Splink's review export): fit the EM model,
+    then return up to ``k`` candidate pairs whose posterior match
+    probability lands in the ambiguous ``band``, each with its posterior
+    (scaled e6 int for engine-exact reproducibility) and feature values.
+
+    The sample is a deterministic bottom-k by string hash of the id pair —
+    reproducible across runs and cluster sizes, unbiased within the band,
+    and mergeable (same sketch argument as sampling.bottomk_sample). Scale:
+    the fit is one pattern-count pass; the band filter + local bottom-k
+    prune run per batch, and the driver reduce sees <= k rows per block.
+    """
+    from ..functions.rayutil import global_topk
+    from ..functions.shingles import string_hash_u64
+
+    m, u, lam, _, _ = _fs_fit(edges, feature_cols=feature_cols, cuts=cuts,
+                              **em_kwargs)
+    _, post = _fs_pattern_posteriors(m, u, lam)
+    post_e6 = (post * 1e6).astype(np.int64)
+    lo, hi = int(band[0] * 1e6), int(band[1] * 1e6)
+    cuts_arr = np.asarray(cuts, dtype=np.float64)
+    L = len(cuts_arr) + 1
+    radix = np.array([L ** f for f in range(len(feature_cols))],
+                     dtype=np.int64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        code = np.zeros(t.num_rows, dtype=np.int64)
+        for f, c in enumerate(feature_cols):
+            x = np.asarray(t.column(c), dtype=np.float64)
+            code += np.searchsorted(cuts_arr, x, side="left") * radix[f]
+        pe6 = post_e6[code]
+        mask = (pe6 >= lo) & (pe6 <= hi)
+        kept = t.filter(pa.array(mask))
+        key = pc.binary_join_element_wise(kept.column("id_a"),
+                                          kept.column("id_b"), "|")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        return pa.table({
+            "id_a": kept.column("id_a"), "id_b": kept.column("id_b"),
+            **{c: kept.column(c) for c in feature_cols},
+            "posterior_e6": pa.array(pe6[mask]),
+            "__h": pa.array(string_hash_u64(key).astype(np.int64)
+                            & np.int64(2 ** 62)),
+        })
+
+    top = global_topk(edges.map_batches(flag, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                      [("__h", "ascending"), ("id_a", "ascending"),
+                       ("id_b", "ascending")], k)
+    return top.drop_columns(["__h"])

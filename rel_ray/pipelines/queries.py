@@ -3606,6 +3606,21 @@ def q_linkage_em_transcripts(sf_dir: str):
     return out["clusters"]
 
 
+def q_fs_review_pairs_transcripts(sf_dir: str):
+    """Clerical-review queue (pipelines/eval.py::fs_review_pairs): FS-EM
+    posterior in the ambiguous band, deterministic bottom-k-by-hash sample
+    with posterior_e6 + feature columns — the Fellegi-Sunter 1969 third
+    region / Splink review export. Rows-only (EM fixpoint)."""
+    import dataclasses
+
+    from .eval import fs_review_pairs
+    from .linkage import run_linkage
+
+    ungated = dataclasses.replace(CFG, threshold=0.0)
+    out = run_linkage(transcripts_from_events(sf_dir), ungated)
+    return fs_review_pairs(out["edges"], band=(0.02, 0.98), k=100)
+
+
 def q_agreement_lang_id_documents(sf_dir: str):
     """Partition-agreement eval of the lang-ID classifier: B-cubed P/R/F1
     (Bagga & Baldwin '98, THE standard entity-resolution cluster metric)
@@ -3936,6 +3951,7 @@ QUERIES = {
     "fellegi_sunter_transcripts": q_fellegi_sunter_transcripts,
     "linkage_em_transcripts": q_linkage_em_transcripts,
     "merge_stores_transcripts": q_merge_stores_transcripts,
+    "fs_review_pairs_transcripts": q_fs_review_pairs_transcripts,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "heavy_hitters_exact_documents": q_heavy_hitters_exact_documents,
     "drop_boilerplate_documents": q_drop_boilerplate_documents,

@@ -2211,3 +2211,40 @@ def test_fellegi_sunter_em_rejects_unidentifiable():
     from rel_ray.pipelines.eval import fellegi_sunter_em
     with pytest.raises(ValueError, match="identifiable"):
         fellegi_sunter_em(None, feature_cols=("a", "b"), cuts=(0.5, 0.88))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fs_review_pairs_band_and_determinism():
+    from rel_ray.pipelines.eval import fs_review_pairs
+    rng = np.random.default_rng(3)
+    n = 30_000
+    lam, L = 0.3, 5
+    reps = np.array([0.15, 0.4, 0.6, 0.8, 0.95])
+    # feature 2 is DELIBERATELY weak (near-identical m/u) so many patterns
+    # land at ambiguous posteriors
+    m_p = np.array([[0.02, 0.08, 0.2, 0.3, 0.4],
+                    [0.05, 0.15, 0.2, 0.3, 0.3],
+                    [0.2, 0.2, 0.2, 0.2, 0.2]])
+    u_p = np.array([[0.4, 0.3, 0.2, 0.08, 0.02],
+                    [0.3, 0.3, 0.2, 0.15, 0.05],
+                    [0.2, 0.2, 0.2, 0.2, 0.2]])
+    z = rng.random(n) < lam
+    cols = {}
+    for f in range(3):
+        lm = rng.choice(L, size=n, p=m_p[f])
+        lu = rng.choice(L, size=n, p=u_p[f])
+        cols[f"f{f}"] = reps[np.where(z, lm, lu)]
+    ids = np.arange(n)
+    t = pa.table({"id_a": pa.array([f"a{i:06d}" for i in ids]),
+                  "id_b": pa.array([f"b{i:06d}" for i in ids]),
+                  **{k: pa.array(v) for k, v in cols.items()}})
+    ds = rd.from_arrow(t)
+    out = fs_review_pairs(ds, feature_cols=("f0", "f1", "f2"),
+                          cuts=(0.3, 0.5, 0.7, 0.9), band=(0.2, 0.8), k=50)
+    assert 0 < out.num_rows <= 50
+    pe6 = np.asarray(out.column("posterior_e6"))
+    assert (pe6 >= 200_000).all() and (pe6 <= 800_000).all()
+    # deterministic: identical call -> identical table
+    out2 = fs_review_pairs(ds, feature_cols=("f0", "f1", "f2"),
+                           cuts=(0.3, 0.5, 0.7, 0.9), band=(0.2, 0.8), k=50)
+    assert out.equals(out2)
