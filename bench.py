@@ -210,7 +210,9 @@ def run_scaling(sf_dir: str) -> dict:
                 env={**os.environ, "GRAFT_SF_DIR": sf_dir,
                      "GRAFT_SCALE_INPUT": scale_input,
                      "REL_RAY_PROFILE": "1"},
-                capture_output=True, text=True, timeout=3600)
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("GRAFT_SCALING_LEG_TIMEOUT",
+                                           "3600")))
             s1, t1 = _cpu_jiffies()
             last = [l for l in out.stdout.strip().splitlines()
                     if l.startswith("{")]
