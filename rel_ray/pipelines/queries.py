@@ -3855,6 +3855,90 @@ FROM starts
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 additions: sorted-neighborhood blocking, weighted sampling,
+# phonetic (soundex) blocking keys
+# ---------------------------------------------------------------------------
+
+def q_snm_pairs_documents(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo SIGMOD'95): candidate
+    pairs within a window of 8 positions under ORDER BY (12-char lowercased
+    text prefix, doc_id). Distributed: sampled range-partition boundaries ->
+    exact dense global rank -> rank-chunk pairing with <= (window-1)/chunk
+    ghost replication (stages/neighborhood.py)."""
+    from ..stages.neighborhood import sorted_neighborhood_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(pc.utf8_lower(t.column("text")), 0, 12)
+        return pa.table({"doc_id": t.column("doc_id"), "key": key})
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return sorted_neighborhood_pairs(keyed, id_col="doc_id", key_col="key",
+                                     window=8, num_buckets=16, chunk=512)
+
+
+SQL_SNM_PAIRS_DOCUMENTS = """
+WITH k AS (SELECT doc_id, substr(lower(text), 1, 12) AS key FROM documents),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY key, doc_id) - 1 AS rk
+      FROM k)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 7
+"""
+
+
+def q_weighted_sample_documents(sf_dir: str):
+    """Weight-proportional k-sample without replacement (Efraimidis-Spirakis
+    A-Res, deterministic hash randomness): 100 docs drawn proportional to
+    n_chars — the 'sample long documents more' corpus-curation op. No
+    shuffle: per-batch bottom-k prune + O(k x blocks) reduce."""
+    from ..stages.sampling import weighted_bottomk
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+    return weighted_bottomk(docs, id_col="doc_id", weight_col="n_chars",
+                            k=100, carry_cols=["n_chars", "lang"])
+
+
+SQL_WEIGHTED_SAMPLE_DOCUMENTS = """
+SELECT doc_id, n_chars, lang FROM documents
+ORDER BY -ln((((doc_id % 2147483648 + 2147483648) % 2147483648)
+              * 2654435761 % 2147483648 + 0.5) / 2147483648.0)
+         / CAST(n_chars AS DOUBLE),
+         doc_id
+LIMIT 100
+"""
+
+
+def q_soundex_blocks_documents(sf_dir: str):
+    """Phonetic blocking-key histogram: American Soundex of each document's
+    first alpha token, grouped counts — the name-typo-robust blocking key
+    family (functions/phonetic.py; per-distinct-token Python over the
+    dictionary-encoded column, vectorized take back)."""
+    from ..functions.phonetic import soundex_codes
+
+    docs = _pq(sf_dir, "documents", ["text"])
+
+    def code(t: pa.Table) -> pa.Table:
+        return pa.table({"code": soundex_codes(t.column("text"))})
+
+    agg = (docs.map_batches(code, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("code").aggregate(Count()))
+    return agg.map_batches(lambda t: t.rename_columns(["code", "cnt"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_soundex_blocks() -> str:
+    from ..functions.phonetic import soundex_sql
+    return f"""
+SELECT {soundex_sql('text')} AS code, COUNT(*) AS cnt
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
@@ -3940,6 +4024,9 @@ QUERIES = {
     "gru_embed_documents": q_gru_embed_documents,
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
+    "snm_pairs_documents": q_snm_pairs_documents,
+    "weighted_sample_documents": q_weighted_sample_documents,
+    "soundex_blocks_documents": q_soundex_blocks_documents,
     "textstats_documents": q_textstats_documents,
     "multimodal_features": q_multimodal_features,
     "linkage_clusters": q_linkage_clusters,
@@ -4011,6 +4098,9 @@ ORACLE_SQL = {
     "tfidf_topk_documents": SQL_TFIDF_TOPK_DOCUMENTS,
     "bm25_topk_documents": SQL_BM25_TOPK_DOCUMENTS,
     "bottomk_sample_documents": SQL_BOTTOMK_SAMPLE_DOCUMENTS,
+    "snm_pairs_documents": SQL_SNM_PAIRS_DOCUMENTS,
+    "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
+    "soundex_blocks_documents": _sql_soundex_blocks(),
     "dup_passages_documents": SQL_DUP_PASSAGES_DOCUMENTS,
     "dup_ratio_documents": SQL_DUP_RATIO_DOCUMENTS,
     "drop_boilerplate_documents": SQL_DROP_BOILERPLATE_DOCUMENTS,

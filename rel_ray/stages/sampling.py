@@ -124,6 +124,49 @@ def budget_sample(ds, *, group_col: str, id_col: str, weight_col: str,
         sort_cols=[("__h", "ascending"), (id_col, "ascending")])
 
 
+def weighted_bottomk(ds, *, id_col: str, weight_col: str, k: int,
+                     carry_cols: list[str] | None = None,
+                     batch_size: int = 8192):
+    """Deterministic weighted k-row sample WITHOUT replacement
+    (Efraimidis & Spirakis, IPL 2006, A-Res): each row draws
+    u = (knuth_hash(id) + 0.5) / 2^31 in (0,1) and the k rows minimizing
+    the exponential race key ln(1/u)/w win — inclusion probability
+    proportional to weight at each of the k sequential draws, yet
+    membership is a pure function of (id, weight): reproducible across
+    runs, engines and cluster sizes, and mergeable across shards (the
+    bottom-k-by-key frontier is associative).
+
+    SQL twin (bit-matching: DuckDB's ln and / are the same IEEE-double
+    libm ops numpy uses, and u is exactly representable):
+    ``ORDER BY -ln((hash(id)+0.5)/2147483648.0)/w, id LIMIT k`` with the
+    module's overflow-safe Knuth hash.
+
+    Scale: per-batch local bottom-k prune, then one O(k x blocks) reduce —
+    no shuffle, same shape as bottomk_sample. Weights must be > 0."""
+    from ..functions.rayutil import global_topk
+
+    keep = [id_col] + list(carry_cols or [])
+
+    def local(t: pa.Table) -> pa.Table:
+        x = np.asarray(pc.cast(t.column(id_col), pa.int64())) % _MOD
+        u = (x * _KNUTH % _MOD + 0.5) / float(_MOD)
+        w = np.asarray(t.column(weight_col), dtype=np.float64)
+        if (w <= 0).any():
+            raise ValueError("weighted_bottomk requires positive weights")
+        out = pa.table({**{c: t.column(c) for c in keep},
+                        "__key": pa.array(-np.log(u) / w)})
+        if out.num_rows > k:
+            out = out.sort_by([("__key", "ascending"),
+                               (id_col, "ascending")]).slice(0, k)
+        return out
+
+    top = global_topk(ds.map_batches(local, batch_format="pyarrow",
+                                     zero_copy_batch=True,
+                                     batch_size=batch_size),
+                      [("__key", "ascending"), (id_col, "ascending")], k)
+    return top.drop_columns(["__key"])
+
+
 def bottomk_sample(ds, *, id_col: str, k: int, carry_cols: list[str] | None = None,
                    batch_size: int = 8192):
     """Deterministic global k-row uniform sample WITHOUT replacement: the k
