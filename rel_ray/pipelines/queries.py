@@ -11,6 +11,8 @@ Conventions that make the driver's value-hash comparison deterministic:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -3890,6 +3892,96 @@ FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 7
 """
 
 
+def q_snm_multipass_documents(sf_dir: str):
+    """Multi-pass sorted-neighborhood (the standard recall fix from the
+    SIGMOD'95 paper: one pass per key, union the candidate pairs): pass 1
+    sorts by the text prefix, pass 2 by the reversed-text prefix, pairs
+    normalized to (min,max) and deduped by one skinny (id_a,id_b) groupby."""
+    from ..stages.neighborhood import sorted_neighborhood_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column("text"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "k1": pc.utf8_slice_codeunits(low, 0, 12),
+            "k2": pc.utf8_slice_codeunits(pc.utf8_reverse(low), 0, 12),
+        })
+
+    keyed = docs.map_batches(add_keys, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    p1 = sorted_neighborhood_pairs(keyed, id_col="doc_id", key_col="k1",
+                                   window=8, num_buckets=16, chunk=512)
+    p2 = sorted_neighborhood_pairs(keyed, id_col="doc_id", key_col="k2",
+                                   window=8, num_buckets=16, chunk=512)
+
+    def norm(t: pa.Table) -> pa.Table:
+        a, b = t.column("id_a"), t.column("id_b")
+        return pa.table({"id_a": pc.min_element_wise(a, b),
+                         "id_b": pc.max_element_wise(a, b)})
+
+    u = p1.union(p2).map_batches(norm, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    dedup = u.groupby(["id_a", "id_b"]).aggregate(Count())
+    return dedup.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SNM_MULTIPASS_DOCUMENTS = """
+WITH k AS (SELECT doc_id, substr(lower(text), 1, 12) AS k1,
+                  substr(reverse(lower(text)), 1, 12) AS k2
+           FROM documents),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) - 1 AS rk FROM k),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k2, doc_id) - 1 AS rk FROM k)
+SELECT LEAST(a.doc_id, b.doc_id) AS id_a, GREATEST(a.doc_id, b.doc_id) AS id_b
+FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk <= a.rk + 7
+UNION
+SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + 7
+"""
+
+
+def q_canopy_assign_documents(sf_dir: str):
+    """Canopy blocking (McCallum-Nigam-Ungar KDD'00, deterministic
+    distributed variant): hash-selected centers, docs assigned to every
+    center sharing >= 3 distinct word trigram shingles (df-capped at a
+    corpus-relative n_docs/20 — an absolute cap can't hold across scale
+    factors). One token co-group + one pair groupby (stages/canopy.py)."""
+    import pyarrow.parquet as papq
+
+    from ..stages.canopy import canopy_assign
+
+    n_docs = papq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return canopy_assign(docs, id_col="doc_id", text_col="text",
+                         shingle=3, center_mod=10, min_shared=3,
+                         max_df=max(100, n_docs // 20), num_buckets=32)
+
+
+SQL_CANOPY_ASSIGN_DOCUMENTS = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                )) AS tk
+  FROM w),
+ok AS (SELECT tk FROM tok GROUP BY tk
+       HAVING COUNT(*) <= GREATEST(100, (SELECT COUNT(*) FROM documents) // 20)),
+tok2 AS (SELECT t.doc_id, t.tk FROM tok t JOIN ok USING (tk)),
+centers AS (
+  SELECT doc_id AS center_id, tk FROM tok2
+  WHERE ((doc_id % 2147483648 + 2147483648) % 2147483648)
+        * 2654435761 % 2147483648 % 10 = 0)
+SELECT t.doc_id, c.center_id, COUNT(*) AS n_shared
+FROM tok2 t JOIN centers c USING (tk)
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
+
 def q_weighted_sample_documents(sf_dir: str):
     """Weight-proportional k-sample without replacement (Efraimidis-Spirakis
     A-Res, deterministic hash randomness): 100 docs drawn proportional to
@@ -4025,6 +4117,8 @@ QUERIES = {
     "lang_id_documents": q_lang_id_documents,
     "fingerprint_documents": q_fingerprint_documents,
     "snm_pairs_documents": q_snm_pairs_documents,
+    "snm_multipass_documents": q_snm_multipass_documents,
+    "canopy_assign_documents": q_canopy_assign_documents,
     "weighted_sample_documents": q_weighted_sample_documents,
     "soundex_blocks_documents": q_soundex_blocks_documents,
     "textstats_documents": q_textstats_documents,
@@ -4099,6 +4193,8 @@ ORACLE_SQL = {
     "bm25_topk_documents": SQL_BM25_TOPK_DOCUMENTS,
     "bottomk_sample_documents": SQL_BOTTOMK_SAMPLE_DOCUMENTS,
     "snm_pairs_documents": SQL_SNM_PAIRS_DOCUMENTS,
+    "snm_multipass_documents": SQL_SNM_MULTIPASS_DOCUMENTS,
+    "canopy_assign_documents": SQL_CANOPY_ASSIGN_DOCUMENTS,
     "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
     "soundex_blocks_documents": _sql_soundex_blocks(),
     "dup_passages_documents": SQL_DUP_PASSAGES_DOCUMENTS,
