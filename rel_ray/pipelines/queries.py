@@ -771,14 +771,38 @@ GROUP BY partkey
 
 
 def q_sample_lineitem(sf_dir: str):
-    """Deterministic seeded sampling (SURVEY §2.6; no SQL oracle — DuckDB's
-    sampler differs): fraction + seed, aggregate of the sample."""
-    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-    s = ds.random_sample(0.1, seed=42)
-    return s.map_batches(
-        lambda t: pa.table({"l_orderkey": t.column("l_orderkey"),
-                            "qty_cents": _cents(t.column("l_quantity"))}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    """Deterministic 10% row sample via the module's Knuth hash over the
+    (l_orderkey, l_linenumber) row key (SURVEY §2.6). Membership depends
+    only on the row key — reproducible across runs, retries and cluster
+    sizes, and VALUE-EXACT vs the integer-arithmetic SQL twin
+    (stages/sampling.py::sample_bucket; ``Dataset.random_sample`` stays
+    available for per-execution seeding but is not oracle-comparable)."""
+    from ..stages.sampling import sample_bucket
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        # TPC-H l_linenumber is 1..7, so orderkey*8+linenumber is unique.
+        key = pc.add(pc.multiply(pc.cast(t.column("l_orderkey"), pa.int64()),
+                                 pa.scalar(8, type=pa.int64())),
+                     pc.cast(t.column("l_linenumber"), pa.int64()))
+        keep = pa.array(sample_bucket(key) < 1000)
+        t = t.filter(keep)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_linenumber": pc.cast(t.column("l_linenumber"),
+                                                 pa.int64()),
+                         "qty_cents": _cents(t.column("l_quantity"))})
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SAMPLE_LINEITEM = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_cents
+FROM lineitem
+WHERE ((((l_orderkey*8 + l_linenumber) % 2147483648 + 2147483648) % 2147483648)
+       * 2654435761 % 2147483648) % 10000 < 1000
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -961,6 +985,79 @@ def q_embedding_near_dup(sf_dir: str):
     from ..stages.similarity import embedding_near_dup
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_near_dup(ds, threshold=0.99, n_planes=6)
+
+
+def q_cosine_pairs_embeddings(sf_dir: str):
+    """Exact cosine-threshold all-pairs join (the exact baseline companion
+    to the LSH near-dup scale path). VALUE-EXACT: components quantized to
+    integers, dot/norms exact in float64, threshold evaluated as the same
+    left-associated expression the SQL twin uses
+    (stages/similarity.py::cosine_pairs_exact)."""
+    from ..stages.similarity import cosine_pairs_exact
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs_exact(ds, threshold_permyriad=3500, scale=100)
+
+
+SQL_COSINE_PAIRS_EMBEDDINGS = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> FLOOR(CAST(x AS DOUBLE)*100 + 0.5)) AS qe
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qe, list_dot_product(qe, qe) AS nn FROM q
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot_q
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.qe, b.qe) > 0
+  AND (10000.0*list_dot_product(a.qe, b.qe))
+      * (10000.0*list_dot_product(a.qe, b.qe))
+      >= (12250000.0 * a.nn) * b.nn
+"""
+
+
+def q_levenshtein_pairs_part(sf_dir: str):
+    """Edit-distance <= 2 record-pair self-join on part names. The length
+    band prefilter is lossless, so the oracle is the plain unblocked join;
+    similarity is verified once per DISTINCT name pair through DuckDB's C++
+    levenshtein kernel (bit-identical to the oracle by construction), then
+    expanded to record pairs (stages/strjoin.py::string_sim_self_join)."""
+    from ..stages.strjoin import string_sim_self_join
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_name"])
+    return string_sim_self_join(ds, id_col="p_partkey", text_col="p_name",
+                                metric="levenshtein", threshold=2,
+                                score_col="dist")
+
+
+SQL_LEVENSHTEIN_PAIRS_PART = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def q_jw_pairs_part(sf_dir: str):
+    """Blocked Jaro-Winkler >= 0.93 record-pair self-join on part names
+    (first-character blocking is part of the declared semantics and is
+    mirrored in the oracle; the JW kernel is DuckDB's own, so scores are
+    bit-identical)."""
+    from ..stages.strjoin import string_sim_self_join
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_name"])
+    return string_sim_self_join(ds, id_col="p_partkey", text_col="p_name",
+                                metric="jaro_winkler", threshold=0.93,
+                                score_col="jw")
+
+
+SQL_JW_PAIRS_PART = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2346,6 +2443,124 @@ def q_grouped_variance_lineitem(sf_dir: str):
             np.asarray(t.column("sum(s1)"), dtype=np.int64),
             np.asarray(t.column("sum(s2)"), dtype=np.int64)),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_grouped_corr_lineitem(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs price dollars per
+    returnflag) with INTEGER-EXACT co-moment partials. All six sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) are int64 — the combiner merge is
+    order-independent — and the final correlation is ONE fixed-shape float64
+    expression over them (each int64 cast to double first, two products,
+    one subtract, sqrt, divide) that numpy and DuckDB round identically, so
+    even the float column is value-hash-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.column("l_returnflag")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        x = np.asarray(_cents(t.column("l_quantity"))) // 100
+        y = np.asarray(_cents(t.column("l_extendedprice"))) // 100
+        enc = pc.dictionary_encode(f)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+
+        def bc(w):
+            return pa.array(np.bincount(codes, weights=w, minlength=k)
+                            .astype(np.int64))
+
+        return pa.table({
+            "l_returnflag": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+            "sx": bc(x), "sy": bc(y), "sxx": bc(x * x), "syy": bc(y * y),
+            "sxy": bc(x * y)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"),
+                      Sum("syy"), Sum("sxy")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = {c: np.asarray(t.column(f"sum({c})"), dtype=np.int64)
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        d = {c: v.astype(np.float64) for c, v in g.items()}
+        num = d["n"] * d["sxy"] - d["sx"] * d["sy"]
+        den = np.sqrt(d["n"] * d["sxx"] - d["sx"] * d["sx"]) \
+            * np.sqrt(d["n"] * d["syy"] - d["sy"] * d["sy"])
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            **{c: pa.array(g[c]) for c in ("n", "sx", "sy", "sxx", "syy",
+                                           "sxy")},
+            "corr": pa.array(num / den)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_GROUPED_CORR_LINEITEM = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity*100) AS BIGINT) // 100 AS x,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) // 100 AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+       (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr
+FROM s
+"""
+
+
+def q_mode_event_type_per_user(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (tie-break:
+    lexicographically smallest type). Count pre-fold + one bucketed
+    argmax — the grouped_topk machinery at k=1."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).count()
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["user_id", "event_type", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64())})
+        starts = np.asarray(segment_starts(bucket.column("user_id")))
+        return bucket.take(pa.array(starts))
+
+    return bucketed_group_apply(
+        counts, "user_id", first_bucket, num_buckets=64,
+        sort_cols=[("cnt", "descending"), ("event_type", "ascending")])
+
+
+SQL_MODE_EVENT_TYPE_PER_USER = """
+SELECT user_id, event_type, cnt FROM (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rnk
+  FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type))
+WHERE rnk = 1
+"""
 
 
 SQL_GROUPED_VARIANCE_LINEITEM = """
@@ -4059,6 +4274,8 @@ QUERIES = {
     "user_activity_full_outer": q_user_activity_full_outer,
     "region_nation_cross": q_region_nation_cross,
     "grouped_variance_lineitem": q_grouped_variance_lineitem,
+    "grouped_corr_lineitem": q_grouped_corr_lineitem,
+    "mode_event_type_per_user": q_mode_event_type_per_user,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
     "customers_with_big_events": q_customers_with_big_events,
@@ -4102,6 +4319,9 @@ QUERIES = {
     "simhash_documents": q_simhash_documents,
     "simhash_dedup_documents": q_simhash_dedup_documents,
     "embedding_near_dup": q_embedding_near_dup,
+    "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
+    "levenshtein_pairs_part": q_levenshtein_pairs_part,
+    "jw_pairs_part": q_jw_pairs_part,
     "ann_topk_embeddings": q_ann_topk_embeddings,
     "ann_topk_lsh_embeddings": q_ann_topk_lsh_embeddings,
     "ann_topk_ivf_embeddings": q_ann_topk_ivf_embeddings,
@@ -4174,6 +4394,8 @@ ORACLE_SQL = {
     "user_activity_full_outer": SQL_USER_ACTIVITY_FULL_OUTER,
     "region_nation_cross": SQL_REGION_NATION_CROSS,
     "grouped_variance_lineitem": SQL_GROUPED_VARIANCE_LINEITEM,
+    "grouped_corr_lineitem": SQL_GROUPED_CORR_LINEITEM,
+    "mode_event_type_per_user": SQL_MODE_EVENT_TYPE_PER_USER,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "cube_lineitem": SQL_CUBE_LINEITEM,
     "customers_with_big_events": SQL_CUSTOMERS_WITH_BIG_EVENTS,
@@ -4209,6 +4431,7 @@ ORACLE_SQL = {
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
     "train_split_documents": SQL_TRAIN_SPLIT_DOCUMENTS,
     "union_sum": SQL_UNION_SUM,
+    "sample_lineitem": SQL_SAMPLE_LINEITEM,
     "sentence_split_documents": SQL_SENTENCE_SPLIT_DOCUMENTS,
     "extract_tokens_documents": SQL_EXTRACT_TOKENS_DOCUMENTS,
     "exact_dedup_documents": SQL_EXACT_DEDUP_DOCUMENTS,
@@ -4216,6 +4439,9 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs_documents": SQL_NGRAM_JACCARD_PAIRS_DOCUMENTS,
     "cross_dedup_documents": SQL_CROSS_DEDUP_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,
+    "cosine_pairs_embeddings": SQL_COSINE_PAIRS_EMBEDDINGS,
+    "levenshtein_pairs_part": SQL_LEVENSHTEIN_PAIRS_PART,
+    "jw_pairs_part": SQL_JW_PAIRS_PART,
     "label_centroids_embeddings": SQL_LABEL_CENTROIDS_EMBEDDINGS,
     "normalize_documents": SQL_NORMALIZE_DOCUMENTS,
     "token_count_documents": SQL_TOKEN_COUNT_DOCUMENTS,

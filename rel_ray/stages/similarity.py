@@ -661,3 +661,99 @@ def kmeans(ds, *, n_clusters: int = 8, iters: int = 10,
     assigns = ds.map_batches(assign_only, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=batch_size)
     return assigns, C, inertia_log
+
+
+# ---------------------------------------------------------------------------
+# exact cosine-threshold pair join (integer-quantized, oracle-comparable)
+# ---------------------------------------------------------------------------
+
+def _quantize_embeddings(m: np.ndarray, scale: int) -> np.ndarray:
+    """floor(x*scale + 0.5) — identical single-rounding semantics to the SQL
+    twin ``FLOOR(CAST(x AS DOUBLE)*scale + 0.5)`` (NOT numpy's banker's
+    round / DuckDB's away-from-zero ROUND, which disagree at exact .5)."""
+    q = np.floor(m * float(scale) + 0.5)
+    if np.abs(q).max(initial=0.0) > 128:
+        raise ValueError(
+            "quantized component exceeds 128; lower `scale` so the integer "
+            "dot/norm bound (64*128^2 < 2^53) holds for the exact compare")
+    return q
+
+
+def cosine_pairs_exact(ds, *, threshold_permyriad: int = 3500,
+                       scale: int = 100, id_col: str = "vec_id",
+                       vec_col: str = "embedding", batch_size: int = 4096,
+                       concurrency: int = 4, max_rows: int = 500_000):
+    """All-pairs cosine >= tp/10000 over integer-quantized embeddings —
+    the EXACT baseline companion to the LSH `embedding_near_dup` scale path
+    (same pattern as `ann_topk` vs `ann_topk_lsh`).
+
+    Exactness without float-boundary flakiness: components are quantized to
+    integers (floor(x*scale+0.5)); dot products and squared norms are then
+    integer-valued and computed EXACTLY in float64 BLAS (every partial sum
+    < 2^53, and integer float64 additions are exact in any order, so matmul
+    summation order cannot matter). The threshold test
+    ``cos >= tp/1e4  <=>  dot > 0 and (1e4*dot)^2 >= tp^2 * na * nb``
+    is evaluated as the same left-associated float64 expression the SQL twin
+    uses, so both engines round identically at the (documented, quantized)
+    decision boundary.
+
+    Broadcast bound: the quantized matrix rides the object store once via
+    ``ray.put`` (never re-shipped per batch); `max_rows` guards the driver
+    collect. Beyond it, use `embedding_near_dup` — at 100 TB an exact
+    all-pairs join is O(n^2) no matter the engine.
+
+    Returns (id_a, id_b, dot_q:int64) with id_a < id_b.
+    """
+    from ..functions.rayutil import collect_table, get_broadcast
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t, vec_col)
+        q = _quantize_embeddings(m, scale)
+        return pa.table({
+            "vid": pc.cast(t.column(id_col), pa.int64()),
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1)), q.shape[1] if q.size else 0),
+        })
+
+    qds = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=batch_size)
+    qtab = collect_table(qds)
+    if qtab.num_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs_exact: {qtab.num_rows} rows exceed the broadcast "
+            f"cap {max_rows}; use embedding_near_dup (LSH) at this scale")
+    ids_all = np.asarray(qtab.column("vid"), dtype=np.int64)
+    qcol = qtab.column("q")
+    if isinstance(qcol, pa.ChunkedArray):
+        qcol = qcol.combine_chunks()
+    dim = qcol.type.list_size
+    Q = np.asarray(qcol.values, dtype=np.float64).reshape(-1, dim)
+    ref = ray.put({"ids": ids_all, "Q": Q, "norms": np.einsum("ij,ij->i", Q, Q)})
+
+    tp2 = float(threshold_permyriad) * float(threshold_permyriad)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        b = get_broadcast(ref)
+        m = _embedding_matrix(t, vec_col)
+        qm = _quantize_embeddings(m, scale)
+        my_ids = np.asarray(pc.cast(t.column(id_col), pa.int64()))
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "dot_q": pa.array([], type=pa.int64())})
+        if qm.shape[0] == 0:
+            return empty
+        dot = qm @ b["Q"].T                      # exact integer-valued f64
+        na = np.einsum("ij,ij->i", qm, qm)       # (nb,)
+        lhs = 10000.0 * dot
+        lhs = lhs * lhs                          # (1e4*dot)^2, left-assoc
+        rhs = (tp2 * na)[:, None] * b["norms"][None, :]
+        cond = (dot > 0) & (lhs >= rhs) & (my_ids[:, None] < b["ids"][None, :])
+        bi, oj = np.nonzero(cond)
+        if len(bi) == 0:
+            return empty
+        return pa.table({"id_a": pa.array(my_ids[bi]),
+                         "id_b": pa.array(b["ids"][oj]),
+                         "dot_q": pa.array(dot[bi, oj].astype(np.int64))})
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
