@@ -2445,6 +2445,37 @@ def q_grouped_variance_lineitem(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_interval_overlap_events(sf_dir: str):
+    """Interval-overlap SELF-join (both sides intervals — distinct from the
+    point-in-interval range join): per user, event pairs whose 15-minute
+    windows [ts, ts+900s] intersect. One bucket exchange + start-sorted
+    sweep (stages/temporal.py::interval_overlap_self)."""
+    from ..stages.temporal import interval_overlap_self
+
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts"])
+    W = 900 * 1_000_000  # 15 min in microseconds
+
+    def win(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("ts"), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "s": s,
+                         "e": pc.add(s, pa.scalar(W, type=pa.int64()))})
+
+    iv = ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+    return interval_overlap_self(iv, key="user_id", id_col="event_id",
+                                 start="s", end="e", num_buckets=64)
+
+
+SQL_INTERVAL_OVERLAP_EVENTS = """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE epoch_us(a.ts) <= epoch_us(b.ts) + 900000000
+  AND epoch_us(b.ts) <= epoch_us(a.ts) + 900000000
+"""
+
+
 def q_grouped_corr_lineitem(sf_dir: str):
     """Grouped Pearson correlation (quantity vs price dollars per
     returnflag) with INTEGER-EXACT co-moment partials. All six sufficient
@@ -4275,6 +4306,7 @@ QUERIES = {
     "region_nation_cross": q_region_nation_cross,
     "grouped_variance_lineitem": q_grouped_variance_lineitem,
     "grouped_corr_lineitem": q_grouped_corr_lineitem,
+    "interval_overlap_events": q_interval_overlap_events,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_lineitem": q_cube_lineitem,
@@ -4395,6 +4427,7 @@ ORACLE_SQL = {
     "region_nation_cross": SQL_REGION_NATION_CROSS,
     "grouped_variance_lineitem": SQL_GROUPED_VARIANCE_LINEITEM,
     "grouped_corr_lineitem": SQL_GROUPED_CORR_LINEITEM,
+    "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
     "mode_event_type_per_user": SQL_MODE_EVENT_TYPE_PER_USER,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "cube_lineitem": SQL_CUBE_LINEITEM,

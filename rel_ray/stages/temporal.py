@@ -568,3 +568,86 @@ def grouped_rank(ds, *, key: str, val: str, tie: str, carry_cols: list[str],
     return bucketed_group_apply(ds, key, win, num_buckets=num_buckets,
                                 sort_cols=[(val, "ascending"),
                                            (tie, "ascending")])
+
+
+def interval_overlap_self(ds, *, key: str, id_col: str, start: str, end: str,
+                          num_buckets: int = 256, max_matches: int = 0,
+                          counter_name: str = "interval_overlap_drops"):
+    """Interval-overlap SELF-join: every pair of rows with equal ``key``
+    whose [start, end] intervals intersect (inclusive ends):
+    ``s_a <= e_b AND s_b <= e_a``, each unordered pair once, id_a < id_b.
+
+    Distinct from ``range_join`` (point-in-interval): both sides are
+    intervals. One bucket exchange on the key; per bucket the rows arrive
+    start-sorted, and every overlapping pair is found exactly once through
+    its LATER-STARTING member: for row i, the overlapping rows j > i are
+    precisely those with ``s_j <= e_i`` — one searchsorted over the
+    composite (key code, start) order, O(bucket log bucket), vectorized
+    repeat/arange expansion (same machinery as range_join).
+
+    Intervals are assumed BOUNDED (session/attribution windows): output per
+    row is its forward-overlap degree; ``max_matches`` caps a hot row with
+    a LOGGED drop counter (0 = unlimited). Skewed hot keys land in one
+    bucket — salt upstream if a key exceeds a block.
+    """
+    from ..functions.rayutil import DropCounter, bucketed_group_apply
+
+    counter = DropCounter(counter_name) if max_matches else None
+    out_cols = [key, "id_a", "id_b"]
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            "rid": pc.cast(t.column(id_col), pa.int64()),
+            _T: pc.cast(t.column(start), pa.int64()),
+            "__e": pc.cast(t.column(end), pa.int64())})
+
+    p = ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    key_type = ds.schema().base_schema.field(key).type
+
+    def sweep(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        empty = pa.table({key: pa.array([], type=key_type),
+                          "id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64())})
+        if n < 2:
+            return empty
+        s = np.asarray(bucket.column(_T), dtype=np.int64)
+        e = np.asarray(bucket.column("__e"), dtype=np.int64)
+        rid = np.asarray(bucket.column("rid"), dtype=np.int64)
+        codes = _dense_key_codes(bucket.column(key))
+        t0 = int(s.min())
+        max_off = int(max(s.max(), e.max()) - t0)
+        t_bits = _time_bits(max_off)
+        if int(codes[-1]).bit_length() + t_bits > 63:
+            raise ValueError(
+                f"interval_overlap composite overflow ({codes[-1]+1} keys x "
+                f"{max_off} time span in one bucket) — raise num_buckets")
+        comp = _composite(codes, s - t0, t_bits)
+        e_off = np.clip(e - t0, 0, max_off)
+        hi = np.searchsorted(comp, _composite(codes, e_off, t_bits),
+                             side="right")
+        idx = np.arange(n, dtype=np.int64)
+        cnt = hi - idx - 1  # j in (i, hi): s_j <= e_i within the same key
+        if max_matches:
+            over = cnt - max_matches
+            dropped = int(over[over > 0].sum())
+            if dropped:
+                counter.add("interval_overlap_matches", dropped)
+            cnt = np.minimum(cnt, max_matches)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_sel = np.repeat(idx, cnt)
+        offs = np.cumsum(cnt) - cnt
+        b_sel = (np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+                 + a_sel + 1)
+        ia, ib = rid[a_sel], rid[b_sel]
+        return pa.table({
+            key: bucket.column(key).take(pa.array(a_sel)),
+            "id_a": pa.array(np.minimum(ia, ib)),
+            "id_b": pa.array(np.maximum(ia, ib))})
+
+    return bucketed_group_apply(p, key, sweep, num_buckets=num_buckets,
+                                sort_cols=[(_T, "ascending"),
+                                           ("rid", "ascending")])

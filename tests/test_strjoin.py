@@ -146,3 +146,46 @@ def test_cosine_pairs_exact_scale_guard(ray_session):
 
     with pytest.raises(Exception, match="quantized component"):
         _collect(cosine_pairs_exact(ds, scale=100))
+
+
+def test_interval_overlap_self(ray_session):
+    import ray
+
+    # key 1: [0,10],[5,15],[10,20],[30,40] — inclusive-end semantics:
+    # (a,b), (b,c) overlap; (a,c) touch at 10 (inclusive => pair); d alone.
+    # key 2: same times, isolated from key 1.
+    tab = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "rid": pa.array([4, 3, 2, 1, 9, 8], type=pa.int64()),
+        "s": pa.array([0, 5, 10, 30, 0, 100], type=pa.int64()),
+        "e": pa.array([10, 15, 20, 40, 50, 120], type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(tab)
+    from rel_ray.stages.temporal import interval_overlap_self
+
+    out = _collect(interval_overlap_self(
+        ds, key="k", id_col="rid", start="s", end="e", num_buckets=4))
+    got = set(zip(out.column("k").to_pylist(),
+                  out.column("id_a").to_pylist(),
+                  out.column("id_b").to_pylist()))
+    assert got == {(1, 3, 4), (1, 2, 3), (1, 2, 4)}
+
+
+def test_interval_overlap_cap_counts_drops(ray_session):
+    import ray
+
+    n = 20
+    tab = pa.table({
+        "k": pa.array([1] * n, type=pa.int64()),
+        "rid": pa.array(list(range(n)), type=pa.int64()),
+        "s": pa.array([0] * n, type=pa.int64()),
+        "e": pa.array([100] * n, type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(tab)
+    from rel_ray.stages.temporal import interval_overlap_self
+
+    out = _collect(interval_overlap_self(
+        ds, key="k", id_col="rid", start="s", end="e", num_buckets=2,
+        max_matches=3))
+    # every row keeps at most 3 forward matches; full join would be C(20,2)
+    assert out.num_rows == sum(min(3, n - 1 - i) for i in range(n))
