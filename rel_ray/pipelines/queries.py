@@ -517,6 +517,170 @@ GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20
 """
 
 
+def q_pmi_bigrams_documents(sf_dir: str):
+    """Top-20 bigrams by pointwise mutual information (phrase mining):
+    pmi = ln(c_xy·N / (c_x?·c_?y)) over the bigram stream, c_xy >= 5.
+    Counts are exact int64; the PMI is ONE fixed-shape f64 expression
+    (integer products < 2^53 cast to double, one divide, one ln) quantized
+    to 1e-9 units — the quantization absorbs the only legitimate
+    divergence (libm-vs-numpy ln at 1-ulp), the pagerank oracle pattern."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.normalize import extract_all_matches
+    from ..functions.rayutil import collect_table, get_broadcast, global_topk
+
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ml = extract_all_matches(t.column("text"), "[a-z]+")
+        if isinstance(ml, pa.ChunkedArray):
+            ml = ml.combine_chunks()
+        flat = ml.flatten()
+        offs = np.asarray(ml.offsets, dtype=np.int64)
+        n = len(flat)
+        empty = pa.table({"x": pa.array([], type=pa.string()),
+                          "y": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if n < 2:
+            return empty
+        keep = np.ones(n - 1, dtype=bool)
+        starts = offs[1:-1]
+        starts = starts[(starts > 0) & (starts < n)]
+        keep[starts - 1] = False
+        idx = np.nonzero(keep)[0]
+        if not len(idx):
+            return empty
+        x = flat.take(pa.array(idx))
+        y = flat.take(pa.array(idx + 1))
+        big = pc.binary_join_element_wise(x, y, "\x1f")
+        vc = pc.value_counts(big)
+        parts = pc.split_pattern(vc.field("values"), "\x1f")
+        return pa.table({
+            "x": pc.list_element(parts, 0), "y": pc.list_element(parts, 1),
+            "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    bg = (ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["x", "y"]).aggregate(Sum("cnt"))
+          .map_batches(lambda t: t.rename_columns(["x", "y", "cnt"]),
+                       batch_format="pyarrow", zero_copy_batch=True)
+          .materialize())
+
+    # marginals are vocab-sized — collect once, broadcast as dicts built
+    # per worker (the engine's broadcast-dim-join pattern)
+    def marg(col):
+        m = (bg.groupby(col).aggregate(Sum("cnt"))
+             .map_batches(lambda t: t.rename_columns([col, "m"]),
+                          batch_format="pyarrow", zero_copy_batch=True))
+        return collect_table(m, empty_schema=pa.schema(
+            [(col, pa.string()), ("m", pa.int64())]))
+
+    import ray as _ray
+
+    mx, my = marg("x"), marg("y")
+    n_total = int(pc.sum(mx.column("m")).as_py() or 0)
+    mref = _ray.put({"mx": mx, "my": my})
+
+    def pmi(t: pa.Table) -> pa.Table:
+        b = get_broadcast(mref)
+        t = t.filter(pc.greater_equal(t.column("cnt"),
+                                      pa.scalar(5, type=pa.int64())))
+        if t.num_rows == 0:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "pmi_e9": pa.array([], type=pa.int64())})
+        cx = np.asarray(b["mx"].column("m").take(
+            pc.index_in(t.column("x"), value_set=b["mx"].column("x"))),
+            dtype=np.int64)
+        cy = np.asarray(b["my"].column("m").take(
+            pc.index_in(t.column("y"), value_set=b["my"].column("y"))),
+            dtype=np.int64)
+        cnt = np.asarray(t.column("cnt"), dtype=np.int64)
+        val = np.log((cnt * n_total).astype(np.float64)
+                     / (cx * cy).astype(np.float64))
+        return pa.table({
+            "bigram": pc.binary_join_element_wise(t.column("x"),
+                                                  t.column("y"), " "),
+            "cnt": t.column("cnt"),
+            "pmi_e9": pa.array(np.floor(val * 1e9 + 0.5).astype(np.int64))})
+
+    scored = bg.map_batches(pmi, batch_format="pyarrow", zero_copy_batch=True)
+    top = global_topk(scored, [("pmi_e9", "descending"),
+                               ("bigram", "ascending")], 20)
+    return top.select(["bigram", "cnt", "pmi_e9"])
+
+
+SQL_PMI_BIGRAMS_DOCUMENTS = """
+WITH docs AS (SELECT regexp_extract_all(text, '[a-z]+') AS w
+              FROM documents),
+pairs AS (SELECT unnest(list_zip(w[:-1], w[2:])) AS p FROM docs),
+bg AS (SELECT p[1] AS x, p[2] AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM pairs WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+       GROUP BY 1, 2),
+mx AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS m FROM bg GROUP BY x),
+my AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS m FROM bg GROUP BY y),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM bg)
+SELECT bg.x || ' ' || bg.y AS bigram, bg.cnt,
+       CAST(FLOOR(ln(CAST(bg.cnt * tot.n AS DOUBLE)
+                     / CAST(mx.m * my.m AS DOUBLE)) * 1e9 + 0.5)
+            AS BIGINT) AS pmi_e9
+FROM bg, tot
+JOIN mx ON bg.x = mx.x
+JOIN my ON bg.y = my.y
+WHERE bg.cnt >= 5
+ORDER BY pmi_e9 DESC, bigram ASC LIMIT 20
+"""
+
+
+def q_entropy_event_type_per_user(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (label
+    diversity diagnostics). Counts exact; entropy quantized to 1e-9 units
+    (absorbs 1-ulp ln and float summation-order divergence; the type
+    cardinality per user is tiny, so the f64 error is ~1e-15 against a
+    1e-9 grid)."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).count()
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["user_id", "event_type", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def entropy_bucket(bucket: pa.Table) -> pa.Table:
+        if bucket.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "entropy_e9": pa.array([], type=pa.int64())})
+        starts = np.asarray(segment_starts(bucket.column("user_id")))
+        c = np.asarray(bucket.column("cnt"), dtype=np.int64)
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(c))))
+        n = np.bincount(seg, weights=c).astype(np.int64)
+        p = c.astype(np.float64) / n[seg].astype(np.float64)
+        h = np.bincount(seg, weights=-(p * np.log(p)))
+        return pa.table({
+            "user_id": bucket.column("user_id").take(pa.array(starts)),
+            "n": pa.array(n),
+            "entropy_e9": pa.array(np.floor(h * 1e9 + 0.5).astype(np.int64))})
+
+    return bucketed_group_apply(counts, "user_id", entropy_bucket,
+                                num_buckets=64,
+                                sort_cols=[("event_type", "ascending")])
+
+
+SQL_ENTROPY_EVENT_TYPE_PER_USER = """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id, event_type),
+n AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY user_id)
+SELECT c.user_id, n.n,
+       CAST(FLOOR(SUM(-(CAST(c.cnt AS DOUBLE)/CAST(n.n AS DOUBLE))
+                       * ln(CAST(c.cnt AS DOUBLE)/CAST(n.n AS DOUBLE)))
+                  * 1e9 + 0.5) AS BIGINT) AS entropy_e9
+FROM c JOIN n ON c.user_id = n.user_id
+GROUP BY c.user_id, n.n
+"""
+
+
 def q_pack_sequences_documents(sf_dir: str):
     """Sequence packing (LLM-training op): documents → fixed 512-token
     training packs by a distributed prefix scan (stages/packing.py) —
@@ -4338,6 +4502,8 @@ QUERIES = {
     "approx_quantiles_lineitem": q_approx_quantiles_lineitem,
     "top_terms_documents": q_top_terms_documents,
     "top_bigrams_documents": q_top_bigrams_documents,
+    "pmi_bigrams_documents": q_pmi_bigrams_documents,
+    "entropy_event_type_per_user": q_entropy_event_type_per_user,
     "pack_sequences_documents": q_pack_sequences_documents,
     "union_sum": q_union_sum,
     "sample_lineitem": q_sample_lineitem,
@@ -4461,6 +4627,8 @@ ORACLE_SQL = {
     "grouped_quantiles_hist_lineitem": SQL_GROUPED_QUANTILES_LINEITEM,
     "top_terms_documents": SQL_TOP_TERMS_DOCUMENTS,
     "top_bigrams_documents": SQL_TOP_BIGRAMS_DOCUMENTS,
+    "pmi_bigrams_documents": SQL_PMI_BIGRAMS_DOCUMENTS,
+    "entropy_event_type_per_user": SQL_ENTROPY_EVENT_TYPE_PER_USER,
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
     "train_split_documents": SQL_TRAIN_SPLIT_DOCUMENTS,
     "union_sum": SQL_UNION_SUM,
