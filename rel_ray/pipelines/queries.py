@@ -681,6 +681,32 @@ GROUP BY c.user_id, n.n
 """
 
 
+def q_global_median_lineitem(sf_dir: str):
+    """EXACT global median (lower median, the (n-1)//2+1-th smallest) of
+    price cents via iterative histogram refinement
+    (stages/selection.py::exact_kth) — no global sort: each round ships
+    one ~1k-bin histogram per block, never rows."""
+    from ..stages.selection import exact_kth
+
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"c": _cents(t.column("l_extendedprice"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n = ds.count()
+    med = exact_kth(cents, "c", (n - 1) // 2 + 1)
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "median_cents": pa.array([med], type=pa.int64())})
+
+
+SQL_GLOBAL_MEDIAN_LINEITEM = """
+WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+           FROM lineitem)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n,
+       (SELECT c FROM v ORDER BY c
+        LIMIT 1 OFFSET (SELECT (COUNT(*)-1)//2 FROM v)) AS median_cents
+"""
+
+
 def q_pack_sequences_documents(sf_dir: str):
     """Sequence packing (LLM-training op): documents → fixed 512-token
     training packs by a distributed prefix scan (stages/packing.py) —
@@ -4504,6 +4530,7 @@ QUERIES = {
     "top_bigrams_documents": q_top_bigrams_documents,
     "pmi_bigrams_documents": q_pmi_bigrams_documents,
     "entropy_event_type_per_user": q_entropy_event_type_per_user,
+    "global_median_lineitem": q_global_median_lineitem,
     "pack_sequences_documents": q_pack_sequences_documents,
     "union_sum": q_union_sum,
     "sample_lineitem": q_sample_lineitem,
@@ -4629,6 +4656,7 @@ ORACLE_SQL = {
     "top_bigrams_documents": SQL_TOP_BIGRAMS_DOCUMENTS,
     "pmi_bigrams_documents": SQL_PMI_BIGRAMS_DOCUMENTS,
     "entropy_event_type_per_user": SQL_ENTROPY_EVENT_TYPE_PER_USER,
+    "global_median_lineitem": SQL_GLOBAL_MEDIAN_LINEITEM,
     "pack_sequences_documents": SQL_PACK_SEQUENCES_DOCUMENTS,
     "train_split_documents": SQL_TRAIN_SPLIT_DOCUMENTS,
     "union_sum": SQL_UNION_SUM,

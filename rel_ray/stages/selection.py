@@ -1,0 +1,125 @@
+"""Exact distributed order statistics WITHOUT a global sort.
+
+`exact_kth` finds the exact k-th smallest value of an integer column by
+iterative histogram refinement: each round is one streaming map_batches
+pass emitting a power-of-two-binned partial histogram of the current
+[lo, hi] range (driver folds ~1k ints per block — never rows), the bin
+containing the k-th value becomes the next range, and when the range
+collapses to at most `exact_span` distinct values one final pass takes an
+exact per-value bincount. Bin edges are bit-shifts (lo + bi·2^shift), so
+bin membership is exact integer arithmetic — no floor/ceil boundary
+subtleties and no overflow for any int64 range. Rounds =
+O(range_bits / 10) — ≤ 6 passes for full-int64 data, 2-3 realistically;
+bytes leaving each worker = one small histogram per block per pass,
+independent of data size.
+
+This is the classic selection answer to "median at 100 TB": a global
+`ds.sort` moves every row over the wire to answer a one-number question;
+the refinement moves only histograms. (The grouped quantile operators in
+stages/profile.py interpolate within per-group histograms; this operator
+is the EXACT global selection.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _hist_pass(ds, col: str, lo: int, hi: int, shift: int):
+    """One streaming pass: per-batch partial histogram of ``col`` over
+    [lo, hi] with bin width 2^shift (bin = (v - lo) >> shift), plus a
+    below-lo count; the driver folds num_bins+1 ints per block."""
+    num_bins = ((hi - lo) >> shift) + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(t.column(col), pa.int64()), dtype=np.int64)
+        below = int((v < lo).sum())
+        in_rng = v[(v >= lo) & (v <= hi)]
+        # wrap-safe difference: two's-complement subtraction viewed as
+        # uint64 is the true non-negative distance even when the span
+        # exceeds int64 (e.g. a full-range first round)
+        d = (in_rng - lo).astype(np.uint64)
+        b = (d >> np.uint64(shift)).astype(np.int64)
+        counts = np.bincount(b, minlength=num_bins).astype(np.int64)
+        return pa.table({"bin": pa.array(np.arange(-1, num_bins,
+                                                   dtype=np.int64)),
+                         "cnt": pa.array(np.concatenate(
+                             [[below], counts]).astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    folded = np.zeros(num_bins + 1, dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        # iter_batches may coalesce several partial tables into one batch,
+        # repeating bin ids — np.add.at accumulates duplicates (plain
+        # fancy-index += silently keeps only the last occurrence)
+        np.add.at(folded,
+                  np.asarray(t.column("bin"), dtype=np.int64) + 1,
+                  np.asarray(t.column("cnt"), dtype=np.int64))
+    return int(folded[0]), folded[1:]
+
+
+def exact_kth(ds, col: str, k: int, *, bin_bits: int = 10,
+              exact_span: int = 65536) -> int:
+    """Exact k-th smallest (1-indexed) of integer column ``col``.
+
+    ``bin_bits``: log2 of the per-pass bin count target (2^bin_bits to
+    2^(bin_bits+1) bins per round). ``exact_span``: switch to the exact
+    per-value bincount once the candidate range has at most this many
+    distinct values.
+    """
+    assert k >= 1, k
+    mm = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column(col)).as_py()], type=pa.int64()),
+            "hi": pa.array([pc.max(t.column(col)).as_py()], type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    lo, hi = None, None
+    for b in mm.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for l, h in zip(t.column("lo").to_pylist(),
+                        t.column("hi").to_pylist()):
+            if l is None:
+                continue
+            lo = l if lo is None else min(lo, l)
+            hi = h if hi is None else max(hi, h)
+    if lo is None:
+        raise ValueError("exact_kth on an all-null/empty column")
+
+    # `remaining` is the rank WITHIN the current [lo, hi] range: the
+    # narrowing step already discounts everything below the chosen bin, so
+    # later passes must NOT subtract their (global) below-lo count again —
+    # it is returned only as a cross-pass consistency check.
+    remaining = k
+    expect_below = 0
+    while hi - lo + 1 > exact_span:
+        span_bits = int(hi - lo).bit_length()
+        shift = max(0, span_bits - bin_bits)
+        below, counts = _hist_pass(ds, col, lo, hi, shift)
+        if below != expect_below:
+            raise ValueError(
+                f"exact_kth: below-range count changed between passes "
+                f"({expect_below} -> {below}); input is not stable")
+        cum = np.cumsum(counts)
+        if remaining > cum[-1]:
+            raise ValueError(f"k={k} exceeds row count {int(cum[-1])}")
+        bi = int(np.searchsorted(cum, remaining, side="left"))
+        skipped = int(cum[bi - 1]) if bi > 0 else 0
+        remaining -= skipped
+        expect_below += skipped
+        # power-of-two bin edges: exact, no floor/ceil boundary subtleties
+        new_lo = lo + (bi << shift)
+        new_hi = min(lo + (((bi + 1) << shift) - 1), hi)
+        lo, hi = int(new_lo), int(new_hi)
+    below, counts = _hist_pass(ds, col, lo, hi, 0)
+    if below != expect_below:
+        raise ValueError(
+            f"exact_kth: below-range count changed between passes "
+            f"({expect_below} -> {below}); input is not stable")
+    cum = np.cumsum(counts)
+    if remaining < 1 or remaining > cum[-1]:
+        raise ValueError(f"k={k} out of range after refinement")
+    return lo + int(np.searchsorted(cum, remaining, side="left"))

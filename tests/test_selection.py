@@ -1,0 +1,46 @@
+"""exact_kth (stages/selection.py): histogram-refinement selection vs
+numpy sort, including multi-round ranges and negative values."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(vals):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table({"v": pa.array(np.asarray(vals, dtype=np.int64))})
+    ).repartition(4)
+
+
+def test_exact_kth_matches_sort(ray_session):
+    from rel_ray.stages.selection import exact_kth
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-10**6, 10**6, size=5000)
+    vals[100:200] = 777  # duplicates
+    ds = _ds(vals)
+    s = np.sort(vals)
+    # force multiple refinement rounds with a tiny exact_span
+    for k in (1, 2, 2500, 2501, 4999, 5000):
+        assert exact_kth(ds, "v", k, exact_span=64) == s[k - 1]
+
+
+def test_exact_kth_huge_range(ray_session):
+    from rel_ray.stages.selection import exact_kth
+
+    vals = np.array([-(2**62), -5, 0, 3, 2**62, 2**62 - 1, 7, 7],
+                    dtype=np.int64)
+    ds = _ds(vals)
+    s = np.sort(vals)
+    for k in range(1, len(vals) + 1):
+        assert exact_kth(ds, "v", k, exact_span=4) == s[k - 1]
+
+
+def test_exact_kth_out_of_range(ray_session):
+    from rel_ray.stages.selection import exact_kth
+
+    ds = _ds([1, 2, 3])
+    with pytest.raises(ValueError):
+        exact_kth(ds, "v", 4)
