@@ -189,3 +189,17 @@ def test_interval_overlap_cap_counts_drops(ray_session):
         max_matches=3))
     # every row keeps at most 3 forward matches; full join would be C(20,2)
     assert out.num_rows == sum(min(3, n - 1 - i) for i in range(n))
+
+
+def test_string_sim_join_empty_input(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(pa.table({
+        "rid": pa.array([], type=pa.int64()),
+        "name": pa.array([], type=pa.string())}))
+    from rel_ray.stages.strjoin import string_sim_self_join
+
+    out = _collect(string_sim_self_join(
+        ds, id_col="rid", text_col="name", metric="levenshtein",
+        threshold=2, score_col="dist", num_buckets=2))
+    assert out.num_rows == 0
