@@ -34,7 +34,8 @@ import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..stages.blocking import exact_precluster, records_stage
-from ..stages.clustering import connected_components, expand_clusters
+from ..stages.clustering import (connected_components,
+                                 connected_components_codes, expand_clusters)
 from ..stages.conversation import conversation_stage
 from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
@@ -130,7 +131,12 @@ def _edge_confidence(matched_edges, num_buckets: int = 512):
     def agg(bucket: pa.Table) -> pa.Table:
         n = bucket.num_rows
         if n == 0:
-            return _CONF_SCHEMA.empty_table()
+            # derive the id type from the bucket: the coded path runs this
+            # aggregate over int64 rep codes, the plug-in path over strings
+            return pa.table({
+                "record_id": pa.array([], type=bucket.column("rec").type),
+                "best_score": pa.array([], type=pa.float32()),
+                "n_links": pa.array([], type=pa.int32())})
         starts = segment_starts(bucket.column("rec"))
         lens = np.diff(np.append(starts, n)).astype(np.int32)
         sa = pa.array(starts)
@@ -142,6 +148,36 @@ def _edge_confidence(matched_edges, num_buckets: int = 512):
 
     return bucketed_group_apply(both, "rec", agg, num_buckets=num_buckets,
                                 sort_cols=[("score", "descending")])
+
+
+def _cluster_conf_table_codes(cl_codes: pa.Table, matched_scored,
+                              rep_tab: pa.Table) -> pa.Table:
+    """Coded twin of ``_cluster_conf_table``: the rep→cluster map arrives
+    as a driver table of int64 codes (connected_components_codes) and the
+    per-rep confidence aggregate ran on coded edges, so the join happens on
+    8-byte ints; the two string columns are materialized LAST with two
+    vectorized takes against the record_id-sorted rep table — the only
+    string work in the whole clustering tail."""
+    from ..functions.rayutil import collect_table
+
+    conf_schema = pa.schema([("record_id", pa.int64()),
+                             ("best_score", pa.float32()),
+                             ("n_links", pa.int32())])
+    conf_tab = collect_table(_edge_confidence(matched_scored), conf_schema)
+    cl = cl_codes.rename_columns(["record_id", "cluster_code"])
+    merged = cl.join(conf_tab, keys="record_id", join_type="full outer")
+    code = merged.column("record_id")
+    cluster = pc.coalesce(merged.column("cluster_code"), code)
+    rid = rep_tab.column("record_id")
+    return pa.table({
+        "record_id": rid.take(code),
+        "cluster_id": rid.take(cluster),
+        "best_score": pc.fill_null(
+            pc.cast(merged.column("best_score"), pa.float32()),
+            pa.scalar(0.0, pa.float32())),
+        "n_links": pc.fill_null(pc.cast(merged.column("n_links"), pa.int32()),
+                                pa.scalar(0, pa.int32())),
+    })
 
 
 def _cluster_conf_table(rep_clusters, matched_edges) -> pa.Table:
@@ -253,24 +289,33 @@ def _coref_edges_cogroup(records, *, num_buckets: int = 64):
         num_buckets=num_buckets, sort_cols=[("side", "ascending")])
 
 
-def _match_filtered(edges, match_rule):
+def _match_filtered(edges, match_rule, id_cols=("id_a", "id_b")):
     """(matched, matched_scored) edge views under the match decision.
 
     ``match_rule`` is the linkage's DECISION seam: None keeps the scorer's
     ``is_match`` column (score >= cfg.threshold); otherwise it is a factory
     called ONCE with the materialized edges dataset (it may run its own
     passes, e.g. the Fellegi-Sunter EM fit in eval.fs_match_rule) and must
-    return a per-batch boolean-filter fn over the edge columns."""
+    return a per-batch boolean-filter fn over the edge columns (in the
+    default coded path the identifier columns are int64 ``code_a/code_b``;
+    the similarity/score columns are unchanged).
+
+    ``id_cols`` names the identifier pair in ``edges``; outputs are always
+    renamed to (id_a, id_b[, score]) so downstream confidence/CC stages are
+    layout-agnostic."""
     if match_rule is None:
         def fltr(t: pa.Table):
             return t.column("is_match")
     else:
         fltr = match_rule(edges)
+    a, b = id_cols
     matched = edges.map_batches(
-        lambda t: t.filter(fltr(t)).select(["id_a", "id_b"]),
+        lambda t: t.filter(fltr(t)).select([a, b])
+        .rename_columns(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
     matched_scored = edges.map_batches(
-        lambda t: t.filter(fltr(t)).select(["id_a", "id_b", "score"]),
+        lambda t: t.filter(fltr(t)).select([a, b, "score"])
+        .rename_columns(["id_a", "id_b", "score"]),
         batch_format="pyarrow", zero_copy_batch=True)
     return matched, matched_scored
 
@@ -356,6 +401,13 @@ def run_linkage(
     # (the sort is driver-side but vocabulary-sized — already paid by the
     # collect above)
     rep_tab = rep_tab.sort_by([("record_id", "ascending")]).combine_chunks()
+    # row position as the rep's int64 code (order-preserving: the table is
+    # record_id-sorted) — broadcast alongside the strings so any stage can
+    # map mention_norm -> code without re-deriving positions
+    import numpy as _np
+
+    rep_tab = rep_tab.append_column(
+        "rep_code", pa.array(_np.arange(rep_tab.num_rows, dtype=_np.int64)))
     # broadcast the zero-copy Arrow TABLE; each worker builds the Python dict
     # once per process (get_broadcast_dict) — the O(vocabulary) dict build
     # runs on the workers in parallel, not on the driver's critical path
@@ -376,12 +428,8 @@ def run_linkage(
     import numpy as _np
 
     coded = scorer is None
-    rep_cols = {"record_id": rep_tab.column("record_id"),
-                "mention_norm": rep_tab.column("mention_norm")}
-    if coded:
-        rep_cols["rep_code"] = pa.array(
-            _np.arange(rep_tab.num_rows, dtype=_np.int64), type=pa.int64())
-    rep_sel = pa.table(rep_cols)
+    rep_sel = (rep_tab if coded
+               else rep_tab.select(["record_id", "mention_norm"]))
     chunk = max(1024, rep_sel.num_rows // 64 + 1)
     reps = rd.from_arrow([rep_sel.slice(i, chunk)
                           for i in range(0, max(rep_sel.num_rows, 1), chunk)])
@@ -391,16 +439,19 @@ def run_linkage(
                              est_rows=rep_sel.num_rows * cfg.bands,
                              coded=coded)
     pairs = pairs_stage(blocks, cfg, num_partitions, coded=coded)
-    # materialize edges: consumed twice (match filter + user output)
+    # materialize edges: consumed twice (match filter + user output). In the
+    # coded path the materialized table keeps int64 code_a/code_b — strings
+    # reappear only in the user-facing views below, so the match filter,
+    # confidence aggregate and connected components all move 8 B codes
     with _phase_timer("score_edges_materialize"):
-        edges = scoring_stage(pairs, cfg, scorer=scorer,
-                              scorer_kwargs=scorer_kwargs,
-                              decode_ref=rep_ref if coded else None
-                              ).materialize()
+        edges_mat = scoring_stage(pairs, cfg, scorer=scorer,
+                                  scorer_kwargs=scorer_kwargs,
+                                  decode_ref=rep_ref if coded else None,
+                                  keep_codes=coded).materialize()
 
     if coded:
-        # API surface keeps the documented string layout; the decode runs
-        # only if a consumer actually reads the pairs output
+        # API surface keeps the documented string layout; the decodes run
+        # only if a consumer actually reads the pairs/edges outputs
         def _decode_pairs(t: pa.Table) -> pa.Table:
             tab = get_broadcast(rep_ref)
             rid = tab.column("record_id")
@@ -412,35 +463,98 @@ def run_linkage(
         pairs = pairs.map_batches(_decode_pairs, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    matched, matched_scored = _match_filtered(edges, match_rule)
+        def _decode_edges(t: pa.Table) -> pa.Table:
+            tab = get_broadcast(rep_ref)
+            rid = tab.column("record_id")
+            cols = {"id_a": rid.take(t.column("code_a")),
+                    "id_b": rid.take(t.column("code_b"))}
+            for c in t.column_names:
+                if c not in ("code_a", "code_b"):
+                    cols[c] = t.column(c)
+            return pa.table(cols)
+
+        edges = edges_mat.map_batches(_decode_edges, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    else:
+        edges = edges_mat
+
+    matched, matched_scored = _match_filtered(
+        edges_mat, match_rule,
+        id_cols=("code_a", "code_b") if coded else ("id_a", "id_b"))
 
     def coref_resolve(t: pa.Table) -> pa.Table:
+        # coded path: emit rep CODES (order-preserving ints — min/max over
+        # codes == min/max over record_ids); string path for plug-in scorers
         rows = t.filter(pc.not_equal(t.column("coref_prev_mn"), ""))
-        if rows.num_rows == 0:
-            return pa.table({"id_a": pa.array([], type=pa.string()),
-                             "id_b": pa.array([], type=pa.string())})
-        d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")
-        rep_b = dict_lookup(rows.column("mention_norm"), d)
-        rep_a = dict_lookup(rows.column("coref_prev_mn"), d, default="")
-        lo = pc.min_element_wise(rep_a, rep_b)
-        hi = pc.max_element_wise(rep_a, rep_b)
-        out = pa.table({"id_a": lo, "id_b": hi})
-        out = out.filter(pc.not_equal(out.column("id_a"), ""))
+        if coded:
+            if rows.num_rows == 0:
+                return pa.table({"id_a": pa.array([], type=pa.int64()),
+                                 "id_b": pa.array([], type=pa.int64())})
+            d = get_broadcast_dict(rep_ref, "mention_norm", "rep_code")
+            rep_b = dict_lookup(rows.column("mention_norm"), d,
+                                value_type=pa.int64())
+            rep_a = dict_lookup(rows.column("coref_prev_mn"), d, default=-1,
+                                value_type=pa.int64())
+            lo = pc.min_element_wise(rep_a, rep_b)
+            hi = pc.max_element_wise(rep_a, rep_b)
+            out = pa.table({"id_a": lo, "id_b": hi})
+            out = out.filter(pc.greater_equal(out.column("id_a"),
+                                              pa.scalar(0, pa.int64())))
+        else:
+            if rows.num_rows == 0:
+                return pa.table({"id_a": pa.array([], type=pa.string()),
+                                 "id_b": pa.array([], type=pa.string())})
+            d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")
+            rep_b = dict_lookup(rows.column("mention_norm"), d)
+            rep_a = dict_lookup(rows.column("coref_prev_mn"), d, default="")
+            lo = pc.min_element_wise(rep_a, rep_b)
+            hi = pc.max_element_wise(rep_a, rep_b)
+            out = pa.table({"id_a": lo, "id_b": hi})
+            out = out.filter(pc.not_equal(out.column("id_a"), ""))
         return out.filter(pc.not_equal(out.column("id_a"), out.column("id_b")))
 
     coref = records0.map_batches(coref_resolve, batch_format="pyarrow",
                                  zero_copy_batch=True)
     all_edges = matched.union(coref)
 
+    def _codes_to_ids(t: pa.Table) -> pa.Table:
+        tab = get_broadcast(rep_ref)
+        rid = tab.column("record_id")
+        cols = {"id_a": rid.take(t.column("id_a")),
+                "id_b": rid.take(t.column("id_b"))}
+        for c in t.column_names:
+            if c not in ("id_a", "id_b"):
+                cols[c] = t.column(c)
+        return pa.table(cols)
+
     with _phase_timer("connected_components"):
-        rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
-                                            include_singletons=False)
+        cl_codes = (connected_components_codes(all_edges, cfg)
+                    if coded else None)
+        if cl_codes is None:
+            # plug-in scorer (string edges) or a topology too large for the
+            # driver: the general path (distributed label propagation above
+            # cc_local_max_edges)
+            if coded:
+                all_edges = all_edges.map_batches(
+                    _codes_to_ids, batch_format="pyarrow",
+                    zero_copy_batch=True)
+                matched_scored = matched_scored.map_batches(
+                    _codes_to_ids, batch_format="pyarrow",
+                    zero_copy_batch=True)
+            rep_clusters = connected_components(reps, all_edges, cfg,
+                                                num_partitions,
+                                                include_singletons=False)
 
     # cluster expansion: rep→cluster (+ per-rep edge confidence) is small
     # (edge-touched reps only); compose with the rep dict so records0 maps
     # straight to clusters
     with _phase_timer("collect_rep_clusters"):
-        cl_ref = _ray.put(_cluster_conf_table(rep_clusters, matched_scored))
+        if cl_codes is not None:
+            cl_ref = _ray.put(_cluster_conf_table_codes(
+                cl_codes, matched_scored, rep_tab))
+        else:
+            cl_ref = _ray.put(_cluster_conf_table(rep_clusters,
+                                                  matched_scored))
 
     def to_cluster(t: pa.Table) -> pa.Table:
         reps_d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")

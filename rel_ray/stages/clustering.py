@@ -189,6 +189,75 @@ def connected_components(
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _fastsv(ca: "np.ndarray", cb: "np.ndarray", n: int) -> "np.ndarray":
+    """Vectorized min-label propagation over compact-coded edges (FastSV-
+    style edge scatter-min + pointer doubling, O(log n) rounds of O(m)
+    numpy work). Fixpoint parent[i] == min compact index in i's component.
+
+    The endpoint layout never changes between rounds: sort it ONCE and do
+    each round's scatter-min as gather + minimum.reduceat (buffered C)
+    instead of np.minimum.at (unbuffered, ~10× slower per element)."""
+    parent = np.arange(n, dtype=np.int64)
+    idx = np.concatenate([ca, cb])
+    order_e = np.argsort(idx, kind="stable")
+    idx_sorted = idx[order_e]
+    seg = np.flatnonzero(
+        np.concatenate(([True], idx_sorted[1:] != idx_sorted[:-1])))
+    touched = idx_sorted[seg]
+    for _ in range(64):
+        mn = np.minimum(parent[ca], parent[cb])
+        before = parent
+        parent = parent.copy()
+        vals = np.concatenate([mn, mn])[order_e]
+        parent[touched] = np.minimum(parent[touched],
+                                     np.minimum.reduceat(vals, seg))
+        while True:
+            nl = parent[parent]
+            if np.array_equal(nl, parent):
+                break
+            parent = nl
+        if np.array_equal(parent, before):
+            break
+    else:  # pragma: no cover — min-propagation converges in <= log2(n) rounds
+        raise RuntimeError("local components did not converge in 64 rounds")
+    return parent
+
+
+def connected_components_codes(edges, cfg: PipelineConfig):
+    """Int-coded CC fast path: ``edges`` has int64 ``id_a``/``id_b`` CODE
+    columns whose numeric order mirrors record_id order (the record_id-
+    sorted rep table), so min-code labels ARE min-record_id labels.
+
+    Collects the directed edge list to the driver (8 B/endpoint — 4-8×
+    leaner than the string ids the general path dictionary-encodes) with
+    an early size abort, and runs the shared _fastsv kernel over
+    np.unique-compacted codes. Returns a driver pa.Table
+    (code:int64, cluster_code:int64) covering edge-touched codes only
+    (the include_singletons=False contract), or None when the topology
+    exceeds cfg.cc_local_max_edges — caller falls back to the general
+    distributed path on decoded ids.
+    """
+    cap = max(cfg.cc_local_max_edges // 2, 1)
+    ca_parts, cb_parts, total = [], [], 0
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        ca_parts.append(np.asarray(t.column("id_a"), dtype=np.int64))
+        cb_parts.append(np.asarray(t.column("id_b"), dtype=np.int64))
+        total += t.num_rows
+        if total > cap:
+            return None
+    if total == 0:
+        return pa.table({"code": pa.array([], type=pa.int64()),
+                         "cluster_code": pa.array([], type=pa.int64())})
+    ca = np.concatenate(ca_parts)
+    cb = np.concatenate(cb_parts)
+    nodes = np.unique(np.concatenate([ca, cb]))
+    parent = _fastsv(np.searchsorted(nodes, ca),
+                     np.searchsorted(nodes, cb), len(nodes))
+    return pa.table({"code": pa.array(nodes),
+                     "cluster_code": pa.array(nodes[parent])})
+
+
 def _local_components(all_nodes, topo, include_singletons=True) -> "ray.data.Dataset":
     """Driver-side union-find over the (small) symmetric topology; singleton
     nodes (when requested) resolved distributed via union+count set difference."""
@@ -223,32 +292,7 @@ def _local_components(all_nodes, topo, include_singletons=True) -> "ray.data.Dat
     rank[np.asarray(order, dtype=np.int64)] = np.arange(len(order))
     codes = rank[np.asarray(enc.indices, dtype=np.int64)]
     ca, cb = codes[:m], codes[m:]
-    parent = np.arange(len(uniq), dtype=np.int64)
-    # the endpoint layout never changes between rounds: sort it ONCE and do
-    # each round's scatter-min as gather + minimum.reduceat (buffered C)
-    # instead of np.minimum.at (unbuffered, ~10× slower per element)
-    idx = np.concatenate([ca, cb])
-    order_e = np.argsort(idx, kind="stable")
-    idx_sorted = idx[order_e]
-    seg = np.flatnonzero(
-        np.concatenate(([True], idx_sorted[1:] != idx_sorted[:-1])))
-    touched = idx_sorted[seg]
-    for _ in range(64):
-        mn = np.minimum(parent[ca], parent[cb])
-        before = parent
-        parent = parent.copy()
-        vals = np.concatenate([mn, mn])[order_e]
-        parent[touched] = np.minimum(parent[touched],
-                                     np.minimum.reduceat(vals, seg))
-        while True:
-            nl = parent[parent]
-            if np.array_equal(nl, parent):
-                break
-            parent = nl
-        if np.array_equal(parent, before):
-            break
-    else:  # pragma: no cover — min-propagation converges in <= log2(n) rounds
-        raise RuntimeError("local components did not converge in 64 rounds")
+    parent = _fastsv(ca, cb, len(uniq))
     labels = pa.table({
         "record_id": uniq,
         "cluster_id": uniq.take(pa.array(parent)),

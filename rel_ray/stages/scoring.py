@@ -211,19 +211,27 @@ class PairScorer:
 _SCORER_CACHE: dict[str, PairScorer] = {}
 
 
-def make_score_fn(cfg: PipelineConfig, decode_ref=None):
+def make_score_fn(cfg: PipelineConfig, decode_ref=None, keep_codes=False):
     """``decode_ref``: broadcast handle of the record_id-SORTED rep table
     (record_id, mention_norm). When set and the batch arrives in the coded
     (code_a, code_b) layout, the two int64 code columns are decoded back to
     id/mention strings with two vectorized takes against the broadcast
     table — the pair exchanges upstream moved 16 B rows, and the strings
-    reappear only here, inside the compute stage, never on an exchange."""
+    reappear only here, inside the compute stage, never on an exchange.
+
+    ``keep_codes``: emit ``code_a``/``code_b`` (int64) in PLACE of the
+    string ``id_a``/``id_b`` — the downstream match filter, confidence
+    aggregate and connected components then run entirely on 8-byte codes
+    (the rep table is record_id-sorted, so min-code == min-record_id and
+    the min-label clustering semantics are unchanged); strings reappear
+    only in user-facing views."""
     key = cfg.fingerprint()
 
     def score_pairs(batch: pa.Table) -> pa.Table:
         scorer = _SCORER_CACHE.get(key)
         if scorer is None:
             scorer = _SCORER_CACHE.setdefault(key, PairScorer(cfg))
+        codes = None
         if decode_ref is not None and "code_a" in batch.schema.names:
             from ..functions.rayutil import get_broadcast
 
@@ -232,15 +240,23 @@ def make_score_fn(cfg: PipelineConfig, decode_ref=None):
             mn = tab.column("mention_norm")
             ca = batch.column("code_a")
             cb = batch.column("code_b")
+            codes = (ca, cb)
             batch = pa.table({"id_a": rid.take(ca), "id_b": rid.take(cb),
                               "mn_a": mn.take(ca), "mn_b": mn.take(cb)})
-        return scorer(batch)
+        out = scorer(batch)
+        if keep_codes and codes is not None:
+            # scorer output is 1:1 with input rows (no filter/reorder)
+            out = out.drop_columns(["id_a", "id_b"])
+            out = out.add_column(0, "code_a", codes[0])
+            out = out.add_column(1, "code_b", codes[1])
+        return out
 
     return score_pairs
 
 
 def scoring_stage(pairs, cfg: PipelineConfig, scorer=None,
-                  scorer_kwargs: dict | None = None, decode_ref=None):
+                  scorer_kwargs: dict | None = None, decode_ref=None,
+                  keep_codes=False):
     """Score candidate pairs into edges.
 
     ``scorer`` is the protocols.PairScorer plug-in seam: pass a callable
@@ -261,7 +277,7 @@ def scoring_stage(pairs, cfg: PipelineConfig, scorer=None,
             concurrency=(1, cfg.scorer_concurrency),
         )
     return pairs.map_batches(
-        make_score_fn(cfg, decode_ref),
+        make_score_fn(cfg, decode_ref, keep_codes=keep_codes),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
