@@ -4467,6 +4467,146 @@ FROM documents GROUP BY 1
 """
 
 
+def q_funnel_events(sf_dir: str):
+    """Ordered funnel over the event stream: distinct users reaching
+    signup -> view -> purchase with each next step at-or-after the
+    previous (stages/behavior.py::funnel_counts — one bucket exchange on
+    user_id + masked minimum.reduceat chain per step). Oracle: the same
+    chained-min definition as three dependent CTEs."""
+    from ..stages.behavior import funnel_counts
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return funnel_counts(ev, ["signup", "view", "purchase"],
+                         key="user_id", ts="ts", type_col="event_type")
+
+
+SQL_FUNNEL_EVENTS = """
+WITH s1 AS (SELECT user_id, min(ts) t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 USING(user_id)
+       WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING(user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step_name,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+ORDER BY step_idx
+"""
+
+
+def q_cohort_retention_events(sf_dir: str):
+    """Daily cohort-retention triangle: cohort = a user's first active day,
+    one row per (cohort, day offset) with distinct active users
+    (stages/behavior.py::cohort_retention — distinct (user, day) pairs fall
+    out of the time-sorted segments with one diff, partial counts pre-fold
+    per bucket)."""
+    from ..stages.behavior import cohort_retention
+
+    ev = _pq(sf_dir, "events", ["ts", "user_id"])
+    return cohort_retention(ev, key="user_id", ts="ts",
+                            period_us=86_400 * 1_000_000)
+
+
+SQL_COHORT_RETENTION_EVENTS = """
+WITH per AS (SELECT user_id, epoch_us(ts) // 86400000000 AS p FROM events),
+firsts AS (SELECT user_id, min(p) AS cohort FROM per GROUP BY user_id),
+act AS (SELECT DISTINCT per.user_id, firsts.cohort,
+               per.p - firsts.cohort AS poff
+        FROM per JOIN firsts USING(user_id))
+SELECT cohort AS cohort_period, poff AS period_offset, count(*) AS users
+FROM act GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_transition_matrix_events(sf_dir: str):
+    """First-order Markov transitions between consecutive event types per
+    user (+ empirical transition probability). The classic behavioral-model
+    feature over an event log (stages/behavior.py::transition_counts —
+    pairs pre-folded per bucket, exchange rows bounded by vocab², share via
+    one skinny from_type pass). Oracle: lead() window + partition share."""
+    from ..stages.behavior import transition_counts
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev, key="user_id", ts="ts", tie="event_id",
+                             type_col="event_type")
+
+
+SQL_TRANSITION_MATRIX_EVENTS = """
+WITH seq AS (SELECT user_id, event_type AS f,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS t
+             FROM events),
+cnts AS (SELECT f AS from_type, t AS to_type, count(*) AS cnt
+         FROM seq WHERE t IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, cnt,
+       cnt / (sum(cnt) OVER (PARTITION BY from_type)) AS share
+FROM cnts ORDER BY 1, 2
+"""
+
+
+def q_skyline_lineitem(sf_dir: str):
+    """2-D skyline (Pareto frontier) of lineitem maximizing both
+    extendedprice and discount — the 'no other row at least as good in
+    both and better in one' multi-objective filter
+    (stages/behavior.py::skyline2d — per-block local frontier, exact
+    single-block finish over frontier candidates only). Oracle: the
+    textbook NOT EXISTS dominance predicate."""
+    from ..stages.behavior import skyline2d
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    return skyline2d(li, x="l_extendedprice", y="l_discount").sort(
+        ["l_orderkey", "l_linenumber"])
+
+
+SQL_SKYLINE_LINEITEM = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+FROM lineitem p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem q
+  WHERE q.l_extendedprice >= p.l_extendedprice
+    AND q.l_discount >= p.l_discount
+    AND (q.l_extendedprice > p.l_extendedprice
+         OR q.l_discount > p.l_discount))
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_triangle_count_events(sf_dir: str):
+    """Exact triangle count of the user-interaction graph (u—v whenever v's
+    event directly follows u's within an event type): the standard
+    clustering-coefficient numerator. Edges via
+    behavior.consecutive_pairs (one bucket exchange), count via the
+    degree-ordered node iterator (stages/graph.py::triangle_count — wedges
+    bounded O(m^1.5) regardless of hub skew, closure via bucketed semi
+    join). Oracle: lead() edge derivation + the a<b<c three-way self
+    join."""
+    from ..stages.behavior import consecutive_pairs
+    from ..stages.graph import triangle_count
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    edges = consecutive_pairs(ev, key="event_type", ts="ts", tie="event_id",
+                              val="user_id")
+    edges = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("src"), t.column("dst"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n = triangle_count(edges)
+    return pa.table({"n_triangles": pa.array([n], type=pa.int64())})
+
+
+SQL_TRIANGLE_COUNT_EVENTS = """
+WITH raw AS (SELECT user_id AS src,
+                    lead(user_id) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS dst
+             FROM events QUALIFY dst IS NOT NULL AND dst != user_id),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw)
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
@@ -4566,6 +4706,11 @@ QUERIES = {
     "canopy_assign_documents": q_canopy_assign_documents,
     "weighted_sample_documents": q_weighted_sample_documents,
     "soundex_blocks_documents": q_soundex_blocks_documents,
+    "funnel_events": q_funnel_events,
+    "cohort_retention_events": q_cohort_retention_events,
+    "transition_matrix_events": q_transition_matrix_events,
+    "skyline_lineitem": q_skyline_lineitem,
+    "triangle_count_events": q_triangle_count_events,
     "textstats_documents": q_textstats_documents,
     "multimodal_features": q_multimodal_features,
     "linkage_clusters": q_linkage_clusters,
@@ -4645,6 +4790,11 @@ ORACLE_SQL = {
     "canopy_assign_documents": SQL_CANOPY_ASSIGN_DOCUMENTS,
     "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
     "soundex_blocks_documents": _sql_soundex_blocks(),
+    "funnel_events": SQL_FUNNEL_EVENTS,
+    "cohort_retention_events": SQL_COHORT_RETENTION_EVENTS,
+    "transition_matrix_events": SQL_TRANSITION_MATRIX_EVENTS,
+    "skyline_lineitem": SQL_SKYLINE_LINEITEM,
+    "triangle_count_events": SQL_TRIANGLE_COUNT_EVENTS,
     "dup_passages_documents": SQL_DUP_PASSAGES_DOCUMENTS,
     "dup_ratio_documents": SQL_DUP_RATIO_DOCUMENTS,
     "drop_boilerplate_documents": SQL_DROP_BOILERPLATE_DOCUMENTS,

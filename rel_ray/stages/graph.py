@@ -227,3 +227,167 @@ def _pagerank_broadcast(edges, nodes, n: int, *, src: str, dst: str,
 
     return rd.from_arrow(pa.table({"node": node_arr,
                                    "rank": pa.array(r)}))
+
+
+def triangle_count(edges, *, src: str = "src", dst: str = "dst",
+                   num_buckets: int = 128,
+                   broadcast_max_rows: int = 2_000_000,
+                   wedge_limit: int = 50_000_000) -> int:
+    """Exact global triangle count of the UNDIRECTED simple graph induced
+    by ``edges`` (int node ids; self-loops dropped, multi-edges deduped).
+
+    Degree-ordered node iterator (Schank & Wagner, WEA 2005; the
+    MapReduce form is Suri & Vassilvitskii, WWW 2011): orient every edge
+    from its lower-(degree, id) endpoint to the higher; each triangle is
+    then counted exactly once, as a wedge at its lowest-ordered vertex
+    closed by one oriented edge. Orientation bounds every out-degree by
+    O(sqrt(m)), so the wedge exchange is O(m^1.5) worst case and far less
+    on real graphs — a hub's wedges are charged to its low-degree
+    neighbors, which is precisely why this survives skew at 100 TB where
+    the naive neighbor self-join explodes.
+
+    Plan: dedup edges (one exchange) -> degree table (skinny exchange) ->
+    orientation via broadcast degree lookup (searchsorted against a
+    sorted node array; cogroup fallback past ``broadcast_max_rows``) ->
+    wedge generation per source segment (one bucket exchange, vectorized
+    variable-length pair expansion, no per-node Python) -> bucketed semi
+    join of wedges against oriented edges -> count. Returns the scalar.
+    """
+    import ray as _ray
+
+    from ..functions.rayutil import (bucketed_group_apply, collect_table,
+                                     get_broadcast, segment_starts)
+    from ..stages.joins import cogroup_inner_join, semi_anti_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src), pa.int64())
+        b = pc.cast(t.column(dst), pa.int64())
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        tab = pa.table({"u": lo, "v": hi})
+        return tab.filter(pc.not_equal(tab.column("u"), tab.column("v")))
+
+    uniq_edges = (edges.map_batches(canon, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                  .groupby(["u", "v"]).count()
+                  .map_batches(lambda t: t.select(["u", "v"]),
+                               batch_format="pyarrow", zero_copy_batch=True)
+                  .materialize())  # consumed 3x: degrees, orientation, closure
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            t.column("u").combine_chunks() if isinstance(t.column("u"), pa.ChunkedArray) else t.column("u"),
+            t.column("v").combine_chunks() if isinstance(t.column("v"), pa.ChunkedArray) else t.column("v")])
+        return pa.table({"node": both})
+
+    degrees = (uniq_edges.map_batches(endpoints, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+               .groupby("node").count()
+               .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+               .materialize())
+    n_nodes = degrees.count()
+    if n_nodes == 0:
+        return 0
+    max_id = int(degrees.max("node"))
+    min_id = int(degrees.min("node"))
+    if min_id < 0:
+        raise ValueError("triangle_count requires non-negative node ids")
+    bits = max(max_id.bit_length(), 1)
+    if 2 * bits > 62:
+        raise ValueError("node id span too wide for the int64 composite "
+                         "pair key — re-code node ids densely first")
+
+    if n_nodes <= broadcast_max_rows:
+        deg_tab = collect_table(degrees, pa.schema(
+            [("node", pa.int64()), ("deg", pa.int64())])
+        ).sort_by([("node", "ascending")])
+        deg_ref = _ray.put((np.asarray(deg_tab.column("node"),
+                                       dtype=np.int64),
+                            np.asarray(deg_tab.column("deg"),
+                                       dtype=np.int64)))
+
+        def orient(t: pa.Table) -> pa.Table:
+            nodes, deg = get_broadcast(deg_ref)
+            u = np.asarray(t.column("u"), dtype=np.int64)
+            v = np.asarray(t.column("v"), dtype=np.int64)
+            du = deg[np.searchsorted(nodes, u)]
+            dv = deg[np.searchsorted(nodes, v)]
+            u_first = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({
+                "s": pa.array(np.where(u_first, u, v)),
+                "d": pa.array(np.where(u_first, v, u)),
+                "deg_d": pa.array(np.where(u_first, dv, du))})
+
+        oriented = uniq_edges.map_batches(orient, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    else:
+        e1 = cogroup_inner_join(
+            uniq_edges.map_batches(
+                lambda t: t.rename_columns(["node", "v"]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            degrees, key="node", right_cols=["deg"],
+            num_buckets=num_buckets).map_batches(
+            lambda t: t.rename_columns(["u", "node", "deg_u"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        e2 = cogroup_inner_join(e1, degrees, key="node",
+                                right_cols=["deg"],
+                                num_buckets=num_buckets)
+
+        def orient2(t: pa.Table) -> pa.Table:
+            u = np.asarray(t.column("u"), dtype=np.int64)
+            v = np.asarray(t.column("node"), dtype=np.int64)
+            du = np.asarray(t.column("deg_u"), dtype=np.int64)
+            dv = np.asarray(t.column("deg"), dtype=np.int64)
+            u_first = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({
+                "s": pa.array(np.where(u_first, u, v)),
+                "d": pa.array(np.where(u_first, v, u)),
+                "deg_d": pa.array(np.where(u_first, dv, du))})
+
+        oriented = e2.map_batches(orient2, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    oriented = oriented.materialize()  # consumed 2x: wedges + closure keys
+
+    def wedge_pairs(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({"pair": pa.array([], type=pa.int64())})
+        d = np.asarray(bucket.column("d"), dtype=np.int64)
+        starts = np.asarray(segment_starts(bucket.column("s")))
+        lens = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        left_counts = np.repeat(lens, lens) - 1 - pos
+        total = int(left_counts.sum())
+        if total == 0:
+            return pa.table({"pair": pa.array([], type=pa.int64())})
+        if total > wedge_limit:
+            raise ValueError(
+                f"wedge bucket of {total} pairs exceeds wedge_limit="
+                f"{wedge_limit}; raise num_buckets")
+        left_idx = np.repeat(np.arange(n, dtype=np.int64), left_counts)
+        block_starts = np.cumsum(left_counts) - left_counts
+        k = (np.arange(total, dtype=np.int64)
+             - np.repeat(block_starts, left_counts))
+        right_idx = left_idx + k + 1
+        # rows within a segment are (deg_d, d)-sorted, so d[left] precedes
+        # d[right] in orientation order — the composite matches the
+        # oriented closing edge's (s, d) layout exactly
+        return pa.table({"pair": pa.array(
+            (d[left_idx] << bits) | d[right_idx])})
+
+    wedges = bucketed_group_apply(
+        oriented, "s", wedge_pairs, num_buckets=num_buckets,
+        sort_cols=[("deg_d", "ascending"), ("d", "ascending")])
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("s"), dtype=np.int64)
+        d = np.asarray(t.column("d"), dtype=np.int64)
+        return pa.table({"pair": pa.array((s << bits) | d)})
+
+    edge_keys = oriented.map_batches(edge_key, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    closed = semi_anti_join(wedges, edge_keys, key="pair",
+                            num_buckets=num_buckets)
+    return closed.count()

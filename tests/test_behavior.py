@@ -1,0 +1,146 @@
+"""Hand-answer tests for the behavioral-analytics stages (funnel, cohort
+retention, Markov transitions, skyline) and the triangle counter.
+
+The oracle sweep (scripts/check_oracle.py) pins these operators value-exact
+vs DuckDB at sf scale; these tests pin the EDGE semantics the synthetic
+tables can't exercise — unreached funnel steps, ties, duplicate skyline
+points, disconnected / triangle-free graphs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rel_ray.stages.behavior import (cohort_retention, consecutive_pairs,
+                                     funnel_counts, skyline2d,
+                                     transition_counts)
+from rel_ray.stages.graph import triangle_count
+
+
+def _events(rows):
+    """rows: list of (user, ts, type, event_id)."""
+    return rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+        "event_id": pa.array([r[3] for r in rows], type=pa.int64()),
+    }))
+
+
+def _df(ds):
+    import pandas as pd
+    import pyarrow as pa
+    tabs = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tabs:
+        return pd.DataFrame()
+    return pa.concat_tables(tabs, promote_options="default").to_pandas()
+
+
+class TestFunnel:
+    def test_order_matters(self, ray_session):
+        # u1 does a,b,c in order; u2 does c before a,b (never completes);
+        # u3 only a
+        ev = _events([(1, 10, "a", 1), (1, 20, "b", 2), (1, 30, "c", 3),
+                      (2, 5, "c", 4), (2, 10, "a", 5), (2, 20, "b", 6),
+                      (3, 1, "a", 7)])
+        out = _df(funnel_counts(ev, ["a", "b", "c"], key="user_id",
+                                ts="ts", type_col="event_type",
+                                num_buckets=4))
+        assert out["users"].tolist() == [3, 2, 1]
+
+    def test_tie_at_same_ts_counts(self, ray_session):
+        # b at the SAME ts as a: >= semantics reaches step 2
+        ev = _events([(1, 10, "a", 1), (1, 10, "b", 2)])
+        out = _df(funnel_counts(ev, ["a", "b"], key="user_id", ts="ts",
+                                type_col="event_type", num_buckets=2))
+        assert out["users"].tolist() == [1, 1]
+
+    def test_unreached_steps_zero(self, ray_session):
+        ev = _events([(1, 10, "a", 1)])
+        out = _df(funnel_counts(ev, ["a", "x", "y"], key="user_id",
+                                ts="ts", type_col="event_type",
+                                num_buckets=2))
+        assert out["users"].tolist() == [1, 0, 0]
+        assert out["step_idx"].tolist() == [1, 2, 3]
+
+
+class TestCohortRetention:
+    def test_gaps_and_cohorts(self, ray_session):
+        # period=10: u1 first at p0, active p0,p2; u2 first at p1 only
+        ev = _events([(1, 1, "a", 1), (1, 25, "a", 2), (1, 27, "a", 3),
+                      (2, 15, "a", 4)])
+        out = _df(cohort_retention(ev, key="user_id", ts="ts",
+                                   period_us=10, num_buckets=4))
+        got = set(map(tuple, out.values.tolist()))
+        assert got == {(0, 0, 1), (0, 2, 1), (1, 0, 1)}
+
+
+class TestTransitions:
+    def test_no_cross_user_pairs(self, ray_session):
+        ev = _events([(1, 1, "a", 1), (1, 2, "b", 2),
+                      (2, 3, "b", 3), (2, 4, "a", 4)])
+        out = _df(transition_counts(ev, key="user_id", ts="ts",
+                                    tie="event_id", type_col="event_type",
+                                    num_buckets=4))
+        got = {(r.from_type, r.to_type): (r.cnt, r.share)
+               for r in out.itertuples()}
+        assert got == {("a", "b"): (1, 1.0), ("b", "a"): (1, 1.0)}
+
+    def test_share_sums_to_one_per_source(self, ray_session):
+        ev = _events([(1, i, t, i) for i, t in
+                      enumerate("aabab" * 4)])
+        out = _df(transition_counts(ev, key="user_id", ts="ts",
+                                    tie="event_id", type_col="event_type",
+                                    num_buckets=2))
+        sums = out.groupby("from_type")["share"].sum()
+        assert np.allclose(sums.values, 1.0)
+
+
+class TestSkyline:
+    def test_duplicates_kept_dominated_dropped(self, ray_session):
+        t = pa.table({"x": pa.array([1, 1, 3, 3, 2], type=pa.int64()),
+                      "y": pa.array([5, 5, 2, 1, 2], type=pa.int64())})
+        out = _df(skyline2d(rd.from_arrow(t), x="x", y="y"))
+        got = sorted(map(tuple, out.values.tolist()))
+        # (1,5) twice (duplicates mutually non-dominating), (3,2) on the
+        # frontier; (3,1) dominated by (3,2); (2,2) dominated by (3,2)
+        assert got == [(1, 5), (1, 5), (3, 2)]
+
+    def test_empty(self, ray_session):
+        t = pa.table({"x": pa.array([], type=pa.int64()),
+                      "y": pa.array([], type=pa.int64())})
+        assert _df(skyline2d(rd.from_arrow(t), x="x", y="y")).empty
+
+
+class TestTriangles:
+    def _edges(self, pairs):
+        return rd.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], type=pa.int64())}))
+
+    def test_k4_has_four(self, ray_session):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert triangle_count(self._edges(k4), num_buckets=4) == 4
+
+    def test_multi_edges_self_loops_direction_ignored(self, ray_session):
+        e = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+        assert triangle_count(self._edges(e), num_buckets=4) == 1
+
+    def test_triangle_free(self, ray_session):
+        # path + star: no triangles
+        e = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)]
+        assert triangle_count(self._edges(e), num_buckets=4) == 0
+
+    def test_empty(self, ray_session):
+        assert triangle_count(self._edges([]), num_buckets=2) == 0
+
+
+class TestConsecutivePairs:
+    def test_leads_within_key_only(self, ray_session):
+        ev = _events([(7, 1, "k", 1), (8, 2, "k", 2), (9, 3, "k", 3),
+                      (5, 4, "j", 4)])
+        out = _df(consecutive_pairs(ev, key="event_type", ts="ts",
+                                    tie="event_id", val="user_id",
+                                    num_buckets=2))
+        got = sorted(map(tuple, out.values.tolist()))
+        assert got == [(7, 8), (8, 9)]
