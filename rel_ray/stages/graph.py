@@ -229,6 +229,25 @@ def _pagerank_broadcast(edges, nodes, n: int, *, src: str, dst: str,
                                    "rank": pa.array(r)}))
 
 
+def _simple_undirected(edges, src: str, dst: str):
+    """Canonical UNDIRECTED SIMPLE edge set (u < v, self-loops dropped,
+    multi-edges deduped through one groupby exchange) from any directed /
+    duplicated int-id edge list."""
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column(src), pa.int64())
+        b = pc.cast(t.column(dst), pa.int64())
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        tab = pa.table({"u": lo, "v": hi})
+        return tab.filter(pc.not_equal(tab.column("u"), tab.column("v")))
+
+    return (edges.map_batches(canon, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby(["u", "v"]).count()
+            .map_batches(lambda t: t.select(["u", "v"]),
+                         batch_format="pyarrow", zero_copy_batch=True))
+
+
 def triangle_count(edges, *, src: str = "src", dst: str = "dst",
                    num_buckets: int = 128,
                    broadcast_max_rows: int = 2_000_000,
@@ -259,20 +278,8 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
                                      get_broadcast, segment_starts)
     from ..stages.joins import cogroup_inner_join, semi_anti_join
 
-    def canon(t: pa.Table) -> pa.Table:
-        a = pc.cast(t.column(src), pa.int64())
-        b = pc.cast(t.column(dst), pa.int64())
-        lo = pc.min_element_wise(a, b)
-        hi = pc.max_element_wise(a, b)
-        tab = pa.table({"u": lo, "v": hi})
-        return tab.filter(pc.not_equal(tab.column("u"), tab.column("v")))
-
-    uniq_edges = (edges.map_batches(canon, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-                  .groupby(["u", "v"]).count()
-                  .map_batches(lambda t: t.select(["u", "v"]),
-                               batch_format="pyarrow", zero_copy_batch=True)
-                  .materialize())  # consumed 3x: degrees, orientation, closure
+    uniq_edges = _simple_undirected(edges, src, dst).materialize()
+    # consumed 3x: degrees, orientation, closure
 
     def endpoints(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays([
@@ -391,3 +398,98 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
     closed = semi_anti_join(wedges, edge_keys, key="pair",
                             num_buckets=num_buckets)
     return closed.count()
+
+
+def k_core(edges, k: int, *, src: str = "src", dst: str = "dst",
+           num_buckets: int = 64, max_rounds: int = 200,
+           broadcast_max_rows: int = 2_000_000):
+    """k-core of the undirected simple graph: the maximal subgraph in which
+    every node has degree >= k (Seidman, Social Networks 1983). Returns a
+    Dataset (node:int64, deg:int64) — the core's members with their
+    WITHIN-CORE degree.
+
+    Synchronous peeling: each round drops every node whose current degree
+    is < k, then re-derives degrees on the surviving edge set; peeling is
+    confluent (removal order never changes the fixpoint), which is what
+    makes the result oracle-comparable against an unrolled-SQL twin.
+
+    Scale shape: per round one SKINNY degree groupby + one edge filter —
+    via a broadcast keep-set (one streaming pass) while the surviving node
+    count fits ``broadcast_max_rows``, else two bucketed semi joins
+    (stages/joins.semi_anti_join) on u then v. Edge state is materialized
+    per round (loop-carried; lineage must not re-execute prior rounds) and
+    only SHRINKS. Driver never holds edges — only the node-level keep set,
+    and only on the broadcast path.
+    """
+    import ray as _ray
+
+    from ..functions.rayutil import collect_table, get_broadcast
+    from ..stages.joins import semi_anti_join
+
+    ed = _simple_undirected(edges, src, dst).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t.column("u")
+        v = t.column("v")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v])})
+
+    empty = pa.table({"node": pa.array([], type=pa.int64()),
+                      "deg": pa.array([], type=pa.int64())})
+    for _ in range(max_rounds):
+        if ed.count() == 0:
+            import ray.data as rd
+            return rd.from_arrow(empty)
+        deg = (ed.map_batches(endpoints, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("node").count()
+               .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+               .materialize())
+        n_bad = deg.map_batches(
+            lambda t: t.filter(pc.less(t.column("deg"), pa.scalar(k))),
+            batch_format="pyarrow", zero_copy_batch=True).count()
+        if n_bad == 0:
+            return deg
+        keep = deg.map_batches(
+            lambda t: pa.table({"node": t.filter(
+                pc.greater_equal(t.column("deg"),
+                                 pa.scalar(k))).column("node")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        n_keep = deg.count() - n_bad
+        if n_keep <= broadcast_max_rows:
+            keep_tab = collect_table(
+                keep, pa.schema([("node", pa.int64())]))
+            keep_ref = _ray.put(np.sort(np.asarray(keep_tab.column("node"),
+                                                   dtype=np.int64)))
+
+            def filt(t: pa.Table, ref=keep_ref) -> pa.Table:
+                ks = get_broadcast(ref)
+                if len(ks) == 0:
+                    return t.slice(0, 0)
+                u = np.asarray(t.column("u"), dtype=np.int64)
+                v = np.asarray(t.column("v"), dtype=np.int64)
+                iu = np.searchsorted(ks, u)
+                iv = np.searchsorted(ks, v)
+                ok = ((iu < len(ks)) & (ks[np.minimum(iu, len(ks) - 1)] == u)
+                      & (iv < len(ks))
+                      & (ks[np.minimum(iv, len(ks) - 1)] == v))
+                return t.filter(pa.array(ok))
+
+            ed = ed.map_batches(filt, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        else:
+            ed = semi_anti_join(
+                ed.map_batches(lambda t: t.rename_columns(["node", "v"]),
+                               batch_format="pyarrow", zero_copy_batch=True),
+                keep, key="node", num_buckets=num_buckets).map_batches(
+                lambda t: t.rename_columns(["u", "node"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            ed = semi_anti_join(ed, keep, key="node",
+                                num_buckets=num_buckets).map_batches(
+                lambda t: t.rename_columns(["u", "v"]),
+                batch_format="pyarrow", zero_copy_batch=True).materialize()
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

@@ -144,3 +144,36 @@ class TestConsecutivePairs:
                                     num_buckets=2))
         got = sorted(map(tuple, out.values.tolist()))
         assert got == [(7, 8), (8, 9)]
+
+
+class TestKCore:
+    def _edges(self, pairs):
+        return rd.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], type=pa.int64())}))
+
+    def test_cascade_peel(self, ray_session):
+        from rel_ray.stages.graph import k_core
+        # K4 on {1,2,3,4} plus a tail 4-5-6: k=3 peels 6 (deg 1), then 5,
+        # then 4's extra edge is gone but 4 keeps deg 3 in the K4
+        e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+        out = _df(k_core(self._edges(e), 3, num_buckets=4))
+        got = sorted(map(tuple, out.values.tolist()))
+        assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+    def test_empty_core(self, ray_session):
+        from rel_ray.stages.graph import k_core
+        e = [(1, 2), (2, 3), (3, 1)]  # triangle: 2-core yes, 3-core no
+        assert _df(k_core(self._edges(e), 3, num_buckets=2)).empty
+        out = _df(k_core(self._edges(e), 2, num_buckets=2))
+        assert sorted(out["node"].tolist()) == [1, 2, 3]
+
+    def test_semi_join_fallback_matches_broadcast(self, ray_session):
+        from rel_ray.stages.graph import k_core
+        e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6),
+             (6, 7), (7, 8), (8, 6)]
+        a = _df(k_core(self._edges(e), 3, num_buckets=4))
+        b = _df(k_core(self._edges(e), 3, num_buckets=4,
+                       broadcast_max_rows=0))
+        assert sorted(map(tuple, a.values.tolist())) == \
+            sorted(map(tuple, b.values.tolist()))
