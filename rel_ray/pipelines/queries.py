@@ -4661,6 +4661,39 @@ SELECT node, deg FROM dfin WHERE deg >= {k} ORDER BY node""")
     return "".join(parts)
 
 
+_MIXTURE_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+
+
+def q_mixture_sample_documents(sf_dir: str):
+    """Deterministic training-data mixing: rebalance the documents corpus
+    so source proportions follow a 1:2:3:4 target cycle, keeping the
+    binding source near-whole (stages/sampling.py::mixture_sample — one skinny
+    per-source count pass + one streaming Knuth-hash filter; rates derived
+    in pure-integer arithmetic so the HUGEINT SQL twin lands on identical
+    rates and the membership predicate is the module's standard
+    sample_bucket expression)."""
+    from ..stages.sampling import mixture_sample
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+    return mixture_sample(ds, id_col="doc_id", source_col="source",
+                          weights=_MIXTURE_WEIGHTS)
+
+
+def _sql_mixture_sample_documents() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in _MIXTURE_WEIGHTS.items())
+    return f"""
+WITH w(source, wgt) AS (VALUES {vals}),
+n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+cap AS (SELECT min(CAST(n.n AS HUGEINT) * 10000 // w.wgt) AS c
+        FROM n JOIN w USING(source)),
+r AS (SELECT w.source, CAST(cap.c * w.wgt // n.n AS BIGINT) AS bp
+      FROM w JOIN n USING(source), cap)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING(source)
+WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648)
+       * 2654435761 % 2147483648) % 10000 < r.bp
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
@@ -4766,6 +4799,7 @@ QUERIES = {
     "skyline_lineitem": q_skyline_lineitem,
     "triangle_count_events": q_triangle_count_events,
     "kcore_lineitem": q_kcore_lineitem,
+    "mixture_sample_documents": q_mixture_sample_documents,
     "textstats_documents": q_textstats_documents,
     "multimodal_features": q_multimodal_features,
     "linkage_clusters": q_linkage_clusters,
@@ -4851,6 +4885,7 @@ ORACLE_SQL = {
     "skyline_lineitem": SQL_SKYLINE_LINEITEM,
     "triangle_count_events": SQL_TRIANGLE_COUNT_EVENTS,
     "kcore_lineitem": _sql_kcore_lineitem(),
+    "mixture_sample_documents": _sql_mixture_sample_documents(),
     "dup_passages_documents": SQL_DUP_PASSAGES_DOCUMENTS,
     "dup_ratio_documents": SQL_DUP_RATIO_DOCUMENTS,
     "drop_boilerplate_documents": SQL_DROP_BOILERPLATE_DOCUMENTS,

@@ -202,3 +202,49 @@ def bottomk_sample(ds, *, id_col: str, k: int, carry_cols: list[str] | None = No
                                      batch_size=batch_size),
                       [("__h", "ascending"), (id_col, "ascending")], k)
     return top.drop_columns(["__h"])
+
+
+def mixture_rates(counts: dict[str, int],
+                  weights: dict[str, int]) -> dict[str, int]:
+    """Per-source acceptance rates (1/10000 units) that rebalance the
+    observed per-source counts to the TARGET weight proportions at the
+    maximum achievable total size: C = min_i(n_i * 10000 // w_i) (the
+    binding source kept within one permyriad of whole — floor composition), rate_i = C * w_i // n_i  (<= 10000 by
+    construction). Pure-integer arithmetic (Python bigints — no overflow
+    at any corpus size) so the DuckDB twin computing the same expressions
+    in HUGEINT lands on identical rates. Sources absent from ``weights``
+    rate 0 (dropped); a weighted source absent from ``counts`` forces
+    C = 0 (the demanded proportion is unachievable — honest empty output
+    rather than silent re-normalization)."""
+    caps = []
+    for s, w in weights.items():
+        if w <= 0:
+            continue
+        n = counts.get(s, 0)
+        caps.append((n * 10000) // w)
+    if not caps:
+        return {}
+    c = min(caps)
+    return {s: (c * w) // counts[s]
+            for s, w in weights.items() if w > 0 and counts.get(s, 0) > 0}
+
+
+def mixture_sample(ds, *, id_col: str, source_col: str,
+                   weights: dict[str, int], batch_size: int = 8192):
+    """Deterministic data mixing: downsample each source so the output's
+    source proportions match ``weights`` (the standard training-mixture
+    rebalance), keeping the binding source (near-)whole. One SKINNY per-source
+    count pass (vocab-sized driver table), then one streaming hash-filter
+    pass (stratified_sample) — membership depends only on the row id, so
+    the mixture is reproducible across runs, retries and cluster sizes."""
+    from ..functions.rayutil import collect_table
+
+    cnt_ds = ds.groupby(source_col).count()
+    tab = collect_table(cnt_ds, pa.schema([(source_col, pa.string()),
+                                           ("count()", pa.int64())]))
+    counts = dict(zip(tab.column(0).to_pylist(),
+                      (int(x) for x in tab.column(1).to_pylist())))
+    rates = mixture_rates(counts, weights)
+    return stratified_sample(ds, id_col=id_col, stratum_col=source_col,
+                             rates_permyriad=rates, default_permyriad=0,
+                             batch_size=batch_size)

@@ -44,3 +44,29 @@ def test_exact_kth_out_of_range(ray_session):
     ds = _ds([1, 2, 3])
     with pytest.raises(ValueError):
         exact_kth(ds, "v", 4)
+
+
+class TestMixtureRates:
+    def test_binding_source_kept_whole(self):
+        from rel_ray.stages.sampling import mixture_rates
+        # src b is binding (small count, big weight): kept at 10000
+        r = mixture_rates({"a": 1000, "b": 10}, {"a": 1, "b": 1})
+        assert r["b"] == 10000
+        assert r["a"] == 100  # 10/1000 of a to match 1:1
+
+    def test_proportions_follow_weights(self):
+        from rel_ray.stages.sampling import mixture_rates
+        r = mixture_rates({"a": 1000, "b": 1000}, {"a": 1, "b": 3})
+        # expected kept: a ~ 1000*r_a/10000, b ~ 1000*r_b/10000 in 1:3
+        # floor composition: C = 1000*10000//3 = 3333333; b -> 9999 (one
+        # permyriad under whole), a -> 3333 — exactly the SQL twin's floors
+        assert r["b"] == 9999 and r["a"] == 3333
+
+    def test_missing_weighted_source_empties(self):
+        from rel_ray.stages.sampling import mixture_rates
+        assert mixture_rates({"a": 100}, {"a": 1, "ghost": 1}) == {"a": 0}
+
+    def test_unweighted_source_dropped(self):
+        from rel_ray.stages.sampling import mixture_rates
+        r = mixture_rates({"a": 100, "junk": 500}, {"a": 1})
+        assert "junk" not in r
