@@ -351,3 +351,109 @@ def global_topk(ds, sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
         return getattr(base, "base_schema", base).empty_table()
     out = pa.concat_tables(tabs, promote_options="default")
     return out.sort_by(sort_keys).slice(0, k)
+
+
+# vectorized string->int64 lookup over a broadcast table: the per-process
+# Python-dict build (get_broadcast_dict) was MEASURED as the flagship's
+# whole consume-phase floor at bench scale (17.3 s first count vs 1.1 s
+# re-count at 32 CPUs, 4 vocab-sized dicts per process); a sorted fixed-
+# width-unicode numpy index builds ~4x faster (0.63 s vs 2.4 s at 1.4M
+# keys) and makes every per-batch lookup a C searchsorted instead of a
+# Python dict sweep over the batch's distinct values.
+_STR_INDEX_CACHE: dict = {}
+
+
+def get_broadcast_str_index(ref, key_col: str, code_col: str):
+    """Per-process cached (sorted U-dtype key array, int64 codes in that
+    order) built from a broadcast Arrow table once per worker process."""
+    import ray as _ray
+
+    ck = (ref.hex() if isinstance(ref, _ray.ObjectRef) else id(ref),
+          key_col, code_col)
+    idx = _STR_INDEX_CACHE.get(ck)
+    if idx is None:
+        import numpy as np
+        tab = get_broadcast(ref)
+        col = tab.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ku = np.array(col.to_numpy(zero_copy_only=False), dtype="U")
+        order = np.argsort(ku, kind="stable")
+        codes = np.asarray(tab.column(code_col), dtype=np.int64)[order]
+        idx = _STR_INDEX_CACHE.setdefault(ck, (ku[order], codes))
+    return idx
+
+
+def str_index_lookup(col, index, *, default: int = -1) -> "object":
+    """Map a string column through a (sorted keys, codes) index from
+    get_broadcast_str_index -> np.int64 array (``default`` for misses).
+    Per-batch cost: one dictionary_encode (C++ hash over the batch) + one
+    searchsorted over the batch's DISTINCT values — no Python per value."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    ku_s, codes = index
+    enc = pc.dictionary_encode(col)
+    bn = np.array(enc.dictionary.to_numpy(zero_copy_only=False), dtype="U")
+    if len(ku_s) == 0:
+        out = np.full(len(bn), default, dtype=np.int64)
+    else:
+        pos = np.searchsorted(ku_s, bn)
+        pos_c = np.minimum(pos, len(ku_s) - 1)
+        out = np.where(ku_s[pos_c] == bn, codes[pos_c], default)
+    return out[np.asarray(enc.indices, dtype=np.int64)]
+
+
+def build_hash_str_index(col, codes) -> tuple | None:
+    """Driver-built exact string->code index: (sorted u64 hashes, codes in
+    that order). Returns None when any two DISTINCT keys collide (caller
+    falls back to get_broadcast_str_index), so lookups of keys KNOWN to be
+    in the vocabulary are exact — the collision check upgrades a bucketing
+    hash into an equality structure for the closed-vocabulary case. Build
+    is one vectorized hash + argsort on the driver; workers receive the
+    ready arrays by broadcast and pay ZERO per-process setup (the Python
+    dict build this replaces was the measured consume-phase floor)."""
+    import numpy as np
+
+    from .shingles import string_hash_u64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = string_hash_u64(col)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    if len(hs) > 1 and (hs[1:] == hs[:-1]).any():
+        return None
+    return hs, np.asarray(codes, dtype=np.int64)[order]
+
+
+def hash_str_index_lookup(col, index, *, default: int = -1):
+    """Map a string column through a build_hash_str_index structure ->
+    np.int64 codes. EXACT only for keys that are members of the indexed
+    vocabulary (the index build proved those hashes collision-free);
+    non-member keys map to ``default`` unless they collide — callers must
+    only pass columns whose non-default values are vocabulary members."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .shingles import string_hash_u64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=np.int64)
+    hs, codes = index
+    enc = pc.dictionary_encode(col)
+    bh = string_hash_u64(enc.dictionary)
+    if len(hs) == 0:
+        out = np.full(len(bh), default, dtype=np.int64)
+    else:
+        pos = np.searchsorted(hs, bh)
+        pos_c = np.minimum(pos, len(hs) - 1)
+        out = np.where(hs[pos_c] == bh, codes[pos_c], default)
+    return out[np.asarray(enc.indices, dtype=np.int64)]

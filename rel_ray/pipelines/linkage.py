@@ -150,34 +150,32 @@ def _edge_confidence(matched_edges, num_buckets: int = 512):
                                 sort_cols=[("score", "descending")])
 
 
-def _cluster_conf_table_codes(cl_codes: pa.Table, matched_scored,
-                              rep_tab: pa.Table) -> pa.Table:
-    """Coded twin of ``_cluster_conf_table``: the rep→cluster map arrives
-    as a driver table of int64 codes (connected_components_codes) and the
-    per-rep confidence aggregate ran on coded edges, so the join happens on
-    8-byte ints; the two string columns are materialized LAST with two
-    vectorized takes against the record_id-sorted rep table — the only
-    string work in the whole clustering tail."""
+def _dense_cluster_arrays(cl_codes: pa.Table, matched_scored,
+                          vocab_n: int):
+    """Coded twin of ``_cluster_conf_table``, as three DENSE vocab-length
+    numpy arrays (cluster_code:int64 defaulting to self — singleton reps
+    are their own cluster — plus best_score:float32 / n_links:int32
+    defaulting to 0): built with vectorized scatters from the coded
+    rep→cluster map and the coded per-rep confidence aggregate, then
+    broadcast once. Workers index them directly (to_cluster), so no string
+    table and no per-process Python dict ever exists on this path."""
+    import numpy as np
+
     from ..functions.rayutil import collect_table
 
     conf_schema = pa.schema([("record_id", pa.int64()),
                              ("best_score", pa.float32()),
                              ("n_links", pa.int32())])
     conf_tab = collect_table(_edge_confidence(matched_scored), conf_schema)
-    cl = cl_codes.rename_columns(["record_id", "cluster_code"])
-    merged = cl.join(conf_tab, keys="record_id", join_type="full outer")
-    code = merged.column("record_id")
-    cluster = pc.coalesce(merged.column("cluster_code"), code)
-    rid = rep_tab.column("record_id")
-    return pa.table({
-        "record_id": rid.take(code),
-        "cluster_id": rid.take(cluster),
-        "best_score": pc.fill_null(
-            pc.cast(merged.column("best_score"), pa.float32()),
-            pa.scalar(0.0, pa.float32())),
-        "n_links": pc.fill_null(pc.cast(merged.column("n_links"), pa.int32()),
-                                pa.scalar(0, pa.int32())),
-    })
+    cluster_code = np.arange(vocab_n, dtype=np.int64)
+    cluster_code[np.asarray(cl_codes.column("code"), dtype=np.int64)] = \
+        np.asarray(cl_codes.column("cluster_code"), dtype=np.int64)
+    bs = np.zeros(vocab_n, dtype=np.float32)
+    nl = np.zeros(vocab_n, dtype=np.int32)
+    cc = np.asarray(conf_tab.column("record_id"), dtype=np.int64)
+    bs[cc] = np.asarray(conf_tab.column("best_score"), dtype=np.float32)
+    nl[cc] = np.asarray(conf_tab.column("n_links"), dtype=np.int32)
+    return cluster_code, bs, nl
 
 
 def _cluster_conf_table(rep_clusters, matched_edges) -> pa.Table:
@@ -408,6 +406,24 @@ def run_linkage(
 
     rep_tab = rep_tab.append_column(
         "rep_code", pa.array(_np.arange(rep_tab.num_rows, dtype=_np.int64)))
+    # driver-built mention_norm -> code hash index (collision-checked, so
+    # exact for the closed vocabulary); broadcast READY so workers pay no
+    # per-process build at all. None -> workers fall back to the sorted-U
+    # string index (get_broadcast_str_index), still dict-free.
+    from ..functions.rayutil import build_hash_str_index
+    mn_idx = build_hash_str_index(rep_tab.column("mention_norm"),
+                                  rep_tab.column("rep_code"))
+    mn_idx_ref = _ray.put(mn_idx)
+
+    def _mn_codes(col):
+        from ..functions.rayutil import (get_broadcast_str_index,
+                                         hash_str_index_lookup,
+                                         str_index_lookup)
+        hidx = get_broadcast(mn_idx_ref)
+        if hidx is not None:
+            return hash_str_index_lookup(col, hidx, default=-1)
+        sidx = get_broadcast_str_index(rep_ref, "mention_norm", "rep_code")
+        return str_index_lookup(col, sidx, default=-1)
     # broadcast the zero-copy Arrow TABLE; each worker builds the Python dict
     # once per process (get_broadcast_dict) — the O(vocabulary) dict build
     # runs on the workers in parallel, not on the driver's critical path
@@ -490,13 +506,14 @@ def run_linkage(
             if rows.num_rows == 0:
                 return pa.table({"id_a": pa.array([], type=pa.int64()),
                                  "id_b": pa.array([], type=pa.int64())})
-            d = get_broadcast_dict(rep_ref, "mention_norm", "rep_code")
-            rep_b = dict_lookup(rows.column("mention_norm"), d,
-                                value_type=pa.int64())
-            rep_a = dict_lookup(rows.column("coref_prev_mn"), d, default=-1,
-                                value_type=pa.int64())
-            lo = pc.min_element_wise(rep_a, rep_b)
-            hi = pc.max_element_wise(rep_a, rep_b)
+            # driver-broadcast hash index (sorted-U fallback), NOT a
+            # Python dict: the per-process dict build was the measured
+            # consume-phase floor (17.3 s vs 1.1 s warm at 32 CPUs)
+            rep_b = _mn_codes(rows.column("mention_norm"))
+            rep_a = _mn_codes(rows.column("coref_prev_mn"))
+            import numpy as _np2
+            lo = pa.array(_np2.minimum(rep_a, rep_b))
+            hi = pa.array(_np2.maximum(rep_a, rep_b))
             out = pa.table({"id_a": lo, "id_b": hi})
             out = out.filter(pc.greater_equal(out.column("id_a"),
                                               pa.scalar(0, pa.int64())))
@@ -550,13 +567,29 @@ def run_linkage(
     # straight to clusters
     with _phase_timer("collect_rep_clusters"):
         if cl_codes is not None:
-            cl_ref = _ray.put(_cluster_conf_table_codes(
-                cl_codes, matched_scored, rep_tab))
+            cl_ref = _ray.put(_dense_cluster_arrays(
+                cl_codes, matched_scored, rep_tab.num_rows))
         else:
             cl_ref = _ray.put(_cluster_conf_table(rep_clusters,
                                                   matched_scored))
 
+    coded_cl = cl_codes is not None
+
     def to_cluster(t: pa.Table) -> pa.Table:
+        if coded_cl:
+            # pure-C path: one searchsorted string lookup (mention_norm ->
+            # rep code), then three dense-array gathers + one Arrow take
+            # for the cluster-id string — no Python dict anywhere
+            codes = _mn_codes(t.column("mention_norm"))
+            cluster_code, bs_arr, nl_arr = get_broadcast(cl_ref)
+            rid = get_broadcast(rep_ref).column("record_id")
+            ccode = cluster_code[codes]
+            return pa.table({
+                "record_id": t.column("record_id"),
+                "cluster_id": rid.take(pa.array(ccode)),
+                "best_score": pa.array(bs_arr[codes]),
+                "n_links": pa.array(nl_arr[codes]),
+            })
         reps_d = get_broadcast_dict(rep_ref, "mention_norm", "record_id")
         cls_d = get_broadcast_dict(cl_ref, "record_id", "cluster_id")
         bs_d = get_broadcast_dict(cl_ref, "record_id", "best_score")
