@@ -208,3 +208,49 @@ def test_string_digest128_lanes_independent_and_null_distinct():
     chunked = pa.chunked_array([pa.array(strs[:5]), pa.array(strs[5:])])
     again = string_digest128_hex(chunked.combine_chunks()).to_pylist()
     assert again == string_digest128_hex(pa.array(strs)).to_pylist()
+
+
+class TestHashStrIndex:
+    def test_roundtrip_and_default(self):
+        import numpy as np
+        from rel_ray.functions.rayutil import (build_hash_str_index,
+                                               hash_str_index_lookup)
+        keys = pa.array([f"mention {i}" for i in range(1000)])
+        codes = pa.array(np.arange(1000, dtype=np.int64) * 7)
+        idx = build_hash_str_index(keys, codes)
+        assert idx is not None
+        col = pa.array(["mention 3", "NOT PRESENT", "mention 999",
+                        "mention 3"])
+        out = hash_str_index_lookup(col, idx, default=-1)
+        assert out.tolist() == [21, -1, 6993, 21]
+
+    def test_duplicate_keys_refused(self):
+        import numpy as np
+        from rel_ray.functions.rayutil import build_hash_str_index
+        keys = pa.array(["a", "b", "a"])
+        assert build_hash_str_index(keys, pa.array([0, 1, 2])) is None
+
+    def test_empty(self):
+        import numpy as np
+        from rel_ray.functions.rayutil import (build_hash_str_index,
+                                               hash_str_index_lookup)
+        idx = build_hash_str_index(pa.array([], type=pa.string()),
+                                   pa.array([], type=pa.int64()))
+        assert idx is not None
+        out = hash_str_index_lookup(pa.array(["x"]), idx, default=-9)
+        assert out.tolist() == [-9]
+        assert hash_str_index_lookup(pa.array([], type=pa.string()),
+                                     idx).tolist() == []
+
+
+class TestSortedStrIndex:
+    def test_lookup_matches_dict(self):
+        import numpy as np
+        from rel_ray.functions.rayutil import (get_broadcast_str_index,
+                                               str_index_lookup)
+        tab = pa.table({"k": pa.array(["zz", "aa", "mm"]),
+                        "code": pa.array([2, 0, 1], type=pa.int64())})
+        idx = get_broadcast_str_index(tab, "k", "code")
+        out = str_index_lookup(pa.array(["mm", "aa", "nope", "zz"]), idx,
+                               default=-1)
+        assert out.tolist() == [1, 0, -1, 2]
