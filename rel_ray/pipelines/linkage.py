@@ -581,6 +581,10 @@ def run_linkage(
             # rep code), then three dense-array gathers + one Arrow take
             # for the cluster-id string — no Python dict anywhere
             codes = _mn_codes(t.column("mention_norm"))
+            if len(codes) and codes.min() < 0:
+                raise RuntimeError(
+                    "mention_norm missing from the rep vocabulary — "
+                    "records0 and rep_map diverged")
             cluster_code, bs_arr, nl_arr = get_broadcast(cl_ref)
             rid = get_broadcast(rep_ref).column("record_id")
             ccode = cluster_code[codes]

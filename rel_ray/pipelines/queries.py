@@ -4694,6 +4694,43 @@ WHERE (((doc_id % 2147483648 + 2147483648) % 2147483648)
 """
 
 
+_FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000
+
+
+def q_funnel_window_events(sf_dir: str):
+    """Conversion-window funnel: signup -> view -> purchase where each
+    transition must land within 6 hours of the previous step
+    (behavior.funnel_counts(window=...) — the windowed variant of the
+    chained-min semantics; step 1 unconstrained). Counts differentiate
+    sharply from the unwindowed funnel (150/15/2 vs 150/150/150 at
+    sf0.01), exercising the window arm of the kernel."""
+    from ..stages.behavior import funnel_counts
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return funnel_counts(ev, ["signup", "view", "purchase"],
+                         key="user_id", ts="ts", type_col="event_type",
+                         window=_FUNNEL_WINDOW_US)
+
+
+SQL_FUNNEL_WINDOW_EVENTS = f"""
+WITH s1 AS (SELECT user_id, min(ts) t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 USING(user_id)
+       WHERE e.event_type = 'view' AND e.ts >= s1.t
+         AND epoch_us(e.ts) <= epoch_us(s1.t) + {_FUNNEL_WINDOW_US}
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING(user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+         AND epoch_us(e.ts) <= epoch_us(s2.t) + {_FUNNEL_WINDOW_US}
+       GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step_name,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+ORDER BY step_idx
+"""
+
+
 QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
@@ -4794,6 +4831,7 @@ QUERIES = {
     "weighted_sample_documents": q_weighted_sample_documents,
     "soundex_blocks_documents": q_soundex_blocks_documents,
     "funnel_events": q_funnel_events,
+    "funnel_window_events": q_funnel_window_events,
     "cohort_retention_events": q_cohort_retention_events,
     "transition_matrix_events": q_transition_matrix_events,
     "skyline_lineitem": q_skyline_lineitem,
@@ -4880,6 +4918,7 @@ ORACLE_SQL = {
     "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
     "soundex_blocks_documents": _sql_soundex_blocks(),
     "funnel_events": SQL_FUNNEL_EVENTS,
+    "funnel_window_events": SQL_FUNNEL_WINDOW_EVENTS,
     "cohort_retention_events": SQL_COHORT_RETENTION_EVENTS,
     "transition_matrix_events": SQL_TRANSITION_MATRIX_EVENTS,
     "skyline_lineitem": SQL_SKYLINE_LINEITEM,

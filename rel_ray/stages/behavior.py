@@ -29,12 +29,16 @@ from ..functions.rayutil import bucketed_group_apply, segment_starts
 
 
 def funnel_counts(ds, steps: list[str], *, key: str, ts: str,
-                  type_col: str, num_buckets: int = 256):
+                  type_col: str, num_buckets: int = 256,
+                  window: int | None = None):
     """Ordered funnel: how many distinct keys (users) reached each step.
 
     Semantics (the SQL-chained-CTE definition, ties allowed): per key,
     ``t_1`` = min ts of an event of type ``steps[0]``; ``t_i`` = min ts of
-    a ``steps[i]`` event with ``ts >= t_{i-1}``. A key "reaches" step i if
+    a ``steps[i]`` event with ``ts >= t_{i-1}`` (and, when ``window`` is
+    set, ``ts <= t_{i-1} + window`` — the CONVERSION-WINDOW variant: each
+    transition must land within ``window`` ts-units of the previous step;
+    step 1 is never window-constrained). A key "reaches" step i if
     ``t_i`` exists. Output: one row per step —
     (step_idx:int64 1-based, step_name:string, users:int64), every step
     present even at 0.
@@ -63,8 +67,13 @@ def funnel_counts(ds, steps: list[str], *, key: str, ts: str,
             counts = np.empty(k, dtype=np.int64)
             for i, s in enumerate(step_names):
                 mask = np.asarray(pc.equal(types, pa.scalar(s)))
-                cand = np.where(
-                    mask & (t >= np.repeat(prev, lens)), t, inf)
+                prevr = np.repeat(prev, lens)
+                ok = mask & (t >= prevr)
+                if window is not None and i > 0:
+                    # prevr == +inf (unreached) is already excluded by
+                    # t >= prevr, so the subtraction cannot overflow here
+                    ok &= (t - prevr) <= window
+                cand = np.where(ok, t, inf)
                 step_min = np.minimum.reduceat(cand, starts)
                 counts[i] = int(np.count_nonzero(step_min != inf))
                 prev = step_min  # unreached keys carry +inf: later steps stay unreached

@@ -177,3 +177,31 @@ class TestKCore:
                        broadcast_max_rows=0))
         assert sorted(map(tuple, a.values.tolist())) == \
             sorted(map(tuple, b.values.tolist()))
+
+
+class TestFunnelWindow:
+    def test_window_gates_transition(self, ray_session):
+        # u1: a@10 -> b@15 (within window 10); u2: a@10 -> b@25 (outside)
+        ev = _events([(1, 10, "a", 1), (1, 15, "b", 2),
+                      (2, 10, "a", 3), (2, 25, "b", 4)])
+        out = _df(funnel_counts(ev, ["a", "b"], key="user_id", ts="ts",
+                                type_col="event_type", num_buckets=2,
+                                window=10))
+        assert out["users"].tolist() == [2, 1]
+
+    def test_step_one_unconstrained(self, ray_session):
+        ev = _events([(1, 1_000_000, "a", 1), (1, 1_000_001, "b", 2)])
+        out = _df(funnel_counts(ev, ["a", "b"], key="user_id", ts="ts",
+                                type_col="event_type", num_buckets=2,
+                                window=5))
+        assert out["users"].tolist() == [1, 1]
+
+    def test_earliest_chain_not_best_chain(self, ray_session):
+        # min-ts chaining is the defined (SQL) semantics: u1's EARLIEST a
+        # is at 0, whose window misses b@100; the later a@95 would reach
+        # it, but the chain pins t1 = min ts — count stays 0
+        ev = _events([(1, 0, "a", 1), (1, 95, "a", 2), (1, 100, "b", 3)])
+        out = _df(funnel_counts(ev, ["a", "b"], key="user_id", ts="ts",
+                                type_col="event_type", num_buckets=2,
+                                window=10))
+        assert out["users"].tolist() == [1, 0]
