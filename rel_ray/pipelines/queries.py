@@ -3532,13 +3532,42 @@ def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog grouped distinct (p=12, ~1.6% expected error): the
     mergeable-sketch combiner path for COUNT(DISTINCT) at 100-TB scale —
     shuffle moves one 4-KiB sketch row per (group, batch), never the pairs.
-    rows-only (approximate by design); accuracy vs exact is pinned in
-    tests/test_ops.py::test_hll_accuracy."""
+
+    Bracket oracle: the estimate itself is approximate by design, so the
+    query emits ``within_bound = |hll − exact| / exact ≤ 0.05`` per group
+    (0.05 ≈ 3σ of HLL's 1.04/√2¹² ≈ 1.6% std error) against the engine's own
+    exact-distinct pass; the SQL oracle asserts TRUE for every group. The
+    driver check is therefore value-hash-exact without faking precision.
+    Tighter accuracy is pinned in tests/test_ops.py::test_hll_accuracy.
+    Both sides are one row per GROUP (bounded by group cardinality, not
+    data size) — the driver-side bracket join is O(#groups)."""
+    from ..functions.rayutil import collect_table
     from ..stages.sketches import grouped_approx_distinct
 
     ds = _pq(sf_dir, "events", ["event_type", "user_id"])
-    return grouped_approx_distinct(ds, group_col="event_type",
-                                   value_col="user_id", p=12)
+    approx = grouped_approx_distinct(ds, group_col="event_type",
+                                     value_col="user_id", p=12)
+    exact = collect_table(
+        q_distinct_users_per_event_type(sf_dir),
+        pa.schema([("event_type", pa.string()), ("n_users", pa.int64())]))
+    exact_map = dict(zip(exact.column("event_type").to_pylist(),
+                         exact.column("n_users").to_pylist()))
+
+    def bracket(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        est = np.asarray(t.column("approx_distinct"), dtype=np.float64)
+        true = np.array([exact_map[e] for e in et], dtype=np.float64)
+        ok = np.abs(est - true) <= 0.05 * true
+        return pa.table({"event_type": t.column("event_type"),
+                         "within_bound": pa.array(ok)})
+
+    return approx.map_batches(bracket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type
+"""
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -4906,6 +4935,7 @@ ORACLE_SQL = {
     "budget_sample_documents": SQL_BUDGET_SAMPLE_DOCUMENTS,
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
+    "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "scrub_pii_documents": SQL_SCRUB_PII_DOCUMENTS,

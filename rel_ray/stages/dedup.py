@@ -42,8 +42,11 @@ def attach_singleton_clusters(ds, id_col: str, cc_labeled, *,
 
     schema = pa.schema([("record_id", pa.string()),
                         ("cluster_id", pa.string())])
-    lab = collect_table(cc_labeled.materialize(), schema)
-    if lab.num_rows > broadcast_max_rows:  # pragma: no cover - scale fallback
+    # Count BEFORE collecting: on a high-dup-rate corpus the labeled set can
+    # exceed driver memory, so the cap check must gate the collect itself,
+    # not run after it (the fallback exists precisely for that case).
+    cc_mat = cc_labeled.materialize()
+    if cc_mat.count() > broadcast_max_rows:
         from ..config import DEFAULT_CONFIG
         from .clustering import _expand_clusters_cogroup
         members = ds.map_batches(
@@ -52,8 +55,9 @@ def attach_singleton_clusters(ds, id_col: str, cc_labeled, *,
                 "rep_id": pc.cast(t.column(id_col), pa.string())}),
             batch_format="pyarrow", zero_copy_batch=True)
         return _expand_clusters_cogroup(
-            members, cc_labeled,
+            members, cc_mat,
             num_buckets=(cfg or DEFAULT_CONFIG).num_buckets)
+    lab = collect_table(cc_mat, schema)
     ref = _ray.put(lab)
 
     def attach(t: pa.Table) -> pa.Table:

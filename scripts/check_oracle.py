@@ -11,6 +11,15 @@ a fresh child with the unreported queries — retrying the in-flight query
 once before declaring it failed.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py --changed [GIT_REF] [sf_dir]
+
+``--changed`` selects only the queries plausibly affected by the working
+tree's diff against GIT_REF (default HEAD): it takes the reverse-import
+closure of every changed rel_ray module and keeps the queries whose wrapper
+source references one of them, plus any ``q_*`` wrapper whose own lines a
+queries.py hunk touches. Infra changes (__ray_entry__, scripts, conftest)
+conservatively select everything. The full sweep stays the CI-cadence
+check; --changed is the cheap per-commit gate over the untouched majority.
 """
 
 import hashlib
@@ -117,19 +126,131 @@ def run_child(sf_dir: str, names: list[str]) -> None:
     sys.exit(0)
 
 
+def _module_rdeps_closure(changed: set[str], repo: str) -> set[str]:
+    """Reverse-import closure over rel_ray modules: start from the changed
+    module basenames and add every module that (transitively) imports one.
+    Import edges are read syntactically (``from .X import`` /
+    ``from ..pkg.X import`` / ``from rel_ray.pkg.X import`` /
+    ``from ..pkg import X`` lines) — conservative, no code execution."""
+    import glob
+    import re
+
+    deps: dict[str, set[str]] = {}
+    pat = re.compile(
+        r"^\s*from\s+(?:rel_ray[.\w]*|\.+[\w.]*)\s+import\s+(.+)$|"
+        r"^\s*from\s+(?:rel_ray\.|\.+)([\w.]+)\s+import\s",
+        re.M)
+    for path in glob.glob(os.path.join(repo, "rel_ray", "**", "*.py"),
+                          recursive=True):
+        mod = os.path.splitext(os.path.basename(path))[0]
+        with open(path) as f:
+            src = f.read()
+        refs: set[str] = set()
+        for m in pat.finditer(src):
+            for grp in m.groups():
+                if grp:
+                    refs.update(re.findall(r"[A-Za-z_]\w*", grp))
+        deps.setdefault(mod, set()).update(refs)
+    out = set(changed)
+    while True:
+        grew = {m for m, refs in deps.items() if m not in out and refs & out}
+        if not grew:
+            return out
+        out |= grew
+
+
+def _changed_query_names(ref: str, entrymod) -> list[str] | None:
+    """Queries affected by the diff vs ``ref``; None = run everything."""
+    import inspect
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(["git", "diff", "--name-only", ref],
+                       capture_output=True, text=True, cwd=repo)
+    if r.returncode != 0:
+        print(f"--changed: git diff vs {ref} failed; running everything")
+        return None
+    files = [f for f in r.stdout.split() if f.endswith(".py")
+             # tests, bench and this script never change query results
+             and not f.startswith(("tests/", "scripts/"))
+             and f != "bench.py"]
+    if not files:
+        return []
+    infra = [f for f in files if not f.startswith("rel_ray/")
+             or f == "rel_ray/config.py"]
+    if infra:
+        print(f"--changed: infra files changed ({infra}); running everything")
+        return None
+
+    changed_mods = {os.path.splitext(os.path.basename(f))[0] for f in files}
+    closure = _module_rdeps_closure(changed_mods, repo)
+
+    qs = entrymod.queries()
+    picked: set[str] = set()
+    # wrapper-source references to any module in the closure
+    word = re.compile(r"[A-Za-z_]\w*")
+    for name, fn in qs.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            picked.add(name)
+            continue
+        if set(word.findall(src)) & closure:
+            picked.add(name)
+    # hunk-touched q_* wrappers inside queries.py itself
+    if "queries" in changed_mods:
+        h = subprocess.run(
+            ["git", "diff", "-U0", ref, "--",
+             "rel_ray/pipelines/queries.py"],
+            capture_output=True, text=True, cwd=repo)
+        spans = [(int(m.group(1)), int(m.group(1)) + max(int(m.group(2) or 1), 1))
+                 for m in re.finditer(r"^@@ .*\+(\d+)(?:,(\d+))? @@",
+                                      h.stdout, re.M)]
+        for name, fn in qs.items():
+            try:
+                lines, start = inspect.getsourcelines(fn)
+            except (OSError, TypeError):
+                continue
+            end = start + len(lines)
+            if any(s < end and start < e for s, e in spans):
+                picked.add(name)
+    return [n for n in qs if n in picked]
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--run":
         run_child(sys.argv[2], sys.argv[3:])
         return
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    argv = sys.argv[1:]
+    changed_ref = None
+    if argv and argv[0] == "--changed":
+        argv.pop(0)
+        changed_ref = "HEAD"
+        if argv and not os.path.isdir(argv[0]) and argv[0] not in ("",):
+            # a git ref (anything that isn't the sf dir)
+            if not argv[0].startswith("/"):
+                changed_ref = argv.pop(0)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:]
 
     # Parent holds no Ray session; it only needs the query NAMES in
     # registry order (building the dict executes nothing).
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
-    names = [n for n in entrymod.queries() if not only or n in only]
+    if changed_ref is not None:
+        sel = _changed_query_names(changed_ref, entrymod)
+        if sel is None:
+            names = list(entrymod.queries())
+        else:
+            names = sel
+        print(f"--changed vs {changed_ref}: {len(names)} of "
+              f"{len(entrymod.queries())} queries selected")
+        if not names:
+            print("\n0 pass, 0 fail")
+            sys.exit(0)
+    else:
+        names = [n for n in entrymod.queries() if not only or n in only]
 
     pending = list(names)
     retried: set[str] = set()

@@ -84,6 +84,44 @@ def test_near_dedup_simhash(doc_table):
     assert cl["0"] != cl["3"]
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_attach_singleton_clusters_cogroup_fallback(doc_table):
+    """broadcast_max_rows=0 must route to the cogroup fallback BEFORE any
+    driver collect of the labeled set (VERDICT r3 #1: the cap check has to
+    gate the collect, not run after it) and produce identical clusters."""
+    import ray.data
+
+    from rel_ray.functions import rayutil
+    from rel_ray.stages.dedup import attach_singleton_clusters
+
+    ds = rd.from_arrow(doc_table)
+    cc = ray.data.from_arrow(pa.table({
+        "record_id": pa.array(["0", "1", "2"]),
+        "cluster_id": pa.array(["0", "0", "0"])}))
+
+    def as_map(ds_out):
+        t = _collect(ds_out)
+        return dict(zip(t.column("record_id").to_pylist(),
+                        t.column("cluster_id").to_pylist()))
+
+    expected = as_map(attach_singleton_clusters(ds, "doc_id", cc))
+
+    # with the cap at 0, collect_table must never run on the labeled set
+    orig = rayutil.collect_table
+
+    def forbidden(*a, **k):
+        raise AssertionError("driver collect ran despite broadcast cap 0")
+
+    rayutil.collect_table = forbidden
+    try:
+        got = as_map(attach_singleton_clusters(
+            ds, "doc_id", cc, broadcast_max_rows=0, cfg=DEFAULT_CONFIG))
+    finally:
+        rayutil.collect_table = orig
+    assert got == expected
+    assert got["0"] == got["1"] == got["2"] and got["5"] == "5"
+
+
 def test_simhash_properties():
     from rel_ray.stages.dedup import _popcount64, simhash_column
     texts = pa.array(["the quick brown fox jumps over the lazy dog",
