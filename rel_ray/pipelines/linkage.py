@@ -365,11 +365,19 @@ def run_linkage(
     turns = conversation_stage(transcripts, cfg)
     # one materialization of the wide records — the conversation shuffle runs
     # exactly once; everything after is skinny aggregates + broadcast lookups
-    # coalesce: the bucket groupby emits ~num_buckets small blocks; merging
-    # to ~64 keeps downstream per-task overhead low across the three passes
-    # that re-read records0
     with _phase_timer("records0_materialize"):
-        records0 = records_stage(turns, cfg).repartition(64).materialize()
+        records0 = records_stage(turns, cfg).materialize()
+    # The bucket groupby emits at most ~num_buckets blocks (≤512), which the
+    # downstream passes amortize fine; the former unconditional
+    # repartition(64) was a measured 27 s tax at 14.5M turns / 8 CPUs
+    # (43.2 s → 70.1 s records0 wall: RepartitionReduce runs as a SINGLE
+    # task that re-copies the whole table serially — a fixed cost that is
+    # proportionally worst at low CPU counts, i.e. exactly what the
+    # cluster-scaling criterion measures). Coalesce only a pathological
+    # block explosion.
+    if records0.num_blocks() > 1024:  # pragma: no cover - defensive
+        with _phase_timer("records0_coalesce"):
+            records0 = records0.repartition(256).materialize()
 
     from ..functions.rayutil import adaptive_buckets, grouped_min
     with _phase_timer("rep_map_materialize"):
