@@ -1631,23 +1631,27 @@ FROM (
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal decode + frame-sample plumbing (rows-only: the fake decoder
-    is deterministic but not SQL-expressible). Synth media parquet is written
-    once per sf_dir under /tmp, then flows read_parquet → actor-pool decode
-    (small batches for binary payloads) → per-frame explode for videos."""
+    """Multimodal decode + frame-sample over REAL encoded payloads (rows-only:
+    byte parsing is not SQL-expressible): the media parquet carries actual
+    24-bit BMP images and 16-bit PCM WAV tones, decoded by the pure-numpy
+    codecs (stages/multimodal.decode_bmp/decode_wav — known-answer pinned in
+    tests/test_ops.py). Written once per sf_dir under /tmp, then read_parquet
+    → actor-pool decode (small batches for binary payloads) → per-frame
+    explode by duration metadata."""
     import hashlib
     import os
 
     import pyarrow.parquet as pq
 
-    from ..stages.multimodal import decode_stage, frame_sample_stage, synth_media_table
+    from ..stages.multimodal import (decode_stage, frame_sample_stage,
+                                     synth_real_media_table)
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/relray_media_{tag}.parquet"
+    path = f"/tmp/relray_media_real_{tag}.parquet"
     if not os.path.exists(path):
-        pq.write_table(synth_media_table(256, seed=42), path)
+        pq.write_table(synth_real_media_table(256, seed=42), path)
     media = rd.read_parquet(path)
-    feats = decode_stage(media, fake=True, dim=32, batch_size=64)
+    feats = decode_stage(media, fake=False, dim=32, batch_size=64)
     frames = frame_sample_stage(rd.read_parquet(path), every_ms=5000)
     frame_counts = frames.groupby("media_id").count().map_batches(
         lambda t: t.rename_columns(["media_id", "n_frames"]),

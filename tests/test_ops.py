@@ -231,10 +231,103 @@ def test_multimodal_decode_plumbing():
         assert len(per_media[r["media_id"]]) == expected
 
 
-def test_real_decode_is_stubbed():
-    from rel_ray.stages.multimodal import MediaDecoder
-    with pytest.raises(NotImplementedError):
-        MediaDecoder(fake=False).decode(b"bytes", "image/png")
+def test_bmp_codec_roundtrip_and_known_bytes():
+    """Pure-numpy BMP: encode→decode is exact on odd widths (row padding),
+    and the PARSER is pinned against a hand-built byte layout — not just
+    the encoder's inverse."""
+    import struct
+
+    from rel_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    # hand-built 2x2 24-bit BMP, bottom-up, BGR, rows padded to 8 bytes:
+    # bottom row = red, green; top row = blue, white
+    rows = (bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"   # file row 0 = image bottom
+            + bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00")
+    payload = (struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows),
+                             0, 0, 0, 0) + rows)
+    out = decode_bmp(payload)
+    assert out.shape == (2, 2, 3)
+    assert out[1, 0].tolist() == [255, 0, 0]      # bottom-left red (RGB)
+    assert out[1, 1].tolist() == [0, 255, 0]      # bottom-right green
+    assert out[0, 0].tolist() == [0, 0, 255]      # top-left blue
+    assert out[0, 1].tolist() == [255, 255, 255]  # top-right white
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp at all, really not")
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Pure-numpy WAV: stereo roundtrip is exact; the parser walks extra
+    RIFF chunks (hand-built layout with a LIST chunk before data)."""
+    import struct
+
+    from rel_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(4)
+    stereo = rng.integers(-32768, 32767, size=(300, 2)).astype(np.int16)
+    out, rate = decode_wav(encode_wav(stereo, 22050))
+    assert rate == 22050 and np.array_equal(out, stereo)
+
+    # hand-built mono WAV with an extra LIST chunk between fmt and data
+    samples = np.array([0, 1000, -1000, 32767], dtype=np.int16)
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"fmt " + struct.pack("<I", 16) + fmt
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out2, rate2 = decode_wav(payload)
+    assert rate2 == 8000 and out2.ravel().tolist() == samples.tolist()
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OGGS definitely not a riff wave file")
+
+
+def test_real_decode_features_known_answer():
+    """Feature extraction over REAL decoded bytes: a constant-color image
+    yields constant luma features; a constant-amplitude tone yields its
+    normalized amplitude; unsupported mimes stay a loud error."""
+    from rel_ray.stages.multimodal import (MediaDecoder, encode_bmp,
+                                           encode_wav)
+
+    dec = MediaDecoder(fake=False, dim=8)
+    img = np.full((10, 10, 3), 200, dtype=np.uint8)
+    f = dec.decode(encode_bmp(img), "image/bmp", 8)
+    assert f.shape == (8,)
+    assert np.allclose(f, 200 / 255.0, atol=1e-3)
+
+    tone = np.full(800, 16384, dtype=np.int16)
+    f2 = dec.decode(encode_wav(tone, 8000), "audio/wav", 8)
+    assert np.allclose(f2, 0.5, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        dec.decode(b"bytes", "image/png", 8)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_real_decode_stage_end_to_end():
+    """decode_stage(fake=False) over the generated real-payload media table:
+    deterministic features, correct shapes, both kinds decoded."""
+    from rel_ray.stages.multimodal import decode_stage, synth_real_media_table
+
+    media = synth_real_media_table(24, seed=11)
+    out = _collect(decode_stage(rd.from_arrow(media), fake=False, dim=16,
+                                batch_size=8)).sort_by("media_id")
+    assert out.num_rows == 24
+    feats = out.column("features")
+    assert pa.types.is_fixed_size_list(feats.type) and feats.type.list_size == 16
+    vals = np.asarray(feats.combine_chunks().values,
+                      dtype=np.float32).reshape(24, 16)
+    assert np.all(vals >= 0) and np.all(vals <= 1)
+    # image rows vary spatially (random pixels), audio rows follow the tone
+    out2 = _collect(decode_stage(rd.from_arrow(media), fake=False, dim=16,
+                                 batch_size=8)).sort_by("media_id")
+    assert out.equals(out2)
 
 
 @pytest.mark.usefixtures("ray_session")
