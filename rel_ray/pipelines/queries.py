@@ -3574,6 +3574,24 @@ SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type
 """
 
 
+def q_percent_rank_documents(sf_dir: str):
+    """Exact global percentile-rank normalization of a quality/length score
+    (the corpus-curation 'keep the top X% by score' primitive) — one
+    distinct-value count aggregate + driver cumsum + broadcast lookup; no
+    global sort, no row-sized exchange (stages/selection.percentile_rank)."""
+    from ..stages.selection import percentile_rank
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    return percentile_rank(docs, value_col="n_chars", keep_cols=["doc_id"])
+
+
+SQL_PERCENT_RANK_DOCUMENTS = """
+SELECT doc_id, n_chars,
+       percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4811,6 +4829,7 @@ QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
+    "percent_rank_documents": q_percent_rank_documents,
     "pivot_events_per_user": q_pivot_events_per_user,
     "chunk_documents": q_chunk_documents,
     "scrub_pii_documents": q_scrub_pii_documents,
@@ -4940,6 +4959,7 @@ ORACLE_SQL = {
     "stratified_sample_documents": SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "percent_rank_documents": SQL_PERCENT_RANK_DOCUMENTS,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "scrub_pii_documents": SQL_SCRUB_PII_DOCUMENTS,

@@ -123,3 +123,58 @@ def exact_kth(ds, col: str, k: int, *, bin_bits: int = 10,
     if remaining < 1 or remaining > cum[-1]:
         raise ValueError(f"k={k} out of range after refinement")
     return lo + int(np.searchsorted(cum, remaining, side="left"))
+
+
+def percentile_rank(ds, *, value_col: str, keep_cols: list[str] | None = None,
+                    out_col: str = "pct_rank", max_distinct: int = 2_000_000,
+                    num_buckets: int = 64):
+    """Exact global PERCENT_RANK over an integer column without a global
+    sort: pct_rank(v) = (#rows with value < v) / (n − 1), ties sharing the
+    rank of their group's first row — exactly ANSI SQL's
+    ``PERCENT_RANK() OVER (ORDER BY value_col)``.
+
+    The training-data use is quality-score normalization ("keep the top 30%
+    by LM quality") where the raw score scale is meaningless but its rank
+    is: a percentile threshold is corpus-size-invariant and robust to score
+    re-calibration.
+
+    Scale shape: ONE skinny count aggregate over DISTINCT values (the
+    exchange is value-distribution-sized, never row-sized), a driver-side
+    cumsum over the distinct-value table (cap-guarded by ``max_distinct`` —
+    quality scores / lengths are low-cardinality by construction; a
+    larger-than-cap vocabulary errors loudly rather than OOMing), one
+    broadcast, one streaming lookup pass. Both engine and oracle divide
+    the same two int64s, so the float64 quotient is bit-identical."""
+    import ray as _ray
+
+    from ..functions.rayutil import collect_table, get_broadcast
+
+    counts = ds.groupby(value_col).count()
+    tab = collect_table(
+        counts, pa.schema([(value_col, pa.int64()), ("count()", pa.int64())]))
+    if tab.num_rows > max_distinct:
+        raise ValueError(
+            f"percentile_rank: {tab.num_rows} distinct values exceed the "
+            f"broadcast cap {max_distinct} — bucket the score first (the "
+            "operator is meant for bounded score/length distributions)")
+    tab = tab.sort_by([(value_col, "ascending")])
+    vals = np.asarray(tab.column(value_col), dtype=np.int64)
+    cnt = np.asarray(tab.column("count()"), dtype=np.int64)
+    count_lt = np.cumsum(cnt) - cnt
+    n = int(cnt.sum())
+    ref = _ray.put((vals, count_lt))
+    keep = list(keep_cols or [])
+    denom = float(max(n - 1, 1))
+
+    def attach(t: pa.Table) -> pa.Table:
+        v, lt = get_broadcast(ref)
+        x = np.asarray(pc.cast(t.column(value_col), pa.int64()),
+                       dtype=np.int64)
+        pos = np.searchsorted(v, x)
+        out = {c: t.column(c) for c in keep}
+        out[value_col] = t.column(value_col)
+        out[out_col] = pa.array(lt[pos] / denom)
+        return pa.table(out)
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)

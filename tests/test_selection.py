@@ -70,3 +70,31 @@ class TestMixtureRates:
         from rel_ray.stages.sampling import mixture_rates
         r = mixture_rates({"a": 100, "junk": 500}, {"a": 1})
         assert "junk" not in r
+
+
+def test_percentile_rank_matches_naive(ray_session):
+    """percentile_rank == (#rows with smaller value)/(n-1), ties sharing the
+    group-min rank (ANSI PERCENT_RANK), incl. duplicates and a cap error."""
+    import ray.data as rd
+
+    from rel_ray.stages.selection import percentile_rank
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 50, 400)
+    t = pa.table({"doc_id": pa.array(range(400), type=pa.int64()),
+                  "n_chars": pa.array(vals, type=pa.int64())})
+    out = percentile_rank(rd.from_arrow(t), value_col="n_chars",
+                          keep_cols=["doc_id"])
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        bt = pa.table(b)
+        got.update(zip(bt.column("doc_id").to_pylist(),
+                       bt.column("pct_rank").to_pylist()))
+    order = np.sort(vals)
+    for i, v in enumerate(vals):
+        expected = np.searchsorted(order, v, side="left") / (400 - 1)
+        assert got[i] == expected, (i, v, got[i], expected)
+
+    with pytest.raises(ValueError, match="distinct values exceed"):
+        percentile_rank(rd.from_arrow(t), value_col="n_chars",
+                        max_distinct=3)
