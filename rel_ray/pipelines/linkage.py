@@ -361,8 +361,13 @@ def run_linkage(
                                           cfg.num_buckets))
 
     # mentions are derived inside the conversation buckets (post-shuffle):
-    # the conv_id exchange carries only the six raw transcript columns
-    turns = conversation_stage(transcripts, cfg)
+    # the conv_id exchange carries only the six raw transcript columns.
+    # The locality path's one driver collect (block-spanning conv hashes,
+    # boundary-sized) honors the same low-memory regime as everything else:
+    # broadcast_max_rows=0 forces the classic driver-free exchange.
+    turns = conversation_stage(
+        transcripts, cfg,
+        max_span_convs=min(4_000_000, broadcast_max_rows))
     # one materialization of the wide records — the conversation shuffle runs
     # exactly once; everything after is skinny aggregates + broadcast lookups
     with _phase_timer("records0_materialize"):

@@ -143,9 +143,131 @@ class ReconstructConversation:
         return out
 
 
-def conversation_stage(ds, cfg: PipelineConfig):
-    return bucketed_group_apply(
-        ds, "conv_id", ReconstructConversation(cfg),
-        num_buckets=cfg.num_buckets,
-        sort_cols=[("turn_idx", "ascending"), ("ts", "ascending"),
-                   ("role", "ascending")])
+_SORT_COLS = [("turn_idx", "ascending"), ("ts", "ascending"),
+              ("role", "ascending")]
+
+
+def conversation_stage(ds, cfg: PipelineConfig, *, locality: bool = True,
+                       span_row_share_fallback: float = 0.3,
+                       max_span_convs: int = 4_000_000):
+    """Conversation reconstruction, locality-aware.
+
+    Real transcript corpora are written conversation-contiguously (one
+    writer appends whole conversations to a shard), so after a parquet read
+    almost every conversation already sits entirely inside ONE block — the
+    engine's biggest byte-mover (the conv_id sort-exchange of the full raw
+    text) is then avoidable for all but the handful of conversations that
+    straddle a block boundary. This stage proves containment instead of
+    assuming it:
+
+    1. materialize the input (pins block boundaries so passes 2–3 see the
+       exact same blocks pass 1 counted — block identity is load-bearing);
+    2. one SKINNY pass: per block, (conv_hash → local row count); a
+       distributed Sum/Max groupby over ~#convs 16-byte rows. A conversation
+       is block-contained iff sum == max (all its rows in one block). Hash
+       collisions can only promote contained→spanning (counts merge), never
+       the reverse — the spanning side groups on the true conv_id string,
+       so collisions cost bytes, not correctness;
+    3. block-contained conversations reconstruct block-locally (an in-block
+       Arrow sort + the same callback, ZERO exchange); the spanning rows —
+       boundary-sized on contiguous layouts — go through the original
+       bucketed sort-exchange, and the two outputs union.
+
+    Adversarial (conversation-shuffled) layouts degrade gracefully: if the
+    spanning rows exceed ``span_row_share_fallback`` of the corpus (or the
+    spanning vocabulary exceeds ``max_span_convs``, the collect guard), the
+    stage runs the classic full exchange on the already-materialized input —
+    one skinny counting pass of overhead, nothing lost. ``locality=False``
+    forces the classic path (the equivalence test pins both paths
+    byte-identical on the same shuffled input)."""
+    cb = ReconstructConversation(cfg)
+    if not locality:
+        return bucketed_group_apply(ds, "conv_id", cb,
+                                    num_buckets=cfg.num_buckets,
+                                    sort_cols=_SORT_COLS)
+
+    import ray as _ray
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.rayutil import (adaptive_buckets, collect_table,
+                                     get_broadcast)
+    from ..functions.shingles import string_hash_u64
+
+    order = [("conv_id", "ascending")] + _SORT_COLS
+    mat = ds.materialize()
+    total = mat.count()
+    if total == 0:
+        return mat.map_batches(lambda t: cb(t), batch_format="pyarrow")
+
+    def conv_block_counts(t: pa.Table) -> pa.Table:
+        col = t.column("conv_id")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u, c = np.unique(string_hash_u64(col), return_counts=True)
+        return pa.table({"ch": pa.array(u.view(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = mat.map_batches(conv_block_counts, batch_size=None,
+                             batch_format="pyarrow", zero_copy_batch=True)
+    agg = counts.groupby("ch").aggregate(Sum("n"), Max("n"))
+
+    def pick_spanning(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t.column("sum(n)"), t.column("max(n)")))
+        return keep.select(["ch", "sum(n)"])
+
+    span = agg.map_batches(pick_spanning, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    n_span_convs = span.count()
+    if n_span_convs == 0:
+        # fully block-contained corpus: zero exchange, zero driver collect
+        return mat.map_batches(
+            lambda t: cb(t.sort_by(order)), batch_size=None,
+            batch_format="pyarrow", zero_copy_batch=True)
+    if n_span_convs > max_span_convs:
+        return bucketed_group_apply(mat, "conv_id", cb,
+                                    num_buckets=cfg.num_buckets,
+                                    sort_cols=_SORT_COLS)
+    span_tab = collect_table(
+        span, pa.schema([("ch", pa.int64()), ("sum(n)", pa.int64())]))
+    span_rows = int(pc.sum(span_tab.column("sum(n)")).as_py() or 0)
+    if span_rows > span_row_share_fallback * total:
+        return bucketed_group_apply(mat, "conv_id", cb,
+                                    num_buckets=cfg.num_buckets,
+                                    sort_cols=_SORT_COLS)
+    span_h = np.sort(
+        np.asarray(span_tab.column("ch"), dtype=np.int64).view(np.uint64))
+    sref = _ray.put(span_h)
+
+    def span_mask(t: pa.Table) -> np.ndarray | None:
+        sh = get_broadcast(sref)
+        if len(sh) == 0:
+            return None
+        col = t.column("conv_id")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = string_hash_u64(col)
+        pos = np.minimum(np.searchsorted(sh, h), len(sh) - 1)
+        return sh[pos] == h
+
+    def local_reconstruct(t: pa.Table) -> pa.Table:
+        m = span_mask(t)
+        if m is not None and m.any():
+            t = t.filter(pa.array(~m))
+        return cb(t.sort_by(order))
+
+    local = mat.map_batches(local_reconstruct, batch_size=None,
+                            batch_format="pyarrow", zero_copy_batch=True)
+    if span_rows == 0:
+        return local
+
+    def spanning_only(t: pa.Table) -> pa.Table:
+        m = span_mask(t)
+        return t.filter(pa.array(m))
+
+    boundary = mat.map_batches(spanning_only, batch_size=None,
+                               batch_format="pyarrow", zero_copy_batch=True)
+    exchanged = bucketed_group_apply(
+        boundary, "conv_id", cb,
+        num_buckets=adaptive_buckets(span_rows, cfg.num_buckets),
+        sort_cols=_SORT_COLS)
+    return local.union(exchanged)

@@ -206,3 +206,38 @@ def test_exact_precluster_rep_assignment(tiny_corpus):
         group_min[m] = min(group_min.get(m, r), r)
     for m, reps in by_mention.items():
         assert reps == {group_min[m]}
+
+
+def _collect_sorted(out) -> pa.Table:
+    tbl = pa.concat_tables(
+        pa.table(b) for b in out.iter_batches(batch_format="pyarrow"))
+    return tbl.sort_by([("record_id", "ascending")])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_conversation_locality_equivalence(small_corpus):
+    """The locality-aware conversation stage must be byte-identical to the
+    classic full sort-exchange on every layout: conversation-contiguous with
+    block-boundary straddlers (mixed local+exchange path), fully shuffled
+    (spanning-share fallback), and forced-classic."""
+    cfg = PipelineConfig(num_buckets=8)
+    tr = small_corpus["transcripts"]
+
+    # contiguous layout, 7 blocks → ~6 boundary-straddling conversations
+    contig = tr.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    ds_contig = rd.from_arrow(contig).repartition(7)
+    want = _collect_sorted(conversation_stage(ds_contig, cfg, locality=False))
+    got = _collect_sorted(conversation_stage(ds_contig, cfg, locality=True))
+    assert got.equals(want)
+
+    # adversarial layout: rows shuffled across blocks → most conversations
+    # span blocks → the span-share guard must route to the classic path
+    idx = np.random.default_rng(7).permutation(tr.num_rows)
+    ds_shuf = rd.from_arrow(tr.take(pa.array(idx))).repartition(7)
+    got_shuf = _collect_sorted(conversation_stage(ds_shuf, cfg, locality=True))
+    assert got_shuf.equals(want)
+
+    # collect-guard fallback (max_span_convs=0 forbids the driver collect)
+    got_guard = _collect_sorted(
+        conversation_stage(ds_contig, cfg, locality=True, max_span_convs=0))
+    assert got_guard.equals(want)
