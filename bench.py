@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -195,18 +196,33 @@ def run_scaling(sf_dir: str) -> dict:
     (n,4n,n,4n,... — GRAFT_SCALING_REPEATS pairs, default 2) so a burst
     cannot hit one level systematically, and the per-level throughput is
     the MAX over repeats (a slow run proves interference, never engine
-    speed). All raw runs are reported for audit."""
+    speed). All raw runs are reported for audit.
+
+    CPU-affinity pinning (default on, GRAFT_SCALING_PIN=0 to disable):
+    each leg's ENTIRE Ray process tree (driver, raylet, object store,
+    workers) is taskset-pinned to exactly num_cpus physical cores.
+    Without pinning, `ray.init(num_cpus=N)` caps only the logical TASK
+    slots — the driver thread, raylet and plasma IO then run on spare
+    host cores, a fixed compute bonus that inflates the low leg's
+    throughput (measured: an unpinned num_cpus=1 leg runs only 1.61×
+    slower than the 2-CPU leg on a 32-core host) and systematically
+    UNDERSTATES scaling efficiency. A real N-core cluster node pays for
+    its control plane out of its own N cores; pinning reproduces that."""
     scale_input = _ensure_scaling_corpus()
     levels = tuple(int(x) for x in
                    os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    pin = (os.environ.get("GRAFT_SCALING_PIN", "1") not in ("", "0")
+           and shutil.which("taskset") is not None)
     results: list[dict] = []
     for _ in range(repeats):
         for cpus in levels:
             s0, t0 = _cpu_jiffies()
+            prefix = ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pipeline-only",
-                 "--cpus", str(cpus)],
+                prefix
+                + [sys.executable, os.path.abspath(__file__),
+                   "--pipeline-only", "--cpus", str(cpus)],
                 env={**os.environ, "GRAFT_SF_DIR": sf_dir,
                      "GRAFT_SCALE_INPUT": scale_input,
                      "REL_RAY_PROFILE": "1"},
@@ -230,6 +246,7 @@ def run_scaling(sf_dir: str) -> dict:
             if phases:
                 rec["phases"] = phases
             rec["steal_pct"] = round(100 * (s1 - s0) / max(t1 - t0, 1), 2)
+            rec["pinned"] = pin
             results.append(rec)
             print(json.dumps({"scaling_leg": rec}), file=sys.stderr, flush=True)
     best = {c: max((r["turns_per_sec"] for r in results

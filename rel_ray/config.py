@@ -70,8 +70,14 @@ class PipelineConfig:
     # --- transitive clustering (REL global-coherence analog) ---
     max_cc_iters: int = 15
     # rep graphs with ≤ this many (directed) topology rows solve driver-side
-    # (union-find); larger graphs run the distributed label-propagation loop
-    cc_local_max_edges: int = 2_000_000
+    # (union-find); larger graphs run the distributed label-propagation loop.
+    # Sized to DRIVER MEMORY, not caution: the coded path streams 8 B/endpoint
+    # (clustering.connected_components_codes), so 50M topology rows is a
+    # ~400 MB transient on the driver vs an iterative multi-round bucketed
+    # exchange that is orders of magnitude slower — the old 2M default was
+    # string-era sizing and put a measured 10×-wall cliff in the middle of
+    # the flagship's data-scaling curve (29M-turn corpus, 2-CPU leg).
+    cc_local_max_edges: int = 50_000_000
 
     # --- execution ---
     batch_size: int = 4096
