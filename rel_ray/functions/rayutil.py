@@ -60,6 +60,29 @@ def cogroup_map(union_ds, key: str | list[str], fn: Callable[[pa.Table], pa.Tabl
 BUCKET_COL = "__bucket"
 
 
+class phase_timer:
+    """stderr timing of driver-side phases (enabled via REL_RAY_PROFILE=1);
+    bench.py --scaling scrapes the '[linkage-profile]' lines into the
+    per-leg scaling evidence."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        import time
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        import os
+        import sys
+        import time
+        if os.environ.get("REL_RAY_PROFILE", "") not in ("", "0"):
+            print(f"[linkage-profile] {self.name}: "
+                  f"{time.time() - self.t0:.3f}s",
+                  file=sys.stderr, flush=True)
+
+
 def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     import numpy as np
 

@@ -25,9 +25,6 @@ calls ray.init (driver contract).
 
 from __future__ import annotations
 
-import os
-import sys
-import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -40,23 +37,7 @@ from ..stages.conversation import conversation_stage
 from ..stages.pairs import pairs_stage
 from ..stages.scoring import scoring_stage
 
-_PROFILE = os.environ.get("REL_RAY_PROFILE", "") not in ("", "0")
-
-
-class _phase_timer:
-    """stderr timing of driver-side phases (enabled via REL_RAY_PROFILE=1)."""
-
-    def __init__(self, name: str):
-        self.name = name
-
-    def __enter__(self):
-        self.t0 = time.time()
-        return self
-
-    def __exit__(self, *exc):
-        if _PROFILE:
-            print(f"[linkage-profile] {self.name}: {time.time() - self.t0:.3f}s",
-                  file=sys.stderr, flush=True)
+from ..functions.rayutil import phase_timer as _phase_timer
 
 
 def _coref_edges(records, reps, num_partitions: int = 0, *,

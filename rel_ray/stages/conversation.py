@@ -162,9 +162,9 @@ def conversation_stage(ds, cfg: PipelineConfig, *, locality: bool = True,
 
     1. materialize the input (pins block boundaries so passes 2–3 see the
        exact same blocks pass 1 counted — block identity is load-bearing);
-    2. one SKINNY pass: per block, (conv_hash → local row count); a
-       distributed Sum/Max groupby over ~#convs 16-byte rows. A conversation
-       is block-contained iff sum == max (all its rows in one block). Hash
+    2. one SKINNY pass: per block, (conv_hash → local row count), reduced by
+       a bucketed exchange over ~#convs 16-byte rows. A conversation is
+       block-contained iff sum == max (all its rows in one block). Hash
        collisions can only promote contained→spanning (counts merge), never
        the reverse — the spanning side groups on the true conv_id string,
        so collisions cost bytes, not correctness;
@@ -187,14 +187,15 @@ def conversation_stage(ds, cfg: PipelineConfig, *, locality: bool = True,
                                     sort_cols=_SORT_COLS)
 
     import ray as _ray
-    from ray.data.aggregate import Max, Sum
 
     from ..functions.rayutil import (adaptive_buckets, collect_table,
                                      get_broadcast)
+    from ..functions.rayutil import phase_timer as _phase_timer
     from ..functions.shingles import string_hash_u64
 
     order = [("conv_id", "ascending")] + _SORT_COLS
-    mat = ds.materialize()
+    with _phase_timer("conv_input_materialize"):
+        mat = ds.materialize()
     total = mat.count()
     if total == 0:
         return mat.map_batches(lambda t: cb(t), batch_format="pyarrow")
@@ -209,15 +210,28 @@ def conversation_stage(ds, cfg: PipelineConfig, *, locality: bool = True,
 
     counts = mat.map_batches(conv_block_counts, batch_size=None,
                              batch_format="pyarrow", zero_copy_batch=True)
-    agg = counts.groupby("ch").aggregate(Sum("n"), Max("n"))
 
-    def pick_spanning(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.not_equal(t.column("sum(n)"), t.column("max(n)")))
-        return keep.select(["ch", "sum(n)"])
+    # A hash spans blocks iff it appears in >1 (block, count) row, i.e.
+    # sum-over-blocks != max-over-blocks. NOT a ray groupby: ~#convs tiny
+    # groups hit Ray's per-group hash-aggregate overhead (measured 258 s at
+    # 1.9M convs / 8 CPUs); a bucketed exchange + one sort + two reduceat
+    # chains per bucket does the identical reduction in ~2 s.
+    def span_of_bucket(t: pa.Table) -> pa.Table:
+        ch = np.asarray(t.column("ch"), dtype=np.int64)  # bucket-sorted
+        n = np.asarray(t.column("n"), dtype=np.int64)
+        starts = np.flatnonzero(np.diff(ch, prepend=ch[0] - 1)) \
+            if len(ch) else np.empty(0, dtype=np.int64)
+        sums = np.add.reduceat(n, starts) if len(ch) else n
+        maxs = np.maximum.reduceat(n, starts) if len(ch) else n
+        keep = sums != maxs
+        return pa.table({"ch": pa.array(ch[starts][keep]),
+                         "sum_n": pa.array(sums[keep])})
 
-    span = agg.map_batches(pick_spanning, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
-    n_span_convs = span.count()
+    with _phase_timer("conv_span_count"):
+        span = bucketed_group_apply(
+            counts, "ch", span_of_bucket,
+            num_buckets=adaptive_buckets(total, cfg.num_buckets)).materialize()
+        n_span_convs = span.count()
     if n_span_convs == 0:
         # fully block-contained corpus: zero exchange, zero driver collect
         return mat.map_batches(
@@ -228,8 +242,8 @@ def conversation_stage(ds, cfg: PipelineConfig, *, locality: bool = True,
                                     num_buckets=cfg.num_buckets,
                                     sort_cols=_SORT_COLS)
     span_tab = collect_table(
-        span, pa.schema([("ch", pa.int64()), ("sum(n)", pa.int64())]))
-    span_rows = int(pc.sum(span_tab.column("sum(n)")).as_py() or 0)
+        span, pa.schema([("ch", pa.int64()), ("sum_n", pa.int64())]))
+    span_rows = int(pc.sum(span_tab.column("sum_n")).as_py() or 0)
     if span_rows > span_row_share_fallback * total:
         return bucketed_group_apply(mat, "conv_id", cb,
                                     num_buckets=cfg.num_buckets,
