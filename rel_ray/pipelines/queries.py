@@ -4491,6 +4491,49 @@ LIMIT 100
 """
 
 
+def q_shuffle_export_documents(sf_dir: str):
+    """Deterministic global shuffle + shard assignment for training export:
+    each doc's rank in the Knuth-hash order -> (shard, pos) at 64 rows per
+    shard. Hash order replaces random_shuffle so the layout is reproducible
+    and resumable; two-pass range-bucket scan, no global sort
+    (stages/sampling.shuffle_shard_assign)."""
+    from ..stages.sampling import shuffle_shard_assign
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "source"])
+    return shuffle_shard_assign(docs, id_col="doc_id", rows_per_shard=64,
+                                carry_cols=["source"])
+
+
+SQL_SHUFFLE_EXPORT_DOCUMENTS = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           ORDER BY ((doc_id % 2147483648 + 2147483648) % 2147483648)
+                    * 2654435761 % 2147483648, doc_id) - 1 AS rank
+  FROM documents)
+SELECT doc_id, source, rank // 64 AS shard, rank % 64 AS pos FROM ranked
+"""
+
+
+def q_grouped_median_events(sf_dir: str):
+    """Exact per-user median event value (ANSI median semantics: NULLs
+    ignored, even counts average the middle pair). One bucketed exchange of
+    (user_id, value) pairs; every group's median computed by two vectorized
+    gathers — no per-group Python, no global sort
+    (stages/selection.grouped_median)."""
+    from ..stages.selection import grouped_median
+
+    ev = _pq(sf_dir, "events", ["user_id", "value"])
+    return grouped_median(ev, group_col="user_id", val_col="value",
+                          out_col="median_value")
+
+
+SQL_GROUPED_MEDIAN_EVENTS = """
+SELECT user_id, median(value) AS median_value
+FROM events WHERE value IS NOT NULL GROUP BY user_id
+"""
+
+
 def q_soundex_blocks_documents(sf_dir: str):
     """Phonetic blocking-key histogram: American Soundex of each document's
     first alpha token, grouped counts — the name-typo-robust blocking key
@@ -4881,6 +4924,8 @@ QUERIES = {
     "snm_multipass_documents": q_snm_multipass_documents,
     "canopy_assign_documents": q_canopy_assign_documents,
     "weighted_sample_documents": q_weighted_sample_documents,
+    "shuffle_export_documents": q_shuffle_export_documents,
+    "grouped_median_events": q_grouped_median_events,
     "soundex_blocks_documents": q_soundex_blocks_documents,
     "funnel_events": q_funnel_events,
     "funnel_window_events": q_funnel_window_events,
@@ -4970,6 +5015,8 @@ ORACLE_SQL = {
     "snm_multipass_documents": SQL_SNM_MULTIPASS_DOCUMENTS,
     "canopy_assign_documents": SQL_CANOPY_ASSIGN_DOCUMENTS,
     "weighted_sample_documents": SQL_WEIGHTED_SAMPLE_DOCUMENTS,
+    "shuffle_export_documents": SQL_SHUFFLE_EXPORT_DOCUMENTS,
+    "grouped_median_events": SQL_GROUPED_MEDIAN_EVENTS,
     "soundex_blocks_documents": _sql_soundex_blocks(),
     "funnel_events": SQL_FUNNEL_EVENTS,
     "funnel_window_events": SQL_FUNNEL_WINDOW_EVENTS,

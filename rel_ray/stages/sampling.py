@@ -248,3 +248,64 @@ def mixture_sample(ds, *, id_col: str, source_col: str,
     return stratified_sample(ds, id_col=id_col, stratum_col=source_col,
                              rates_permyriad=rates, default_permyriad=0,
                              batch_size=batch_size)
+
+
+def shuffle_shard_assign(ds, *, id_col: str, rows_per_shard: int,
+                         carry_cols: list[str] | None = None,
+                         num_buckets: int = 64):
+    """Deterministic global shuffle + training-shard assignment: every row
+    gets its position in the Knuth-hash-of-id total order (ties by id) and
+    from it ``shard = rank // rows_per_shard``, ``pos = rank %
+    rows_per_shard``. The pre-training export op: a corpus must be globally
+    shuffled before being cut into equal-size shards (sequential readers
+    must not see one source/time-range in a row), and doing it by hash
+    instead of ``random_shuffle`` makes the layout a pure function of the
+    ids — reproducible across runs/engines/cluster sizes, resumable (a
+    re-run assigns identical shards, so finished shard files can be
+    skipped), and append-consistent (new rows land in the order their
+    hashes dictate without re-drawing old rows' randomness).
+
+    SQL twin (integer-exact): ``ROW_NUMBER() OVER (ORDER BY knuth(id), id)
+    - 1`` then the same div/mod, with the module's overflow-safe hash
+    (see ``sample_bucket``).
+
+    Scale shape: the classic two-pass distributed scan (stages/packing.py):
+    hash values are ~uniform on [0, 2^31), so fixed-width RANGE buckets on
+    the hash are order-preserving AND balanced regardless of id skew.
+    Pass 1 ships one count per bucket (driver folds num_buckets ints);
+    pass 2 is one bucketed exchange of (hash, id, carry) with an in-bucket
+    sort + arange — no global sort, no driver rows."""
+    import ray as _ray
+
+    from ..functions.rayutil import get_broadcast
+
+    _RB = "__rb"
+    keep = [id_col] + list(carry_cols or [])
+
+    def add_hash_rb(t: pa.Table) -> pa.Table:
+        x = np.asarray(pc.cast(t.column(id_col), pa.int64())) % _MOD
+        h = x * _KNUTH % _MOD
+        out = pa.table({c: t.column(c) for c in keep})
+        out = out.append_column("__h", pa.array(h))
+        return out.append_column(_RB, pa.array(h * num_buckets // _MOD))
+
+    hashed = ds.map_batches(add_hash_rb, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    per_bucket = hashed.groupby(_RB).count().take_all()
+    sums = {int(r[_RB]): int(r["count()"]) for r in per_bucket}
+    offsets, acc = {}, 0
+    for b in range(num_buckets):
+        offsets[b] = acc
+        acc += sums.get(b, 0)
+    off_ref = _ray.put(offsets)
+
+    def assign(group: pa.Table) -> pa.Table:
+        off = get_broadcast(off_ref)
+        g = group.sort_by([("__h", "ascending"), (id_col, "ascending")])
+        b = int(g.column(_RB)[0].as_py()) if g.num_rows else 0
+        rank = np.arange(g.num_rows, dtype=np.int64) + off.get(b, 0)
+        g = g.drop_columns(["__h", _RB])
+        g = g.append_column("shard", pa.array(rank // rows_per_shard))
+        return g.append_column("pos", pa.array(rank % rows_per_shard))
+
+    return hashed.groupby(_RB).map_groups(assign, batch_format="pyarrow")

@@ -178,3 +178,47 @@ def percentile_rank(ds, *, value_col: str, keep_cols: list[str] | None = None,
 
     return ds.map_batches(attach, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouped_median(ds, *, group_col: str, val_col: str,
+                   out_col: str = "median_val", num_buckets: int = 256):
+    """Exact per-group median (ANSI ``median(val) GROUP BY g`` semantics:
+    NULLs ignored, even-count groups average the two middle values, result
+    is float64 — the same IEEE add/divide DuckDB performs, so the twin is
+    bit-exact).
+
+    Scale shape: groups are many and individually small (the opposite regime
+    from `exact_kth`'s one global group), so the right plan is ONE bucketed
+    exchange carrying (group, value) pairs with the in-bucket sort doing the
+    ordering and two vectorized gathers doing every group's median at once —
+    no per-group Python, no global sort, driver never sees rows. A group
+    bigger than a bucket's memory is the `exact_kth` regime; use that."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def drop_null_vals(t: pa.Table) -> pa.Table:
+        return t.select([group_col, val_col]).filter(
+            pc.is_valid(t.column(val_col)))
+
+    skinny = ds.map_batches(drop_null_vals, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def seg_median(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        gtype = bucket.schema.field(group_col).type
+        if n == 0:
+            return pa.table({group_col: pa.array([], type=gtype),
+                             out_col: pa.array([], type=pa.float64())})
+        starts = np.asarray(segment_starts(bucket.column(group_col)))
+        lens = np.diff(np.append(starts, n))
+        v = np.asarray(pc.cast(bucket.column(val_col), pa.float64()),
+                       dtype=np.float64)  # bucket-sorted by (group, val)
+        lo = starts + (lens - 1) // 2
+        hi = starts + lens // 2
+        med = (v[lo] + v[hi]) / 2.0
+        return pa.table({group_col: bucket.column(group_col).take(
+                             pa.array(starts)),
+                         out_col: pa.array(med, type=pa.float64())})
+
+    return bucketed_group_apply(skinny, group_col, seg_median,
+                                num_buckets=num_buckets,
+                                sort_cols=[(val_col, "ascending")])

@@ -2379,3 +2379,31 @@ def test_fs_review_pairs_band_and_determinism():
     out2 = fs_review_pairs(ds, feature_cols=("f0", "f1", "f2"),
                            cuts=(0.3, 0.5, 0.7, 0.9), band=(0.2, 0.8), k=50)
     assert out.equals(out2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_shard_assign_matches_naive():
+    from rel_ray.stages.sampling import _KNUTH, _MOD, shuffle_shard_assign
+
+    ids = np.arange(500, dtype=np.int64) * 3 - 200   # includes negatives
+    t = pa.table({"doc_id": pa.array(ids),
+                  "src": pa.array(["s%d" % (i % 4) for i in range(500)])})
+    out = _collect(shuffle_shard_assign(
+        rd.from_arrow(t).repartition(6), id_col="doc_id",
+        rows_per_shard=64, carry_cols=["src"], num_buckets=16))
+    # naive: rank in (knuth_hash, id) order
+    h = (ids % _MOD) * _KNUTH % _MOD
+    order = np.lexsort((ids, h))
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = np.arange(len(ids))
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.to_pylist()}
+    assert len(got) == 500
+    for i, d in enumerate(ids):
+        assert got[d] == (rank[i] // 64, rank[i] % 64), d
+    # every shard except the last is exactly full
+    from collections import Counter
+    per_shard = Counter(s for s, _ in got.values())
+    last = max(per_shard)
+    assert all(per_shard[s] == 64 for s in per_shard if s != last)
+    srcs = {r["doc_id"]: r["src"] for r in out.to_pylist()}
+    assert srcs[ids[0]] == "s0"

@@ -98,3 +98,54 @@ def test_percentile_rank_matches_naive(ray_session):
     with pytest.raises(ValueError, match="distinct values exceed"):
         percentile_rank(rd.from_arrow(t), value_col="n_chars",
                         max_distinct=3)
+
+
+def test_grouped_median_matches_naive(ray_session):
+    import ray.data as rd
+
+    from rel_ray.stages.selection import grouped_median
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 17, 600)
+    v = rng.normal(0, 100, 600)
+    v[rng.random(600) < 0.05] = np.nan  # nulls must be ignored
+    t = pa.table({"g": pa.array(g, type=pa.int64()),
+                  "v": pa.array([None if np.isnan(x) else float(x)
+                                 for x in v], type=pa.float64())})
+    out = grouped_median(rd.from_arrow(t).repartition(5),
+                         group_col="g", val_col="v", out_col="med",
+                         num_buckets=8)
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        bt = pa.table(b)
+        got.update(zip(bt.column("g").to_pylist(),
+                       bt.column("med").to_pylist()))
+    for grp in np.unique(g):
+        vals = np.sort(v[(g == grp) & ~np.isnan(v)])
+        n = len(vals)
+        if n == 0:
+            assert grp not in got
+            continue
+        exp = (vals[(n - 1) // 2] + vals[n // 2]) / 2.0
+        assert got[grp] == exp, (grp, got[grp], exp)
+
+
+def test_grouped_median_single_and_empty(ray_session):
+    import ray.data as rd
+
+    from rel_ray.stages.selection import grouped_median
+
+    t = pa.table({"g": pa.array([1, 2, 2], type=pa.int64()),
+                  "v": pa.array([5.0, 1.0, 2.0], type=pa.float64())})
+    out = grouped_median(rd.from_arrow(t), group_col="g", val_col="v")
+    rows = {r["g"]: r["median_val"] for b in
+            out.iter_batches(batch_format="pyarrow")
+            for r in pa.table(b).to_pylist()}
+    assert rows == {1: 5.0, 2: 1.5}
+
+    empty = pa.table({"g": pa.array([], type=pa.int64()),
+                      "v": pa.array([], type=pa.float64())})
+    out0 = grouped_median(rd.from_arrow(empty), group_col="g", val_col="v")
+    total = sum(pa.table(b).num_rows
+                for b in out0.iter_batches(batch_format="pyarrow"))
+    assert total == 0
