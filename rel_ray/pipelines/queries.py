@@ -1177,6 +1177,48 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.99, n_planes=6)
 
 
+def q_knn_graph_embeddings(sf_dir: str):
+    """EXACT kNN graph (every row's top-5 cosine neighbors) — the primitive
+    under SemDeDup/diversity curation, in its auditable brute-force form.
+    VALUE-EXACT ranking incl. k-boundary ties: integer-quantized components
+    make dot/norms exact, cos = dot/sqrt(na*nb) is one exact-input IEEE
+    sqrt+divide, identical in numpy and DuckDB
+    (stages/similarity.py::knn_graph_exact)."""
+    from ..stages.similarity import knn_graph_exact
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_graph_exact(ds, k=5, scale=100)
+
+
+SQL_KNN_GRAPH_EMBEDDINGS = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> FLOOR(CAST(x AS DOUBLE)*100 + 0.5)) AS qe
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qe, list_dot_product(qe, qe) AS nn FROM q
+), r AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.qe, b.qe) / sqrt(a.nn * b.nn) DESC,
+                    b.vec_id) AS rank
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, rank, dot_q FROM r WHERE rank <= 5
+"""
+
+
+def q_knn_graph_ivf_embeddings(sf_dir: str):
+    """Approximate kNN graph at scale: IVF-bucketed self-join (each row
+    shipped once to its home cell + nprobe query copies, per-cell BLAS,
+    per-row top-k merge). Recall vs the exact graph pinned >= 0.9 in tests;
+    rows-only oracle (stages/similarity.py::knn_graph_ivf)."""
+    from ..stages.similarity import knn_graph_ivf
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_graph_ivf(ds, k=5, n_cells=16, nprobe=4)
+
+
 def q_cosine_pairs_embeddings(sf_dir: str):
     """Exact cosine-threshold all-pairs join (the exact baseline companion
     to the LSH near-dup scale path). VALUE-EXACT: components quantized to
@@ -4904,6 +4946,8 @@ QUERIES = {
     "simhash_dedup_documents": q_simhash_dedup_documents,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
+    "knn_graph_embeddings": q_knn_graph_embeddings,
+    "knn_graph_ivf_embeddings": q_knn_graph_ivf_embeddings,
     "levenshtein_pairs_part": q_levenshtein_pairs_part,
     "jw_pairs_part": q_jw_pairs_part,
     "ann_topk_embeddings": q_ann_topk_embeddings,
@@ -5050,6 +5094,7 @@ ORACLE_SQL = {
     "cross_dedup_documents": SQL_CROSS_DEDUP_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,
     "cosine_pairs_embeddings": SQL_COSINE_PAIRS_EMBEDDINGS,
+    "knn_graph_embeddings": SQL_KNN_GRAPH_EMBEDDINGS,
     "levenshtein_pairs_part": SQL_LEVENSHTEIN_PAIRS_PART,
     "jw_pairs_part": SQL_JW_PAIRS_PART,
     "label_centroids_embeddings": SQL_LABEL_CENTROIDS_EMBEDDINGS,

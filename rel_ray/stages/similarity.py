@@ -757,3 +757,243 @@ def cosine_pairs_exact(ds, *, threshold_permyriad: int = 3500,
 
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction (every row's top-k neighbors over the whole corpus)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph_exact(ds, *, k: int = 5, scale: int = 100,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    batch_size: int = 4096, concurrency: int = 4,
+                    max_rows: int = 500_000):
+    """EXACT kNN graph by brute-force cosine over integer-quantized
+    embeddings — the primitive under SemDeDup, diversity curation and
+    duplicate-cluster mining, in its auditable baseline form (the scale
+    companion is `knn_graph_ivf`, same split as `ann_topk` / `ann_topk_ivf`
+    and `cosine_pairs_exact` / `embedding_near_dup`).
+
+    Exact cross-engine ranking: quantized components make dot products and
+    squared norms integer-valued, hence exact in float64 in any summation
+    order (every partial < 2^53, see `cosine_pairs_exact`);
+    ``cos = dot / sqrt(na·nb)`` is then ONE exact-input IEEE sqrt + divide,
+    bit-identical in numpy and the SQL twin, so the (cos DESC, neighbor ASC)
+    ranking — including ties at the k-boundary — agrees exactly.
+
+    Scale shape: the quantized corpus matrix rides the object store once
+    (`ray.put`, cap-guarded by ``max_rows``); each batch is one BLAS matmul
+    + a stable argsort row-block — O(n·k) rows leave the workers. Beyond
+    the cap an exact all-pairs ranking is O(n²) no matter the engine; use
+    the IVF path.
+
+    Returns (vec_id, neighbor_id, rank, dot_q) with rank in 1..k.
+    """
+    from ..functions.rayutil import collect_table, get_broadcast
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t, vec_col)
+        q = _quantize_embeddings(m, scale)
+        return pa.table({
+            "vid": pc.cast(t.column(id_col), pa.int64()),
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1)), q.shape[1] if q.size else 0),
+        })
+
+    qds = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=batch_size)
+    qtab = collect_table(qds)
+    if qtab.num_rows > max_rows:
+        raise ValueError(
+            f"knn_graph_exact: {qtab.num_rows} rows exceed the broadcast "
+            f"cap {max_rows}; use knn_graph_ivf at this scale")
+    ids_all = np.asarray(qtab.column("vid"), dtype=np.int64)
+    qcol = qtab.column("q")
+    if isinstance(qcol, pa.ChunkedArray):
+        qcol = qcol.combine_chunks()
+    dim = qcol.type.list_size
+    Q = np.asarray(qcol.values, dtype=np.float64).reshape(-1, dim)
+    # pre-sort the broadcast side by id so a STABLE argsort on -cos
+    # tie-breaks by neighbor id for free (both engines rank (cos DESC,
+    # neighbor ASC))
+    order = np.argsort(ids_all)
+    ids_all, Q = ids_all[order], Q[order]
+    norms = np.einsum("ij,ij->i", Q, Q)
+    ref = ray.put({"ids": ids_all, "Q": Q, "norms": norms})
+
+    def topk(t: pa.Table) -> pa.Table:
+        b = get_broadcast(ref)
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "rank": pa.array([], type=pa.int64()),
+                          "dot_q": pa.array([], type=pa.int64())})
+        m = _embedding_matrix(t, vec_col)
+        if m.shape[0] == 0:
+            return empty
+        qm = _quantize_embeddings(m, scale)
+        my_ids = np.asarray(pc.cast(t.column(id_col), pa.int64()))
+        dot = qm @ b["Q"].T                        # exact integer-valued f64
+        na = np.einsum("ij,ij->i", qm, qm)
+        cos = dot / np.sqrt(na[:, None] * b["norms"][None, :])
+        cos[my_ids[:, None] == b["ids"][None, :]] = -np.inf   # exclude self
+        kk = min(k, cos.shape[1] - 1)
+        if kk <= 0:
+            return empty
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(cos.shape[0]), kk)
+        cols = idx.ravel()
+        keep = cos[rows, cols] > -np.inf           # groups smaller than k+1
+        return pa.table({
+            "vec_id": pa.array(np.repeat(my_ids, kk)[keep]),
+            "neighbor_id": pa.array(b["ids"][cols][keep]),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                     cos.shape[0])[keep]),
+            "dot_q": pa.array(dot[rows, cols][keep].astype(np.int64))})
+
+    return ds.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def knn_graph_ivf(ds, *, k: int = 5, n_cells: int = 32, nprobe: int = 4,
+                  sample_size: int = 2048, id_col: str = "vec_id",
+                  vec_col: str = "embedding", seed: int = 42,
+                  batch_size: int = 4096, num_buckets: int = 128):
+    """Approximate kNN graph at scale: IVF-bucketed self-join. Centroids are
+    trained on a driver-side sample and broadcast; every row is shipped once
+    as a BASE record to its home cell and ``nprobe`` times as a QUERY record
+    to its nearest cells, then each cell scores its queries against its
+    bases (one BLAS per cell segment) and a per-row top-k reduce merges the
+    ≤ k·nprobe candidates. A base row lives in exactly ONE home cell, so a
+    (query, neighbor) pair is generated at most once — the reduce needs no
+    dedup. Recall tuned by (n_cells, nprobe); pinned ≥ 0.9 @ k in tests vs
+    `knn_graph_exact`.
+
+    Exchange cost: (1 + nprobe) copies of each (normalized) vector through
+    one bucketed exchange keyed by cell — the standard IVF-join cost, linear
+    in rows, independent of corpus-wide pair counts. Nothing is ever
+    all-pairs; cell fan-in is bounded by the centroid balance of the data
+    (spherical k-means on an L2-normalized sample).
+
+    Returns (vec_id, neighbor_id, rank, cosine) with rank in 1..k.
+    """
+    from ..functions.rayutil import bucketed_group_apply, get_broadcast, segment_starts
+
+    train = ds.limit(sample_size).take_all()
+    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in train])
+    C = _spherical_kmeans(sample, n_cells, seed=seed)
+    cref = ray.put(C)
+
+    def route(t: pa.Table) -> pa.Table:
+        Cb = get_broadcast(cref)
+        m = _l2_normalize(_embedding_matrix(t, vec_col))
+        n = m.shape[0]
+        empty = pa.table({"cell": pa.array([], type=pa.int64()),
+                          "role": pa.array([], type=pa.int8()),
+                          "vid": pa.array([], type=pa.int64()),
+                          "vec": pa.array([], type=pa.list_(pa.float32()))})
+        if n == 0:
+            return empty
+        ids = np.asarray(pc.cast(t.column(id_col), pa.int64()))
+        sims = m @ Cb.T
+        npb = min(nprobe, Cb.shape[0])
+        probe = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+        home = np.argmax(sims, axis=1)
+        f32 = m.astype(np.float32)
+        dim = f32.shape[1]
+        # base copy (home cell) + nprobe query copies
+        cells = np.concatenate([home, probe.ravel()])
+        roles = np.concatenate([np.zeros(n, dtype=np.int8),
+                                np.ones(n * npb, dtype=np.int8)])
+        vids = np.concatenate([ids, np.repeat(ids, npb)])
+        vecs = np.concatenate([f32, np.repeat(f32, npb, axis=0)])
+        return pa.table({
+            "cell": pa.array(cells.astype(np.int64)),
+            "role": pa.array(roles),
+            "vid": pa.array(vids),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), dim)})
+
+    routed = ds.map_batches(route, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+
+    def cell_topk(bucket: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        n = bucket.num_rows
+        if n == 0:
+            return empty
+        starts = segment_starts(bucket.column("cell"))
+        lens = np.diff(np.append(starts, n))
+        vcol = bucket.column("vec")
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        dim = vcol.type.list_size
+        mat = np.asarray(vcol.values, dtype=np.float64).reshape(n, dim)
+        roles = np.asarray(bucket.column("role"), dtype=np.int8)
+        vids = np.asarray(bucket.column("vid"), dtype=np.int64)
+        out_q, out_n, out_c = [], [], []
+        for si in range(len(starts)):
+            s, ln = int(starts[si]), int(lens[si])
+            r = roles[s:s + ln]
+            B = mat[s:s + ln][r == 0]
+            Qm = mat[s:s + ln][r == 1]
+            bids = vids[s:s + ln][r == 0]
+            qids = vids[s:s + ln][r == 1]
+            if len(B) == 0 or len(Qm) == 0:
+                continue
+            sims = Qm @ B.T
+            sims[qids[:, None] == bids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] \
+                if sims.shape[1] > kk else \
+                np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
+            rows = np.repeat(np.arange(sims.shape[0]), idx.shape[1])
+            cols = idx.ravel()
+            keep = sims[rows, cols] > -np.inf
+            out_q.append(qids[rows[keep]])
+            out_n.append(bids[cols[keep]])
+            out_c.append(sims[rows, cols][keep])
+        if not out_q:
+            return empty
+        return pa.table({"vec_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "cosine": pa.array(np.concatenate(out_c))})
+
+    cands = bucketed_group_apply(routed, "cell", cell_topk,
+                                 num_buckets=num_buckets,
+                                 sort_cols=[("role", "ascending"),
+                                            ("vid", "ascending")])
+
+    def reduce_topk(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "rank": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if n == 0:
+            return empty
+        # bucket-sorted by (vec_id, -cosine? no: cosine asc) — re-rank per
+        # segment with a stable descending sort on cosine, ties by neighbor
+        starts = np.asarray(segment_starts(bucket.column("vec_id")))
+        lens = np.diff(np.append(starts, n))
+        vids = np.asarray(bucket.column("vec_id"), dtype=np.int64)
+        nids = np.asarray(bucket.column("neighbor_id"), dtype=np.int64)
+        cs = np.asarray(bucket.column("cosine"), dtype=np.float64)
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        order = np.lexsort((nids, -cs, seg))
+        # the sort is grouped by segment (primary key), so segment
+        # boundaries are unchanged: sorted slot j sits at within-segment
+        # position j - start_of_segment
+        pos_sorted = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        sel = pos_sorted < k
+        o = order[sel]
+        return pa.table({"vec_id": pa.array(vids[o]),
+                         "neighbor_id": pa.array(nids[o]),
+                         "rank": pa.array(pos_sorted[sel] + 1),
+                         "cosine": pa.array(cs[o])})
+
+    return bucketed_group_apply(cands, "vec_id", reduce_topk,
+                                num_buckets=num_buckets,
+                                sort_cols=[("cosine", "ascending")])

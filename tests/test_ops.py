@@ -2407,3 +2407,97 @@ def test_shuffle_shard_assign_matches_naive():
     assert all(per_shard[s] == 64 for s in per_shard if s != last)
     srcs = {r["doc_id"]: r["src"] for r in out.to_pylist()}
     assert srcs[ids[0]] == "s0"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_graph_exact_matches_naive():
+    from rel_ray.stages.similarity import knn_graph_exact
+
+    rng = np.random.default_rng(5)
+    n, d, k = 40, 16, 5
+    vecs = rng.normal(size=(n, d)) * 0.3
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs),
+                                        type=pa.list_(pa.float32()))})
+    out = _collect(knn_graph_exact(rd.from_arrow(t).repartition(4), k=k,
+                                   scale=100, batch_size=16))
+    # naive over the SAME float32-rounded inputs
+    v64 = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    q = np.floor(v64 * 100.0 + 0.5)
+    dot = q @ q.T
+    norms = np.einsum("ij,ij->i", q, q)
+    cos = dot / np.sqrt(norms[:, None] * norms[None, :])
+    np.fill_diagonal(cos, -np.inf)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["dot_q"]))
+    assert len(got) == n
+    for i in range(n):
+        order = np.lexsort((ids, -cos[i]))[:k]
+        exp = [(rk + 1, int(ids[j]), int(dot[i, j]))
+               for rk, j in enumerate(order)]
+        assert sorted(got[ids[i]]) == exp, ids[i]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_graph_exact_fewer_rows_than_k():
+    from rel_ray.stages.similarity import knn_graph_exact
+
+    t = pa.table({"vec_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "embedding": pa.array([[0.1, 0.2], [0.2, 0.1], [0.1, 0.1]],
+                                        type=pa.list_(pa.float32()))})
+    out = _collect(knn_graph_exact(rd.from_arrow(t), k=5))
+    # each row gets exactly n-1 = 2 neighbors, ranks 1..2, never itself
+    per = {}
+    for r in out.to_pylist():
+        assert r["neighbor_id"] != r["vec_id"]
+        per.setdefault(r["vec_id"], []).append(r["rank"])
+    assert {k_: sorted(v) for k_, v in per.items()} == {
+        1: [1, 2], 2: [1, 2], 3: [1, 2]}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_graph_ivf_recall_vs_exact():
+    from rel_ray.stages.similarity import knn_graph_ivf
+
+    rng = np.random.default_rng(7)
+    n, d, k = 240, 16, 5
+    centers = rng.normal(size=(8, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.integers(0, 8, n)] + 0.08 * rng.normal(size=(n, d))
+    pts *= 0.25
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(pts),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    approx = _collect(knn_graph_ivf(ds, k=k, n_cells=8, nprobe=3,
+                                    sample_size=n, num_buckets=8))
+    # reference: exact FLOAT-cosine top-k (the metric the IVF path ranks
+    # by; knn_graph_exact ranks by QUANTIZED cosine for its SQL twin, which
+    # reorders dense near-ties and would understate cell recall)
+    m = np.asarray(pts, dtype=np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    fcos = m @ m.T
+    np.fill_diagonal(fcos, -np.inf)
+    ex = {int(ids[i]): {int(ids[j])
+                        for j in np.argsort(-fcos[i], kind="stable")[:k]}
+          for i in range(n)}
+    ap = {}
+    for r in approx.to_pylist():
+        ap.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        assert r["neighbor_id"] != r["vec_id"]
+    hits = sum(len(ex[i] & ap.get(i, set())) for i in ex)
+    recall = hits / sum(len(s) for s in ex.values())
+    assert recall >= 0.9, recall
+    # ranks are 1..k and cosines non-increasing per row
+    byrow = {}
+    for r in approx.to_pylist():
+        byrow.setdefault(r["vec_id"], []).append((r["rank"], r["cosine"]))
+    for rows in byrow.values():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        cs = [c for _, c in rows]
+        assert all(cs[i] >= cs[i + 1] for i in range(len(cs) - 1))
