@@ -1095,6 +1095,42 @@ WHERE 2 * c.ovl >= (sa.sz + sb.sz - c.ovl)
 """
 
 
+def q_containment_pairs_documents(sf_dir: str):
+    """ASYMMETRIC containment self-join: ordered pairs (a, b) where >= 3/4
+    of a's word-trigram shingles appear in b — the quote/boilerplate/subset
+    detection op symmetric Jaccard misses (a paragraph quoted inside a long
+    page has tiny Jaccard but containment ~ 1). AllPairs prefix filter on
+    the probe side, full-code index on the container side, one prefix-code
+    exchange (stages/simjoin.py::containment_self_join)."""
+    from ..stages.simjoin import containment_self_join
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return containment_self_join(ds, id_col="doc_id", text_col="text",
+                                 tau_num=3, tau_den=4)
+
+
+SQL_CONTAINMENT_PAIRS_DOCUMENTS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS s(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ovl
+  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(c.ovl AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS uni
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.id_a
+WHERE 4 * c.ovl >= 3 * sa.sz
+"""
+
+
 def q_cross_dedup_documents(sf_dir: str):
     """Incremental dedup: exact n-gram-Jaccard join of a NEW corpus (odd
     doc_ids) against the EXISTING corpus (even doc_ids) — every (new, base)
@@ -4940,6 +4976,7 @@ QUERIES = {
     "exact_dedup_documents": q_exact_dedup_documents,
     "dup_pairs_documents": q_dup_pairs_documents,
     "ngram_jaccard_pairs_documents": q_ngram_jaccard_pairs_documents,
+    "containment_pairs_documents": q_containment_pairs_documents,
     "cross_dedup_documents": q_cross_dedup_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "simhash_documents": q_simhash_documents,
@@ -5092,6 +5129,7 @@ ORACLE_SQL = {
     "dup_pairs_documents": SQL_DUP_PAIRS_DOCUMENTS,
     "ngram_jaccard_pairs_documents": SQL_NGRAM_JACCARD_PAIRS_DOCUMENTS,
     "cross_dedup_documents": SQL_CROSS_DEDUP_DOCUMENTS,
+    "containment_pairs_documents": SQL_CONTAINMENT_PAIRS_DOCUMENTS,
     "ann_topk_embeddings": SQL_ANN_TOPK_EMBEDDINGS,
     "cosine_pairs_embeddings": SQL_COSINE_PAIRS_EMBEDDINGS,
     "knn_graph_embeddings": SQL_KNN_GRAPH_EMBEDDINGS,

@@ -246,3 +246,173 @@ def similarity_cross_join(new_ds, base_ds, *, id_col: str, text_col: str,
     return bucketed_group_apply(
         pairs, "id_a", _dedup_bucket,
         num_buckets=num_buckets, sort_cols=[("id_b", "ascending")])
+
+
+def _full_code_records(ds, *, id_col: str, text_col: str,
+                       token_pattern: str, ngram: int,
+                       batch_size: int = 4096):
+    """documents → one row per DISTINCT shingle code
+    (pcode, doc_id, dlen, codes) — the container-side index of the
+    containment join (the container must be findable through ANY of its
+    codes, so it indexes all of them; the standard asymmetric-join cost)."""
+    from ..functions.normalize import extract_all_matches
+    from ..functions.shingles import unique_shingle_sets, word_ngram_codes
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64())
+        ml = extract_all_matches(t.column(text_col), token_pattern)
+        joined = pc.binary_join(ml, " ")
+        codes, splits = word_ngram_codes(joined, ngram)
+        uniq = unique_shingle_sets(codes, splits)
+        usplits = np.asarray(uniq.offsets, dtype=np.int64)
+        ucodes = np.asarray(uniq.values, dtype=np.uint64)
+        lens = usplits[1:] - usplits[:-1]
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({
+                "pcode": pa.array([], type=pa.uint64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "dlen": pa.array([], type=pa.int64()),
+                "codes": pa.ListArray.from_arrays(
+                    pa.array([0], type=pa.int32()),
+                    pa.array([], type=pa.uint64())),
+            })
+        row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        row_take = pa.array(row_idx)
+        return pa.table({
+            "pcode": pa.array(ucodes, type=pa.uint64()),
+            "doc_id": ids.take(row_take),
+            "dlen": pa.array(lens[row_idx]),
+            "codes": uniq.take(row_take),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+class SegmentContainment:
+    """Per-bucket (probe × container) candidate generation + exact verify
+    for the containment join. Bucket sorted by (pcode, side, doc_id):
+    each equal-pcode segment holds its probes (side 0, prefix-indexed)
+    first, containers (side 1, fully indexed) after."""
+
+    def __init__(self, tau_num: int, tau_den: int, max_pairs_per_code: int = 0,
+                 counter_name: str = "containment_drops"):
+        self.tau_num = tau_num
+        self.tau_den = tau_den
+        self.max_pairs = max_pairs_per_code
+        self.counter = DropCounter(counter_name) if max_pairs_per_code else None
+
+    def __call__(self, bucket: pa.Table) -> pa.Table:
+        from .scoring import pairwise_overlap
+
+        n = bucket.num_rows
+        if n < 2:
+            return _empty_pairs()
+        starts = np.asarray(segment_starts(bucket.column("pcode")),
+                            dtype=np.int64)
+        seg_lens = np.diff(np.append(starts, n))
+        side = bucket.column("side").to_numpy()
+        is_probe = (side == 0).astype(np.int64)
+        c0 = np.add.reduceat(is_probe, starts)
+        c1 = seg_lens - c0
+        pairs_per_seg = c0 * c1
+        if self.max_pairs:
+            over = pairs_per_seg > self.max_pairs
+            if over.any():
+                self.counter.add(
+                    "containment_pairs",
+                    int((pairs_per_seg[over] - self.max_pairs).sum()))
+                # drop oversized segments entirely (logged) — a stopword
+                # shingle matches everything and proves nothing
+                pairs_per_seg = np.where(over, 0, pairs_per_seg)
+        total = int(pairs_per_seg.sum())
+        if total == 0:
+            return _empty_pairs()
+        p_global = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(pairs_per_seg) - pairs_per_seg,
+                                pairs_per_seg))
+        c1_per_pair = np.repeat(c1, pairs_per_seg)
+        seg_start_per_pair = np.repeat(starts, pairs_per_seg)
+        c0_per_pair = np.repeat(c0, pairs_per_seg)
+        a_idx = seg_start_per_pair + p_global // c1_per_pair
+        b_idx = seg_start_per_pair + c0_per_pair + p_global % c1_per_pair
+        ids = bucket.column("doc_id").to_numpy()
+        dlen = bucket.column("dlen").to_numpy()
+        la, lb = dlen[a_idx], dlen[b_idx]
+        # C(a→b) >= tau needs |B| >= tau*|A|; also drop self-pairs
+        keep = (self.tau_den * lb >= self.tau_num * la) \
+            & (ids[a_idx] != ids[b_idx])
+        a_idx, b_idx = a_idx[keep], b_idx[keep]
+        if len(a_idx) == 0:
+            return _empty_pairs()
+        codes = bucket.column("codes")
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        usplits = np.asarray(codes.offsets, dtype=np.int64)
+        ucodes = np.asarray(codes.values, dtype=np.uint64)
+        inter, _uni = pairwise_overlap(a_idx, b_idx, ucodes, usplits)
+        la = dlen[a_idx]
+        keep2 = self.tau_den * inter >= self.tau_num * la
+        return pa.table({
+            "id_a": pa.array(ids[a_idx][keep2]),
+            "id_b": pa.array(ids[b_idx][keep2]),
+            "inter": pa.array(inter[keep2]),
+            "uni": pa.array(la[keep2]),  # |A| — the containment denominator
+        })
+
+
+def containment_self_join(ds, *, id_col: str, text_col: str,
+                          tau_num: int, tau_den: int,
+                          token_pattern: str = "[a-z]+", ngram: int = 3,
+                          num_buckets: int = 256,
+                          max_pairs_per_code: int = 0):
+    """ASYMMETRIC set-containment self-join: every ORDERED pair (a, b),
+    a ≠ b, with |shingles(a) ∩ shingles(b)| ≥ tau · |shingles(a)| — "a is
+    mostly contained in b". The curation op symmetric Jaccard misses: a
+    paragraph quoted inside a long page has tiny Jaccard but containment
+    ≈ 1; boilerplate-wrapped copies, quote-mining and subset-document
+    detection are all containment queries.
+
+    Prefix filter (Bayardo et al. WWW'07, asymmetric form): if
+    |A∩B| ≥ ceil(tau·|A|) then at most |A| − ceil(tau·|A|) of A's codes
+    miss B, so A's first |A| − ceil(tau·|A|) + 1 codes (global hash order)
+    must intersect B's FULL set → probe side indexes its prefix (the same
+    rows `shingle_records` already emits — the Jaccard prefix length is
+    the identical formula), container side indexes every distinct code.
+    Candidates are (probe × container) per equal-code segment; exact
+    verify via the same lexsort overlap kernel; ordered-pair dedup.
+
+    Scale shape: one prefix-code exchange, same as the Jaccard self-join;
+    the container side's full-code index multiplies its exchange rows by
+    its set size — the irreducible asymmetric-join cost, linear in corpus
+    shingle mass, never quadratic. Hot codes (stopword shingles) blow up
+    one segment: ``max_pairs_per_code`` drops those segments with a LOGGED
+    counter (default 0 = exact).
+
+    Output: (id_a, id_b, inter, uni) where uni = |A| (the containment
+    denominator), ordered pairs — DuckDB-oracle-exact."""
+    from .pairs import _dedup_bucket
+
+    def tag(side_val: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side_val, dtype=np.int8)))
+        return f
+
+    probe = shingle_records(
+        ds, id_col=id_col, text_col=text_col, token_pattern=token_pattern,
+        ngram=ngram, tau_num=tau_num, tau_den=tau_den).map_batches(
+            tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    container = _full_code_records(
+        ds, id_col=id_col, text_col=text_col, token_pattern=token_pattern,
+        ngram=ngram).map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    pairs = bucketed_group_apply(
+        probe.union(container), "pcode",
+        SegmentContainment(tau_num, tau_den, max_pairs_per_code),
+        num_buckets=num_buckets,
+        sort_cols=[("side", "ascending"), ("doc_id", "ascending")])
+    return bucketed_group_apply(
+        pairs, "id_a", _dedup_bucket,
+        num_buckets=num_buckets, sort_cols=[("id_b", "ascending")])

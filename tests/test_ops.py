@@ -2501,3 +2501,51 @@ def test_knn_graph_ivf_recall_vs_exact():
         assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
         cs = [c for _, c in rows]
         assert all(cs[i] >= cs[i + 1] for i in range(len(cs) - 1))
+
+
+def test_containment_self_join_vs_bruteforce():
+    """Prefix-filtered containment join == brute-force ordered-pair
+    containment (quote-in-page asymmetry, exact dups both directions,
+    short docs excluded)."""
+    from rel_ray.functions.shingles import unique_shingle_sets, word_ngram_codes
+    from rel_ray.stages.simjoin import containment_self_join
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "bravo", "china", "delta", "eagle", "frank", "gamma",
+             "hotel", "igloo", "jolly", "kilos", "lemur"]
+    texts = []
+    for _ in range(6):
+        page = " ".join(rng.choice(vocab, size=20))
+        texts.append(page)
+        quote = " ".join(page.split()[4:10])   # 6-word excerpt -> contained
+        texts.append(quote)
+    texts += [texts[0],          # exact dup: contained both directions
+              "one two", ""]     # <3 tokens: excluded
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                 "text": pa.array(texts)})).repartition(3)
+    out = containment_self_join(ds, id_col="doc_id", text_col="text",
+                                tau_num=3, tau_den=4, num_buckets=8)
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+           for r in out.take_all()}
+
+    codes, splits = word_ngram_codes(pa.array(texts), 3)
+    uniq = unique_shingle_sets(codes, splits)
+    sets = [np.asarray(uniq.values, dtype=np.uint64)[
+        uniq.offsets[i].as_py():uniq.offsets[i + 1].as_py()] for i in ids]
+    nwords = [len(t.split()) for t in texts]
+    want = {}
+    for i in ids:
+        for k in ids:
+            if i == k or nwords[i] < 3 or nwords[k] < 3 or len(sets[i]) == 0:
+                continue
+            inter = len(np.intersect1d(sets[i], sets[k], assume_unique=True))
+            if 4 * inter >= 3 * len(sets[i]):
+                want[(i, k)] = (inter, len(sets[i]))
+    assert got == want
+    # the asymmetry is real: every quote->page direction present, no
+    # page->quote direction (pages are 20 words, quotes 6)
+    quote_to_page = [(q, p) for (q, p) in want if nwords[q] < nwords[p]]
+    page_to_quote = [(p, q) for (p, q) in want
+                     if nwords[p] > nwords[q] and (q, p) in quote_to_page]
+    assert len(quote_to_page) >= 6 and len(page_to_quote) == 0
