@@ -3670,6 +3670,27 @@ FROM documents
 """
 
 
+def q_quantile_bucket_documents(sf_dir: str):
+    """Exact decile binning of a length/quality score (feature bucketize /
+    curriculum tiering): bucket = min(floor(percent_rank * 10), 9) —
+    deterministic under ties (unlike SQL NTILE), value-exact cross-engine;
+    one distinct-value aggregate + broadcast lookup, no global sort
+    (stages/selection.quantile_bucketize)."""
+    from ..stages.selection import quantile_bucketize
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    return quantile_bucketize(docs, value_col="n_chars", n_buckets=10,
+                              keep_cols=["doc_id"])
+
+
+SQL_QUANTILE_BUCKET_DOCUMENTS = """
+SELECT doc_id, n_chars,
+       LEAST(CAST(FLOOR(percent_rank() OVER (ORDER BY n_chars) * 10)
+                  AS BIGINT), 9) AS bucket
+FROM documents
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4951,6 +4972,7 @@ QUERIES = {
     "distinct_users_per_event_type": q_distinct_users_per_event_type,
     "approx_distinct_users": q_approx_distinct_users,
     "percent_rank_documents": q_percent_rank_documents,
+    "quantile_bucket_documents": q_quantile_bucket_documents,
     "pivot_events_per_user": q_pivot_events_per_user,
     "chunk_documents": q_chunk_documents,
     "scrub_pii_documents": q_scrub_pii_documents,
@@ -5086,6 +5108,7 @@ ORACLE_SQL = {
     "distinct_users_per_event_type": SQL_DISTINCT_USERS_PER_EVENT_TYPE,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "percent_rank_documents": SQL_PERCENT_RANK_DOCUMENTS,
+    "quantile_bucket_documents": SQL_QUANTILE_BUCKET_DOCUMENTS,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "scrub_pii_documents": SQL_SCRUB_PII_DOCUMENTS,

@@ -222,3 +222,27 @@ def grouped_median(ds, *, group_col: str, val_col: str,
     return bucketed_group_apply(skinny, group_col, seg_median,
                                 num_buckets=num_buckets,
                                 sort_cols=[(val_col, "ascending")])
+
+
+def quantile_bucketize(ds, *, value_col: str, n_buckets: int,
+                       keep_cols: list[str] | None = None,
+                       out_col: str = "bucket", **kw):
+    """Exact quantile binning (feature bucketize / curriculum tiering):
+    ``bucket = min(floor(percent_rank(v) · n_buckets), n_buckets − 1)``.
+    Deterministic under ties (tied values share a percent_rank, hence a
+    bucket — unlike SQL NTILE, whose tie assignment is arbitrary), and the
+    SQL twin computes the identical float expression, so the op is
+    value-exact cross-engine. Same scale shape as `percentile_rank`: one
+    distinct-value count aggregate, driver cumsum, broadcast lookup — no
+    global sort, no row-sized exchange."""
+    ranked = percentile_rank(ds, value_col=value_col, keep_cols=keep_cols,
+                             out_col="__pct", **kw)
+
+    def fin(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("__pct"), dtype=np.float64)
+        b = np.minimum(np.floor(p * n_buckets),
+                       n_buckets - 1).astype(np.int64)
+        return t.drop_columns(["__pct"]).append_column(out_col, pa.array(b))
+
+    return ranked.map_batches(fin, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -149,3 +149,33 @@ def test_grouped_median_single_and_empty(ray_session):
     total = sum(pa.table(b).num_rows
                 for b in out0.iter_batches(batch_format="pyarrow"))
     assert total == 0
+
+
+def test_quantile_bucketize_matches_naive(ray_session):
+    import ray.data as rd
+
+    from rel_ray.stages.selection import quantile_bucketize
+
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 40, 500)   # heavy ties
+    t = pa.table({"doc_id": pa.array(range(500), type=pa.int64()),
+                  "n_chars": pa.array(vals, type=pa.int64())})
+    out = quantile_bucketize(rd.from_arrow(t).repartition(4),
+                             value_col="n_chars", n_buckets=10,
+                             keep_cols=["doc_id"])
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        bt = pa.table(b)
+        got.update(zip(bt.column("doc_id").to_pylist(),
+                       bt.column("bucket").to_pylist()))
+    order = np.sort(vals)
+    for i, v in enumerate(vals):
+        pct = np.searchsorted(order, v, side="left") / (500 - 1)
+        exp = min(int(np.floor(pct * 10)), 9)
+        assert got[i] == exp, (i, v, got[i], exp)
+    # tied values always share a bucket; every bucket 0..9 non-empty here
+    bucket_of = {}
+    for i, v in enumerate(vals):
+        bucket_of.setdefault(v, set()).add(got[i])
+    assert all(len(s) == 1 for s in bucket_of.values())
+    assert set(got.values()) == set(range(10))
