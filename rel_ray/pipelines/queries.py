@@ -1255,6 +1255,38 @@ def q_knn_graph_ivf_embeddings(sf_dir: str):
     return knn_graph_ivf(ds, k=5, n_cells=16, nprobe=4)
 
 
+def q_pq_encode_embeddings(sf_dir: str):
+    """Product-quantize the embedding column: 64-dim float32 -> 8 uint8
+    codes (32x compression; Jegou et al. TPAMI'11). Codebooks train on a
+    seeded driver-side sample, ship once; encode is one stateless
+    map_batches. Deterministic (seeded Lloyd's) but k-means is not
+    SQL-expressible -> rows-only oracle; reconstruction error and recall
+    pinned in pytest (stages/pq.py)."""
+    from ..stages.pq import pq_encode, pq_train
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=8, n_codes=256, sample_size=2048, seed=42)
+    return pq_encode(ds, books)
+
+
+def q_pq_ann_topk_embeddings(sf_dir: str):
+    """ANN over PQ codes via asymmetric distance computation — search
+    WITHOUT decompression: per query one (m, n_codes) table, per batch m
+    uint8 gathers + a sum. Top-10 for the 5 lowest vec_ids; recall pinned
+    in pytest, rows-only oracle (stages/pq.py::pq_ann_topk)."""
+    from ..functions.rayutil import global_topk
+    from ..stages.pq import pq_ann_topk, pq_encode, pq_train
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=8, n_codes=256, sample_size=2048, seed=42)
+    enc = pq_encode(ds, books)
+    qt = global_topk(ds, [("vec_id", "ascending")], 5)
+    queries = {"ids": qt.column("vec_id").to_numpy().astype(np.int64),
+               "vecs": np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in qt.column("embedding").to_pylist()])}
+    out = pq_ann_topk(enc, queries, books, k=10)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cosine_pairs_embeddings(sf_dir: str):
     """Exact cosine-threshold all-pairs join (the exact baseline companion
     to the LSH near-dup scale path). VALUE-EXACT: components quantized to
@@ -5007,6 +5039,8 @@ QUERIES = {
     "cosine_pairs_embeddings": q_cosine_pairs_embeddings,
     "knn_graph_embeddings": q_knn_graph_embeddings,
     "knn_graph_ivf_embeddings": q_knn_graph_ivf_embeddings,
+    "pq_encode_embeddings": q_pq_encode_embeddings,
+    "pq_ann_topk_embeddings": q_pq_ann_topk_embeddings,
     "levenshtein_pairs_part": q_levenshtein_pairs_part,
     "jw_pairs_part": q_jw_pairs_part,
     "ann_topk_embeddings": q_ann_topk_embeddings,

@@ -2549,3 +2549,103 @@ def test_containment_self_join_vs_bruteforce():
     page_to_quote = [(p, q) for (p, q) in want
                      if nwords[p] > nwords[q] and (q, p) in quote_to_page]
     assert len(quote_to_page) >= 6 and len(page_to_quote) == 0
+
+
+def test_containment_join_hot_code_cap_and_empty():
+    from rel_ray.stages.simjoin import containment_self_join
+
+    # every doc shares the stopword trigram "the big cat"; tiny tails differ
+    texts = ["the big cat %d alpha beta" % i for i in range(6)]
+    t = pa.table({"doc_id": pa.array(range(6), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t)
+    full = containment_self_join(ds, id_col="doc_id", text_col="text",
+                                 tau_num=1, tau_den=4, num_buckets=4)
+    n_full = full.count()
+    assert n_full > 0
+    # cap of 1 pair per code drops the oversized shared-trigram segments;
+    # result is a SUBSET (never wrong pairs, only logged misses)
+    capped = containment_self_join(ds, id_col="doc_id", text_col="text",
+                                   tau_num=1, tau_den=4, num_buckets=4,
+                                   max_pairs_per_code=1)
+    got_full = {(r["id_a"], r["id_b"]) for r in full.take_all()}
+    got_capped = {(r["id_a"], r["id_b"]) for r in capped.take_all()}
+    assert got_capped <= got_full and len(got_capped) < n_full
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    out0 = containment_self_join(rd.from_arrow(empty), id_col="doc_id",
+                                 text_col="text", tau_num=1, tau_den=2)
+    assert out0.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_encode_reconstruction_and_determinism():
+    from rel_ray.stages.pq import pq_encode, pq_reconstruct, pq_train
+
+    rng = np.random.default_rng(31)
+    n, d = 400, 32
+    centers = rng.normal(size=(10, d))
+    X = centers[rng.integers(0, 10, n)] + 0.05 * rng.normal(size=(n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(X.astype(np.float32)),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    books = pq_train(ds, m=8, n_codes=64, sample_size=n, seed=3)
+    assert books.shape == (8, 64, 4)
+    enc1 = _collect(pq_encode(ds, books, batch_size=64)).sort_by(
+        [("vec_id", "ascending")])
+    enc2 = _collect(pq_encode(ds, books, batch_size=128)).sort_by(
+        [("vec_id", "ascending")])
+    assert enc1.equals(enc2)  # deterministic, batch-size-invariant
+    codes = np.asarray(enc1.column("code").combine_chunks().values,
+                       dtype=np.uint8).reshape(n, 8)
+    X32 = X.astype(np.float32).astype(np.float64)
+    recon = pq_reconstruct(codes, books)
+    mse = ((recon - X32) ** 2).mean()
+    var = X32.var()
+    assert mse < 0.05 * var, (mse, var)  # 8B codes capture the structure
+    # shuffled-codebook control: same codes, wrong books -> much worse
+    perm = books[:, ::-1, :]
+    bad = ((pq_reconstruct(codes, perm) - X32) ** 2).mean()
+    assert bad > 10 * mse
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_ann_topk_recall_vs_exact_l2():
+    from rel_ray.stages.pq import pq_ann_topk, pq_encode, pq_train
+
+    rng = np.random.default_rng(33)
+    n, d, k = 300, 32, 10
+    centers = rng.normal(size=(12, d))
+    X = centers[rng.integers(0, 12, n)] + 0.05 * rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(X.astype(np.float32)),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    books = pq_train(ds, m=8, n_codes=64, sample_size=n, seed=3)
+    enc = pq_encode(ds, books)
+    q_idx = [0, 7, 42]
+    queries = {"ids": ids[q_idx],
+               "vecs": X.astype(np.float32).astype(np.float64)[q_idx]}
+    # PQ's contract is a SHORTLIST: the exact top-k must sit inside the
+    # ADC top-3k (the re-rank candidate set) — within a tight cluster the
+    # ADC top-k itself reorders near-equidistant neighbors by design
+    out = _collect(pq_ann_topk(enc, queries, books, k=3 * k))
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    X64 = X.astype(np.float32).astype(np.float64)
+    hits = tot = 0
+    for qi in q_idx:
+        dist = ((X64 - X64[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.argsort(dist, kind="stable")[:k]].tolist())
+        hits += len(exact & got[int(ids[qi])])
+        tot += k
+    assert hits / tot >= 0.9, hits / tot
+    # ranks well-formed
+    per = {}
+    for r in out.to_pylist():
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 3 * k + 1)) for v in per.values())
