@@ -709,24 +709,36 @@ def cosine_pairs_exact(ds, *, threshold_permyriad: int = 3500,
     def quant(t: pa.Table) -> pa.Table:
         m = _embedding_matrix(t, vec_col)
         q = _quantize_embeddings(m, scale)
+        n, dim_b = q.shape
+        # variable-size list carrier: concat-safe even when a batch is
+        # empty (a fixed-size list pins list_size=0 there and poisons the
+        # concat) — same hardening as knn_graph_exact
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * dim_b)
         return pa.table({
             "vid": pc.cast(t.column(id_col), pa.int64()),
-            "q": pa.FixedSizeListArray.from_arrays(
-                pa.array(q.reshape(-1)), q.shape[1] if q.size else 0),
+            "q": pa.ListArray.from_arrays(offs, pa.array(q.reshape(-1))),
         })
 
     qds = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True,
                          batch_size=batch_size)
-    qtab = collect_table(qds)
+    qtab = collect_table(
+        qds, pa.schema([("vid", pa.int64()),
+                        ("q", pa.list_(pa.float64()))]))
     if qtab.num_rows > max_rows:
         raise ValueError(
             f"cosine_pairs_exact: {qtab.num_rows} rows exceed the broadcast "
             f"cap {max_rows}; use embedding_near_dup (LSH) at this scale")
+    if qtab.num_rows == 0:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "dot_q": pa.array([], type=pa.int64())})
+        return ds.map_batches(lambda t: empty, batch_format="pyarrow",
+                              zero_copy_batch=True)
     ids_all = np.asarray(qtab.column("vid"), dtype=np.int64)
     qcol = qtab.column("q")
     if isinstance(qcol, pa.ChunkedArray):
         qcol = qcol.combine_chunks()
-    dim = qcol.type.list_size
+    dim = len(qcol.values) // qtab.num_rows
     Q = np.asarray(qcol.values, dtype=np.float64).reshape(-1, dim)
     ref = ray.put({"ids": ids_all, "Q": Q, "norms": np.einsum("ij,ij->i", Q, Q)})
 
@@ -794,24 +806,37 @@ def knn_graph_exact(ds, *, k: int = 5, scale: int = 100,
     def quant(t: pa.Table) -> pa.Table:
         m = _embedding_matrix(t, vec_col)
         q = _quantize_embeddings(m, scale)
+        n, dim_b = q.shape
+        # variable-size list carrier: concat-safe across batches even when
+        # some batch is empty (a fixed-size list would pin list_size=0 there
+        # and poison the concat)
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * dim_b)
         return pa.table({
             "vid": pc.cast(t.column(id_col), pa.int64()),
-            "q": pa.FixedSizeListArray.from_arrays(
-                pa.array(q.reshape(-1)), q.shape[1] if q.size else 0),
+            "q": pa.ListArray.from_arrays(offs, pa.array(q.reshape(-1))),
         })
 
     qds = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True,
                          batch_size=batch_size)
-    qtab = collect_table(qds)
+    qtab = collect_table(
+        qds, pa.schema([("vid", pa.int64()),
+                        ("q", pa.list_(pa.float64()))]))
     if qtab.num_rows > max_rows:
         raise ValueError(
             f"knn_graph_exact: {qtab.num_rows} rows exceed the broadcast "
             f"cap {max_rows}; use knn_graph_ivf at this scale")
+    empty_out = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "rank": pa.array([], type=pa.int64()),
+                          "dot_q": pa.array([], type=pa.int64())})
+    if qtab.num_rows == 0:
+        return ds.map_batches(lambda t: empty_out, batch_format="pyarrow",
+                              zero_copy_batch=True)
     ids_all = np.asarray(qtab.column("vid"), dtype=np.int64)
     qcol = qtab.column("q")
     if isinstance(qcol, pa.ChunkedArray):
         qcol = qcol.combine_chunks()
-    dim = qcol.type.list_size
+    dim = len(qcol.values) // qtab.num_rows
     Q = np.asarray(qcol.values, dtype=np.float64).reshape(-1, dim)
     # pre-sort the broadcast side by id so a STABLE argsort on -cos
     # tie-breaks by neighbor id for free (both engines rank (cos DESC,

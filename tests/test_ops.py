@@ -2649,3 +2649,28 @@ def test_pq_ann_topk_recall_vs_exact_l2():
     for r in out.to_pylist():
         per.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 3 * k + 1)) for v in per.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_round4_ops_empty_inputs():
+    """Every round-4 operator returns an empty result (not an error) on an
+    empty input dataset."""
+    from rel_ray.stages.pq import pq_encode
+    from rel_ray.stages.sampling import shuffle_shard_assign
+    from rel_ray.stages.similarity import (cosine_pairs_exact,
+                                           knn_graph_exact)
+
+    evecs = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "embedding": pa.array([], type=pa.list_(pa.float32()))})
+    eds = rd.from_arrow(evecs)
+    assert knn_graph_exact(eds, k=3).count() == 0
+    assert cosine_pairs_exact(eds).count() == 0
+    books = np.zeros((4, 8, 2))
+    assert pq_encode(eds, books).count() == 0
+
+    edocs = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "src": pa.array([], type=pa.string())})
+    out = shuffle_shard_assign(rd.from_arrow(edocs), id_col="doc_id",
+                               rows_per_shard=8, carry_cols=["src"],
+                               num_buckets=4)
+    assert out.count() == 0
