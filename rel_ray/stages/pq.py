@@ -63,6 +63,9 @@ def pq_train(ds, *, m: int = 8, n_codes: int = 256, sample_size: int = 2048,
     if n_codes > 256:
         raise ValueError("n_codes > 256 would not fit uint8 codes")
     rows = ds.limit(sample_size).take_all()
+    if not rows:
+        raise ValueError("pq_train: cannot train codebooks on an empty "
+                         "corpus/sample")
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     d = X.shape[1]
     if d % m:

@@ -904,6 +904,13 @@ def knn_graph_ivf(ds, *, k: int = 5, n_cells: int = 32, nprobe: int = 4,
     from ..functions.rayutil import bucketed_group_apply, get_broadcast, segment_starts
 
     train = ds.limit(sample_size).take_all()
+    if not train:  # empty corpus -> empty graph, not a crash
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "rank": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        return ds.map_batches(lambda t: empty, batch_format="pyarrow",
+                              zero_copy_batch=True)
     sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
                        for r in train])
     C = _spherical_kmeans(sample, n_cells, seed=seed)

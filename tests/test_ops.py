@@ -2665,6 +2665,11 @@ def test_round4_ops_empty_inputs():
     eds = rd.from_arrow(evecs)
     assert knn_graph_exact(eds, k=3).count() == 0
     assert cosine_pairs_exact(eds).count() == 0
+    from rel_ray.stages.pq import pq_train
+    from rel_ray.stages.similarity import knn_graph_ivf
+    assert knn_graph_ivf(eds, k=3).count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(eds)
     books = np.zeros((4, 8, 2))
     assert pq_encode(eds, books).count() == 0
 
