@@ -1287,6 +1287,25 @@ def q_pq_ann_topk_embeddings(sf_dir: str):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_ivfpq_ann_topk_embeddings(sf_dir: str):
+    """IVF-PQ ANN (the canonical billion-scale index: coarse cells + PQ on
+    residuals, ADC within probed cells — Jegou et al. TPAMI'11 SectionV).
+    Top-10 for the 5 lowest vec_ids at nprobe=4; shortlist recall pinned in
+    pytest, rows-only oracle (stages/pq.py::ivfpq_build/ivfpq_ann_topk)."""
+    from ..functions.rayutil import global_topk
+    from ..stages.pq import ivfpq_ann_topk, ivfpq_build
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    enc, index = ivfpq_build(ds, n_cells=16, m=8, n_codes=256,
+                             sample_size=2048, seed=42)
+    qt = global_topk(ds, [("vec_id", "ascending")], 5)
+    queries = {"ids": qt.column("vec_id").to_numpy().astype(np.int64),
+               "vecs": np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in qt.column("embedding").to_pylist()])}
+    out = ivfpq_ann_topk(enc, queries, index, k=10, nprobe=4)
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id", "rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cosine_pairs_embeddings(sf_dir: str):
     """Exact cosine-threshold all-pairs join (the exact baseline companion
     to the LSH near-dup scale path). VALUE-EXACT: components quantized to
@@ -5041,6 +5060,7 @@ QUERIES = {
     "knn_graph_ivf_embeddings": q_knn_graph_ivf_embeddings,
     "pq_encode_embeddings": q_pq_encode_embeddings,
     "pq_ann_topk_embeddings": q_pq_ann_topk_embeddings,
+    "ivfpq_ann_topk_embeddings": q_ivfpq_ann_topk_embeddings,
     "levenshtein_pairs_part": q_levenshtein_pairs_part,
     "jw_pairs_part": q_jw_pairs_part,
     "ann_topk_embeddings": q_ann_topk_embeddings,

@@ -186,3 +186,158 @@ def pq_ann_topk(encoded_ds, queries: dict, codebooks: np.ndarray, *,
 
     return local_ds.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pyarrow")
+
+
+def ivfpq_build(ds, *, n_cells: int = 32, m: int = 8, n_codes: int = 256,
+                sample_size: int = 2048, iters: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                seed: int = 42):
+    """Build the canonical billion-scale ANN index (IVF-PQ, Jégou et al.
+    TPAMI 2011 §V): coarse k-means cells + PQ codebooks trained on the
+    RESIDUALS (vector − its cell centroid) — residual distributions are
+    tighter than raw vectors, so the same code budget quantizes finer.
+
+    Returns (encoded_ds, index) where encoded_ds = (id, cell, code) — one
+    int64 + one uint8[m] per row, 100-TB-friendly — and index = {"C":
+    coarse centroids, "books": residual codebooks} (driver-side, a few MB
+    regardless of corpus size; broadcast by the search)."""
+    import ray as _ray
+
+    from ..functions.rayutil import get_broadcast
+
+    rows = ds.limit(sample_size).take_all()
+    if not rows:
+        raise ValueError("ivfpq_build: empty corpus/sample")
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    rng = np.random.default_rng(seed)
+    C = _lloyd(X, n_cells, iters, rng)            # coarse cells (L2)
+    assign = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2),
+                       axis=1)
+    R = X - C[assign]                              # train books on residuals
+    dsub = d // m
+    books = np.stack([_lloyd(R[:, s * dsub:(s + 1) * dsub], n_codes, iters,
+                             rng) for s in range(m)])
+    index = {"C": C, "books": books}
+    iref = _ray.put(index)
+
+    def enc(t: pa.Table) -> pa.Table:
+        idx = get_broadcast(iref)
+        Cb, Bb = idx["C"], idx["books"]
+        Xb = _embedding_matrix(t, vec_col)
+        nb = Xb.shape[0]
+        if nb == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "cell": pa.array([], type=pa.int64()),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], type=pa.uint8()), m)})
+        dc = ((Xb[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+        cell = np.argmin(dc, axis=1)
+        Rb = Xb - Cb[cell]
+        codes = np.empty((nb, m), dtype=np.uint8)
+        for s in range(m):
+            sub = Rb[:, s * dsub:(s + 1) * dsub]
+            dmat = ((Bb[s] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ Bb[s].T))
+            codes[:, s] = np.argmin(dmat, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: pc.cast(t.column(id_col), pa.int64()),
+            "cell": pa.array(cell.astype(np.int64)),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m)})
+
+    encoded = ds.map_batches(enc, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return encoded, index
+
+
+def ivfpq_ann_topk(encoded_ds, queries: dict, index: dict, *, k: int = 10,
+                   nprobe: int = 4, id_col: str = "vec_id",
+                   batch_size: int = 8192):
+    """IVF-PQ search: each query probes its nprobe nearest cells and scores
+    only rows in those cells, via per-(query, cell) ADC tables over the
+    RESIDUAL codebooks (the table for cell c folds in the query-to-centroid
+    offset: tab[s, code] = ||(q − C[c])_s − books[s, code]||²). Rows outside
+    every probed cell are skipped by a vectorized mask — the scan stays one
+    streaming pass over the uint8 codes, O(k·batches) rows to the reduce.
+
+    Shortlist contract as `pq_ann_topk`: ask for 2-4× the re-rank k."""
+    from ..functions.rayutil import get_broadcast
+
+    C, books = index["C"], index["books"]
+    m, n_codes, dsub = books.shape
+    q_vecs = np.asarray(queries["vecs"], dtype=np.float64)
+    nq = len(q_vecs)
+    npb = min(nprobe, len(C))
+    dc = ((q_vecs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(dc, axis=1, kind="stable")[:, :npb]   # (nq, npb)
+    # per (query, probed cell) residual ADC tables: (nq, npb, m, n_codes)
+    tabs = np.empty((nq, npb, m, n_codes))
+    for qi in range(nq):
+        for pj in range(npb):
+            r = q_vecs[qi] - C[probe[qi, pj]]
+            for s in range(m):
+                sub = r[s * dsub:(s + 1) * dsub]
+                tabs[qi, pj, s, :] = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
+    ref = ray.put({"tabs": tabs, "probe": probe,
+                   "qids": np.asarray(queries["ids"], dtype=np.int64)})
+
+    def local(t: pa.Table) -> pa.Table:
+        st = get_broadcast(ref)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "adist": pa.array([], type=pa.float64())})
+        nb = t.num_rows
+        if nb == 0:
+            return empty
+        ccol = t.column("code")
+        if isinstance(ccol, pa.ChunkedArray):
+            ccol = ccol.combine_chunks()
+        codes = np.asarray(ccol.values, dtype=np.uint8).reshape(nb, m)
+        cells = np.asarray(t.column("cell"), dtype=np.int64)
+        ids = np.asarray(pc.cast(t.column(id_col), pa.int64()))
+        out_q, out_i, out_d = [], [], []
+        for qi in range(len(st["qids"])):
+            # rows in any of this query's probed cells, tagged with WHICH
+            # probe slot (its ADC table differs per cell)
+            slot = np.full(nb, -1, dtype=np.int64)
+            for pj in range(st["probe"].shape[1]):
+                slot[cells == st["probe"][qi, pj]] = pj
+            sel = np.flatnonzero(slot >= 0)
+            if len(sel) == 0:
+                continue
+            tab = st["tabs"][qi]                       # (npb, m, n_codes)
+            d = np.zeros(len(sel))
+            sc = codes[sel]
+            sl = slot[sel]
+            for s in range(m):
+                d += tab[sl, s, sc[:, s]]
+            kk = min(k, len(sel))
+            top = np.argpartition(d, kk - 1)[:kk] if len(sel) > kk \
+                else np.arange(len(sel))
+            out_q.append(np.full(len(top), st["qids"][qi]))
+            out_i.append(ids[sel[top]])
+            out_d.append(d[top])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_i)),
+                         "adist": pa.array(np.concatenate(out_d))})
+
+    local_ds = encoded_ds.map_batches(local, batch_format="pyarrow",
+                                      zero_copy_batch=True,
+                                      batch_size=batch_size)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("adist", "ascending"), ("vec_id", "ascending")])
+        g = g.slice(0, k)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "vec_id": g.column("vec_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)),
+            "adist": g.column("adist")})
+
+    return local_ds.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pyarrow")

@@ -2679,3 +2679,45 @@ def test_round4_ops_empty_inputs():
                                rows_per_shard=8, carry_cols=["src"],
                                num_buckets=4)
     assert out.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_ann_shortlist_recall():
+    from rel_ray.stages.pq import ivfpq_ann_topk, ivfpq_build
+
+    rng = np.random.default_rng(41)
+    n, d, k = 300, 32, 10
+    centers = rng.normal(size=(10, d))
+    X = centers[rng.integers(0, 10, n)] + 0.05 * rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(X.astype(np.float32)),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    enc, index = ivfpq_build(ds, n_cells=10, m=8, n_codes=64,
+                             sample_size=n, seed=3)
+    # encoded table is 9 bytes/row of payload: cell int64 + 8 uint8 codes
+    et = _collect(enc)
+    assert et.num_rows == n
+    assert set(et.column_names) == {"vec_id", "cell", "code"}
+    q_idx = [0, 11, 99]
+    X64 = X.astype(np.float32).astype(np.float64)
+    queries = {"ids": ids[q_idx], "vecs": X64[q_idx]}
+    out = _collect(ivfpq_ann_topk(enc, queries, index, k=3 * k, nprobe=3))
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    for qi in q_idx:
+        dist = ((X64 - X64[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.argsort(dist, kind="stable")[:k]].tolist())
+        hits += len(exact & got[int(ids[qi])])
+        tot += k
+    assert hits / tot >= 0.9, hits / tot
+    # cell pruning is real: every returned row sits in a probed cell
+    cells = {r["vec_id"]: r["cell"] for r in et.to_pylist()}
+    C = index["C"]
+    for pos, qi in enumerate(q_idx):
+        dc = ((C - X64[qi]) ** 2).sum(axis=1)
+        probed = set(np.argsort(dc, kind="stable")[:3].tolist())
+        assert {cells[v] for v in got[int(ids[qi])]} <= probed
