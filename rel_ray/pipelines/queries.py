@@ -3721,6 +3721,26 @@ FROM documents
 """
 
 
+def q_collect_set_events(sf_dir: str):
+    """Grouped sorted-DISTINCT collection: every user's distinct event
+    types, pipe-joined in sorted order — the ER alias-list aggregate shape
+    (all distinct surface forms per cluster). One skinny bucketed exchange,
+    in-bucket sort + shifted-compare dedup + ListArray/binary_join — zero
+    per-row Python (stages/temporal.py::grouped_collect_set)."""
+    from ..stages.temporal import grouped_collect_set
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_collect_set(ev, key="user_id", val="event_type",
+                               out_col="event_types")
+
+
+SQL_COLLECT_SET_EVENTS = """
+SELECT user_id, string_agg(DISTINCT event_type, '|' ORDER BY event_type)
+       AS event_types
+FROM events GROUP BY user_id
+"""
+
+
 def q_quantile_bucket_documents(sf_dir: str):
     """Exact decile binning of a length/quality score (feature bucketize /
     curriculum tiering): bucket = min(floor(percent_rank * 10), 9) —
@@ -5024,6 +5044,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "percent_rank_documents": q_percent_rank_documents,
     "quantile_bucket_documents": q_quantile_bucket_documents,
+    "collect_set_events": q_collect_set_events,
     "pivot_events_per_user": q_pivot_events_per_user,
     "chunk_documents": q_chunk_documents,
     "scrub_pii_documents": q_scrub_pii_documents,
@@ -5163,6 +5184,7 @@ ORACLE_SQL = {
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "percent_rank_documents": SQL_PERCENT_RANK_DOCUMENTS,
     "quantile_bucket_documents": SQL_QUANTILE_BUCKET_DOCUMENTS,
+    "collect_set_events": SQL_COLLECT_SET_EVENTS,
     "pivot_events_per_user": SQL_PIVOT_EVENTS_PER_USER,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "scrub_pii_documents": SQL_SCRUB_PII_DOCUMENTS,

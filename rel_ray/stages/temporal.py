@@ -651,3 +651,63 @@ def interval_overlap_self(ds, *, key: str, id_col: str, start: str, end: str,
     return bucketed_group_apply(p, key, sweep, num_buckets=num_buckets,
                                 sort_cols=[(_T, "ascending"),
                                            ("rid", "ascending")])
+
+
+def grouped_collect_set(ds, *, key: str, val: str, sep: str = "|",
+                        num_buckets: int = 256, out_col: str = "vals"):
+    """Grouped sorted-DISTINCT collection (SQL ``string_agg(DISTINCT val,
+    sep ORDER BY val)``): one row per key with its distinct values joined
+    in sorted order — the entity-resolution alias-list aggregate (all
+    distinct surface forms per cluster) and the label-vocabulary reporter.
+
+    One skinny (key, val) bucketed exchange; inside a bucket the sort
+    does the ordering, a shifted-comparison mask does the dedup, and
+    ListArray offsets + ``pc.binary_join`` build every key's string with
+    zero Python per row. Output width follows the key's distinct-value
+    count — same contract (and skew exposure) as SQL string_agg; cap or
+    bucket upstream if a key's vocabulary can exceed a block."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def pre(t: pa.Table) -> pa.Table:
+        # NULL values are ignored, matching SQL string_agg
+        return t.select([key, val]).filter(pc.is_valid(t.column(val)))
+
+    skinny = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        key_t = bucket.schema.field(key).type
+        if n == 0:
+            return pa.table({key: pa.array([], type=key_t),
+                             out_col: pa.array([], type=pa.string())})
+        kc = bucket.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        vc = bucket.column(val)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        # bucket-sorted by (key, val): a row is a duplicate iff BOTH equal
+        # the previous row's
+        starts = np.asarray(segment_starts(kc))
+        first_of_seg = np.zeros(n, dtype=bool)
+        first_of_seg[starts] = True
+        same_val = np.zeros(n, dtype=bool)
+        same_val[1:] = np.asarray(
+            pc.equal(vc.slice(1), vc.slice(0, n - 1)).fill_null(False))
+        keep = first_of_seg | ~same_val
+        dedup = bucket.filter(pa.array(keep))
+        m = dedup.num_rows
+        dstarts = np.asarray(segment_starts(dedup.column(key)))
+        offsets = pa.array(np.append(dstarts, m).astype(np.int32))
+        dvc = dedup.column(val)
+        if isinstance(dvc, pa.ChunkedArray):
+            dvc = dvc.combine_chunks()
+        lists = pa.ListArray.from_arrays(offsets, pc.cast(dvc, pa.string()))
+        dkc = dedup.column(key)
+        if isinstance(dkc, pa.ChunkedArray):
+            dkc = dkc.combine_chunks()
+        return pa.table({key: dkc.take(pa.array(dstarts)),
+                         out_col: pc.binary_join(lists, sep)})
+
+    return bucketed_group_apply(skinny, key, agg, num_buckets=num_buckets,
+                                sort_cols=[(val, "ascending")])

@@ -2721,3 +2721,24 @@ def test_ivfpq_ann_shortlist_recall():
         dc = ((C - X64[qi]) ** 2).sum(axis=1)
         probed = set(np.argsort(dc, kind="stable")[:3].tolist())
         assert {cells[v] for v in got[int(ids[qi])]} <= probed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_collect_set_matches_naive():
+    from rel_ray.stages.temporal import grouped_collect_set
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 12, 400)
+    vocab = ["b", "a", "cc", "d", None, "a"]
+    v = [vocab[i] for i in rng.integers(0, len(vocab), 400)]
+    t = pa.table({"g": pa.array(g, type=pa.int64()),
+                  "v": pa.array(v, type=pa.string())})
+    out = _collect(grouped_collect_set(rd.from_arrow(t).repartition(5),
+                                       key="g", val="v", num_buckets=8,
+                                       out_col="s"))
+    got = dict(zip(out.column("g").to_pylist(), out.column("s").to_pylist()))
+    want = {}
+    for gi, vi in zip(g, v):
+        if vi is not None:
+            want.setdefault(int(gi), set()).add(vi)
+    assert got == {k: "|".join(sorted(s)) for k, s in want.items()}
