@@ -4995,7 +4995,56 @@ ORDER BY step_idx
 """
 
 
+def q_adamic_adar_events(sf_dir: str):
+    """Adamic–Adar link prediction over the user-interaction graph (same
+    edge derivation as triangle_count_events): top-100 NEW links by
+    aa_e9 = sum over common neighbors w of floor(1e9/ln(deg w) + 0.5),
+    the per-term-quantized e9 idiom (order-independent integer sum, so
+    hash-exact vs the SQL twin). stages/graph.py::adamic_adar — one
+    bucket exchange for wedges (deg(w) read off the segment length, no
+    degree table), one pair groupby, one anti join vs existing edges;
+    final 100 rows via global_topk (k rows per block, no global sort)."""
+    from ..functions.rayutil import global_topk
+    from ..stages.behavior import consecutive_pairs
+    from ..stages.graph import adamic_adar
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    edges = consecutive_pairs(ev, key="event_type", ts="ts", tie="event_id",
+                              val="user_id")
+    edges = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("src"), t.column("dst"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    scored = adamic_adar(edges)
+    return global_topk(scored, [("aa_e9", "descending"), ("u", "ascending"),
+                                ("v", "ascending")], 100)
+
+
+SQL_ADAMIC_ADAR_EVENTS = """
+WITH raw AS (SELECT user_id AS src,
+                    lead(user_id) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS dst
+             FROM events QUALIFY dst IS NOT NULL AND dst != user_id),
+e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw),
+adj AS (SELECT u AS w, v AS nbr FROM e UNION ALL SELECT v AS w, u AS nbr
+        FROM e),
+deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+wedge AS (SELECT a.nbr AS u, b.nbr AS v,
+                 CAST(FLOOR(1e9 / ln(CAST(d.d AS DOUBLE)) + 0.5) AS BIGINT)
+                     AS wt
+          FROM adj a JOIN adj b ON a.w = b.w AND a.nbr < b.nbr
+          JOIN deg d ON d.w = a.w),
+aa AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+              CAST(SUM(wt) AS BIGINT) AS aa_e9
+       FROM wedge GROUP BY u, v),
+newl AS (SELECT aa.u, aa.v, aa.cn, aa.aa_e9 FROM aa
+         LEFT JOIN e ON aa.u = e.u AND aa.v = e.v WHERE e.u IS NULL)
+SELECT u, v, cn, aa_e9 FROM newl ORDER BY aa_e9 DESC, u, v LIMIT 100
+"""
+
+
 QUERIES = {
+    "adamic_adar_events": q_adamic_adar_events,
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
     "corpus_prep_documents": q_corpus_prep_documents,
@@ -5139,6 +5188,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "adamic_adar_events": SQL_ADAMIC_ADAR_EVENTS,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "tpch_q3_style": SQL_TPCH_Q3_STYLE,
     "corpus_prep_documents": _corpus_prep_sql(),

@@ -205,3 +205,76 @@ class TestFunnelWindow:
                                 type_col="event_type", num_buckets=2,
                                 window=10))
         assert out["users"].tolist() == [1, 0]
+
+
+class TestAdamicAdar:
+    def _edges(self, pairs):
+        return rd.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], type=pa.int64())}))
+
+    @staticmethod
+    def _naive(pairs, new_only=True):
+        import math
+        from collections import defaultdict
+        adj = defaultdict(set)
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        edge = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        out = {}
+        nodes = sorted(adj)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1:]:
+                common = adj[u] & adj[v]
+                if not common:
+                    continue
+                if new_only and (u, v) in edge:
+                    continue
+                aa = sum(int(math.floor(1e9 / math.log(len(adj[w])) + 0.5))
+                         for w in common)
+                out[(u, v)] = (len(common), aa)
+        return out
+
+    def _run(self, pairs, **kw):
+        from rel_ray.stages.graph import adamic_adar
+        df = _df(adamic_adar(self._edges(pairs), num_buckets=4, **kw))
+        return {(int(r.u), int(r.v)): (int(r.cn), int(r.aa_e9))
+                for r in df.itertuples()}
+
+    def test_path_predicts_endpoints(self, ray_session):
+        # path 1-2-3: only new pair is (1,3) via w=2 (deg 2)
+        got = self._run([(1, 2), (2, 3)])
+        assert got == self._naive([(1, 2), (2, 3)])
+        assert list(got) == [(1, 3)]
+        assert got[(1, 3)][0] == 1
+
+    def test_matches_naive_random(self, ray_session):
+        rng = np.random.RandomState(7)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.randint(0, 30, size=(120, 2))]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert self._run(pairs) == self._naive(pairs)
+
+    def test_include_existing_edges(self, ray_session):
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        got = self._run(pairs, predict_new_only=False)
+        assert got == self._naive(pairs, new_only=False)
+        assert (1, 2) in got  # existing edge scored too
+
+    def test_max_degree_skips_hub(self, ray_session):
+        # star around 0 plus a path 1-2-3; hub 0 has degree 5
+        star = [(0, i) for i in range(1, 6)]
+        pairs = star + [(1, 2), (2, 3)]
+        got = self._run(pairs, max_degree=4)
+        # hub wedges dropped: only w=2 (deg 3: nbrs 0,1,3) contributes
+        naive_nohub = {k: v for k, v in self._naive(pairs).items()}
+        import math
+        w2 = int(math.floor(1e9 / math.log(3) + 0.5))
+        assert got[(1, 3)] == (1, w2)
+        assert all(k in naive_nohub for k in got)
+
+    def test_empty(self, ray_session):
+        assert self._run([]) == {}
+        assert self._run([(5, 5)]) == {}
