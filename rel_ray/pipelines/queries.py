@@ -5043,8 +5043,46 @@ SELECT u, v, cn, aa_e9 FROM newl ORDER BY aa_e9 DESC, u, v LIMIT 100
 """
 
 
+def q_mad_outliers_events(sf_dir: str):
+    """Robust per-event-type outlier rows by the Hampel identifier
+    |x − median| > 3·MAD (stages/selection.py::grouped_mad_outliers) —
+    INTEGER-EXACT: medians carried at 2× scale, MAD at 4×, the flag is
+    2·d2 > 3·mad4 in pure int64, so the hash matches the SQL twin's
+    identical scaled expressions. Two grouped-median bucket exchanges +
+    broadcast stat attach; the driver holds only per-group stats."""
+    from ..stages.selection import grouped_mad_outliers
+
+    ev = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    cents = ev.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "event_id": t.column("event_id"),
+                            "value_cents": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_mad_outliers(cents, group_col="event_type",
+                                val_col="value_cents",
+                                keep_cols=["event_id"], k=3)
+
+
+SQL_MAD_OUTLIERS_EVENTS = """
+WITH t AS (SELECT event_type, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+           FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, CAST(2 * median(value_cents) AS BIGINT) AS med2
+        FROM t GROUP BY event_type),
+d AS (SELECT t.event_type, t.event_id, t.value_cents,
+             ABS(2 * t.value_cents - m.med2) AS d2
+      FROM t JOIN med m ON t.event_type = m.event_type),
+mad AS (SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad4
+        FROM d GROUP BY event_type)
+SELECT d.event_type, d.event_id, d.value_cents
+FROM d JOIN mad ON d.event_type = mad.event_type
+WHERE 2 * d.d2 > 3 * mad.mad4
+"""
+
+
 QUERIES = {
     "adamic_adar_events": q_adamic_adar_events,
+    "mad_outliers_events": q_mad_outliers_events,
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
     "corpus_prep_documents": q_corpus_prep_documents,
@@ -5189,6 +5227,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "adamic_adar_events": SQL_ADAMIC_ADAR_EVENTS,
+    "mad_outliers_events": SQL_MAD_OUTLIERS_EVENTS,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "tpch_q3_style": SQL_TPCH_Q3_STYLE,
     "corpus_prep_documents": _corpus_prep_sql(),

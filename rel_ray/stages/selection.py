@@ -246,3 +246,100 @@ def quantile_bucketize(ds, *, value_col: str, n_buckets: int,
 
     return ranked.map_batches(fin, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def grouped_mad_outliers(ds, *, group_col: str, val_col: str,
+                         keep_cols: list[str] | None = None, k: int = 3,
+                         num_buckets: int = 256,
+                         broadcast_max_rows: int = 2_000_000):
+    """Robust per-group outlier detection: flag rows with
+    |x − median(x)| > k · MAD, MAD = median(|x − median(x)|) (Hampel
+    identifier; Davies & Gather, JASA 1993). The robust analog of the
+    3-sigma rule — medians don't move under the very outliers being
+    hunted, unlike mean/stddev.
+
+    INTEGER-EXACT for integral ``val_col``: medians are carried at 2×
+    scale (2·median of ints is an int; the sum-of-two-middles never
+    leaves the integers), distances at 2× (d2 = |2x − med2|), MAD at 4×
+    (mad4 = 2·median(d2)), and the flag compares 2·d2 > k·mad4 — all
+    int64, no float anywhere, so the value hash is exact vs a SQL twin
+    using the same scaled expressions. NULL values are ignored (SQL
+    median semantics).
+
+    Scale shape: two `grouped_median` passes (each ONE bucketed skinny
+    exchange, vectorized in-bucket gathers) + two per-group stat
+    attachments (broadcast dict under ``broadcast_max_rows`` groups,
+    bucketed co-group join past it) + one streaming filter. The driver
+    only ever holds per-group stats, never rows.
+
+    Returns the outlier rows: (group_col, *keep_cols, val_col).
+    """
+    import ray as _ray
+
+    from ..functions.rayutil import (collect_table, dict_lookup,
+                                     get_broadcast_dict)
+    from ..stages.joins import cogroup_inner_join
+
+    keep_cols = keep_cols or []
+    cols = [group_col, *keep_cols, val_col]
+
+    proj = ds.map_batches(
+        lambda t: t.select(cols).filter(pc.is_valid(t.column(val_col))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # consumed 2x: median pass (inside grouped_median) + distance attach
+
+    def _attach_stat(src, stat_ds, stat_col):
+        """src + int64 column ``stat_col`` looked up by group_col."""
+        stat = stat_ds.materialize()
+        if stat.count() <= broadcast_max_rows:
+            gtype = stat.schema().base_schema.field(group_col).type
+            tab = collect_table(stat, pa.schema(
+                [(group_col, gtype), (stat_col, pa.int64())]))
+            ref = _ray.put(tab)
+
+            def add(t: pa.Table, ref=ref) -> pa.Table:
+                d = get_broadcast_dict(ref, group_col, stat_col)
+                return t.append_column(stat_col, dict_lookup(
+                    t.column(group_col), d, value_type=pa.int64()))
+
+            return src.map_batches(add, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        return cogroup_inner_join(src, stat, key=group_col,
+                                  right_cols=[stat_col],
+                                  num_buckets=num_buckets)
+
+    med = grouped_median(proj, group_col=group_col, val_col=val_col,
+                         out_col="__med", num_buckets=num_buckets)
+    med2 = med.map_batches(
+        lambda t: pa.table({
+            group_col: t.column(group_col),
+            "__med2": pc.cast(pc.multiply(t.column("__med"), 2.0),
+                              pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def with_d2(t: pa.Table) -> pa.Table:
+        x = np.asarray(pc.cast(t.column(val_col), pa.int64()),
+                       dtype=np.int64)
+        m2 = np.asarray(t.column("__med2"), dtype=np.int64)
+        return t.append_column("__d2", pa.array(np.abs(2 * x - m2)))
+
+    dist = _attach_stat(proj, med2, "__med2").map_batches(
+        with_d2, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # consumed 2x: MAD pass + final filter
+
+    mad = grouped_median(dist, group_col=group_col, val_col="__d2",
+                         out_col="__mad", num_buckets=num_buckets)
+    mad4 = mad.map_batches(
+        lambda t: pa.table({
+            group_col: t.column(group_col),
+            "__mad4": pc.cast(pc.multiply(t.column("__mad"), 2.0),
+                              pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def flag(t: pa.Table) -> pa.Table:
+        d2 = np.asarray(t.column("__d2"), dtype=np.int64)
+        m4 = np.asarray(t.column("__mad4"), dtype=np.int64)
+        return t.filter(pa.array(2 * d2 > k * m4)).select(cols)
+
+    return _attach_stat(dist, mad4, "__mad4").map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True)

@@ -179,3 +179,61 @@ def test_quantile_bucketize_matches_naive(ray_session):
         bucket_of.setdefault(v, set()).add(got[i])
     assert all(len(s) == 1 for s in bucket_of.values())
     assert set(got.values()) == set(range(10))
+
+
+class TestMadOutliers:
+    @staticmethod
+    def _naive(rows, k=3):
+        """rows: (g, i, x). Hampel flag via exact fractions (2x/4x scale)."""
+        from collections import defaultdict
+        import statistics
+        by_g = defaultdict(list)
+        for g, _, x in rows:
+            by_g[g].append(x)
+        med2 = {g: int(2 * statistics.median(v)) for g, v in by_g.items()}
+        d2_by_g = defaultdict(list)
+        for g, _, x in rows:
+            d2_by_g[g].append(abs(2 * x - med2[g]))
+        mad4 = {g: int(2 * statistics.median(v))
+                for g, v in d2_by_g.items()}
+        return sorted((g, i, x) for g, i, x in rows
+                      if 2 * abs(2 * x - med2[g]) > k * mad4[g])
+
+    def _run(self, rows, **kw):
+        import ray.data as rd
+
+        from rel_ray.stages.selection import grouped_mad_outliers
+        t = pa.table({"g": pa.array([r[0] for r in rows]),
+                      "i": pa.array([r[1] for r in rows], type=pa.int64()),
+                      "x": pa.array([r[2] for r in rows], type=pa.int64())})
+        out = grouped_mad_outliers(rd.from_arrow(t), group_col="g",
+                                   val_col="x", keep_cols=["i"],
+                                   num_buckets=4, **kw)
+        return sorted((r.g, int(r.i), int(r.x))
+                      for r in out.to_pandas().itertuples())
+
+    def test_matches_naive_random(self, ray_session):
+        rng = np.random.RandomState(3)
+        rows = [(f"g{int(rng.randint(3))}", i, int(v))
+                for i, v in enumerate(rng.randint(-50, 2000, size=400))]
+        # plant gross outliers
+        rows += [("g0", 1000, 10**9), ("g1", 1001, -10**9)]
+        got = self._run(rows)
+        assert got == self._naive(rows)
+        assert ("g0", 1000, 10**9) in got and ("g1", 1001, -10**9) in got
+
+    def test_even_odd_groups_and_zero_mad(self, ray_session):
+        # g_even: 4 values (median averages middles); g_const: MAD=0 so
+        # ANY deviation flags; g_odd: exact middle
+        rows = [("e", 0, 1), ("e", 1, 2), ("e", 2, 3), ("e", 3, 1000),
+                ("c", 4, 7), ("c", 5, 7), ("c", 6, 7), ("c", 7, 8),
+                ("o", 8, 1), ("o", 9, 5), ("o", 10, 9)]
+        assert self._run(rows) == self._naive(rows)
+
+    def test_cogroup_fallback_matches_broadcast(self, ray_session):
+        rng = np.random.RandomState(11)
+        rows = [(f"g{int(rng.randint(5))}", i, int(v))
+                for i, v in enumerate(rng.randint(0, 300, size=300))]
+        rows += [("g2", 900, 10**7)]
+        assert (self._run(rows, broadcast_max_rows=0)
+                == self._run(rows) == self._naive(rows))
