@@ -5080,9 +5080,40 @@ WHERE 2 * d.d2 > 3 * mad.mad4
 """
 
 
+def q_bpe_train_documents(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich'16): one streaming
+    word-count pass + one distinct-word groupby, merge loop over the
+    pruned (word, count) table on the driver — the standard formulation;
+    merge statistics depend only on the frequency table, so the corpus
+    never leaves the cluster (stages/tokenizer.py::bpe_train, min_count
+    prunes the tail in-cluster, max_vocab fails loudly). Returns the
+    64-merge table (rank, left, right). Not SQL-expressible (iterative
+    argmax with state); exactness pinned in tests/test_tokenizer.py
+    against a from-scratch recount reference."""
+    from ..stages.tokenizer import bpe_train
+
+    docs = _pq(sf_dir, "documents", ["text"])
+    return bpe_train(docs, "text", 64, min_count=2)
+
+
+def q_bpe_token_count_documents(sf_dir: str):
+    """Per-document token count under a corpus-trained 64-merge BPE
+    vocabulary (stages/tokenizer.py::bpe_token_counts): merge table
+    broadcast once, per-batch dictionary-encode so the merge loop runs
+    per DISTINCT word with a per-worker memo — the soundex idiom. Batch-
+    split invariance + driver-encode equality pinned in tests."""
+    from ..stages.tokenizer import bpe_token_counts, bpe_train
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(docs, "text", 64, min_count=2)
+    return bpe_token_counts(docs, "text", "doc_id", merges)
+
+
 QUERIES = {
     "adamic_adar_events": q_adamic_adar_events,
     "mad_outliers_events": q_mad_outliers_events,
+    "bpe_train_documents": q_bpe_train_documents,
+    "bpe_token_count_documents": q_bpe_token_count_documents,
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
     "corpus_prep_documents": q_corpus_prep_documents,
