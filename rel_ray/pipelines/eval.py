@@ -722,3 +722,68 @@ def fs_review_pairs(edges, *, feature_cols=("sim_jaccard", "sim_jw",
                       [("__h", "ascending"), ("id_a", "ascending"),
                        ("id_b", "ascending")], k)
     return top.drop_columns(["__h"])
+
+
+def roc_auc(ds, *, score_col: str, label_col: str,
+            max_distinct: int = 2_000_000) -> pa.Table:
+    """Exact distributed ROC-AUC of an integer score against a boolean
+    label — the Mann–Whitney U formulation with tie correction (ties
+    count 1/2): AUC = [sum over distinct scores s of
+    n_pos(s)·(n_neg_below(s) + n_neg(s)/2)] / (n_pos·n_neg).
+
+    The linkage-eval use: F1 judges ONE threshold; AUC judges the whole
+    score ordering, which is what a calibration/threshold sweep needs.
+
+    INTEGER-EXACT: carried at 2× scale (auc_num2 = Σ np·(2·cum_nn + nn),
+    an int), the headline number quantized to auc_e9 =
+    floor(num2·1e9/(2·n_pos·n_neg) + 0.5) computed in arbitrary-precision
+    Python ints on the driver (the SQL twin does the same in HUGEINT) —
+    no float anywhere, hash-exact.
+
+    Scale shape: one combiner pass (per-batch distinct-score partials) +
+    one distinct-score groupby; the driver folds the distinct-score table
+    (cap-guarded by ``max_distinct`` — scores are bounded/quantized by
+    construction; a wider domain should be bucketized first). Rows never
+    leave the cluster. Returns ONE row:
+    (n_pos, n_neg, auc_num2, auc_e9)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(pc.cast(t.column(score_col), pa.int64()),
+                       dtype=np.int64)
+        lab = np.asarray(pc.cast(t.column(label_col), pa.bool_()))
+        vals, inv = np.unique(s, return_inverse=True)
+        np_ = np.bincount(inv, weights=lab, minlength=len(vals))
+        nn_ = np.bincount(inv, weights=~lab, minlength=len(vals))
+        return pa.table({"score": pa.array(vals),
+                         "np": pa.array(np_.astype(np.int64)),
+                         "nn": pa.array(nn_.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("score").aggregate(Sum("np"), Sum("nn")))
+    tab = collect_table(agg, pa.schema([("score", pa.int64()),
+                                        ("sum(np)", pa.int64()),
+                                        ("sum(nn)", pa.int64())]))
+    if tab.num_rows > max_distinct:
+        raise ValueError(
+            f"roc_auc: {tab.num_rows} distinct scores exceed "
+            f"max_distinct={max_distinct} — bucketize the score first")
+    tab = tab.sort_by([("score", "ascending")])
+    np_l = tab.column("sum(np)").to_pylist()
+    nn_l = tab.column("sum(nn)").to_pylist()
+    num2 = 0
+    cum_nn = 0
+    for p, q in zip(np_l, nn_l):  # distinct-score-sized driver fold
+        num2 += p * (2 * cum_nn + q)
+        cum_nn += q
+    n_pos, n_neg = sum(np_l), sum(nn_l)
+    den = n_pos * n_neg
+    auc_e9 = (num2 * 10**9 + den) // (2 * den) if den else None
+    return pa.table({
+        "n_pos": pa.array([n_pos], type=pa.int64()),
+        "n_neg": pa.array([n_neg], type=pa.int64()),
+        "auc_num2": pa.array([num2], type=pa.int64()),
+        "auc_e9": pa.array([auc_e9], type=pa.int64())})

@@ -5109,11 +5109,53 @@ def q_bpe_token_count_documents(sf_dir: str):
     return bpe_token_counts(docs, "text", "doc_id", merges)
 
 
+def q_roc_auc_events(sf_dir: str):
+    """Exact distributed ROC-AUC (Mann–Whitney with tie correction) of
+    the event value as a 'purchase' classifier score
+    (pipelines/eval.py::roc_auc): one combiner pass + one distinct-score
+    groupby; the driver folds only the distinct-score table in
+    arbitrary-precision ints — auc_num2 carried at 2× scale, auc_e9 =
+    floor(num2·1e9/(2·den) + 0.5), all integer, hash-exact vs the
+    HUGEINT SQL twin."""
+    from .eval import roc_auc
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"])
+    scored = ev.map_batches(
+        lambda t: pa.table({
+            "score": _cents(t.column("value")),
+            "lab": pc.equal(t.column("event_type"), "purchase")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return roc_auc(scored, score_col="score", label_col="lab")
+
+
+SQL_ROC_AUC_EVENTS = """
+WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS score,
+                  (event_type = 'purchase') AS lab FROM events),
+s AS (SELECT score,
+             CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM t GROUP BY score),
+c AS (SELECT np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cumnn
+      FROM s)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(SUM(np * (2 * cumnn + nn)) AS BIGINT) AS auc_num2,
+       CAST((SUM(np * (2 * cumnn + nn)) * 1000000000
+             + SUM(np) * SUM(nn))
+            // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_e9
+FROM c
+"""
+
+
 QUERIES = {
     "adamic_adar_events": q_adamic_adar_events,
     "mad_outliers_events": q_mad_outliers_events,
     "bpe_train_documents": q_bpe_train_documents,
     "bpe_token_count_documents": q_bpe_token_count_documents,
+    "roc_auc_events": q_roc_auc_events,
     "lineitem_agg": q_lineitem_agg,
     "tpch_q3_style": q_tpch_q3_style,
     "corpus_prep_documents": q_corpus_prep_documents,
@@ -5259,6 +5301,7 @@ QUERIES = {
 ORACLE_SQL = {
     "adamic_adar_events": SQL_ADAMIC_ADAR_EVENTS,
     "mad_outliers_events": SQL_MAD_OUTLIERS_EVENTS,
+    "roc_auc_events": SQL_ROC_AUC_EVENTS,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "tpch_q3_style": SQL_TPCH_Q3_STYLE,
     "corpus_prep_documents": _corpus_prep_sql(),

@@ -90,3 +90,50 @@ def test_train_pair_weights():
     # loss strictly improves over training (full-batch GD on convex loss)
     assert res["loss_curve"][-1] < res["loss_curve"][0] * 0.5
     assert all(v > 0 for v in res["weights"].values())
+
+
+class TestRocAuc:
+    @staticmethod
+    def _naive(scores, labels):
+        pos = [s for s, l in zip(scores, labels) if l]
+        neg = [s for s, l in zip(scores, labels) if not l]
+        num2 = sum(2 if p > q else (1 if p == q else 0)
+                   for p in pos for q in neg)
+        den = len(pos) * len(neg)
+        return num2, (num2 * 10**9 + den) // (2 * den) if den else None
+
+    def _run(self, scores, labels):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from rel_ray.pipelines.eval import roc_auc
+        ds = rd.from_arrow(pa.table({
+            "s": pa.array(scores, type=pa.int64()),
+            "l": pa.array(labels, type=pa.bool_())}))
+        t = roc_auc(ds, score_col="s", label_col="l")
+        return (t.column("auc_num2")[0].as_py(),
+                t.column("auc_e9")[0].as_py(),
+                t.column("n_pos")[0].as_py(), t.column("n_neg")[0].as_py())
+
+    def test_matches_naive_with_ties(self, ray_session):
+        import numpy as np
+        rng = np.random.RandomState(5)
+        scores = [int(x) for x in rng.randint(0, 20, size=500)]  # many ties
+        labels = [bool(x) for x in rng.rand(500) < 0.3]
+        num2, e9, n_pos, n_neg = self._run(scores, labels)
+        exp_num2, exp_e9 = self._naive(scores, labels)
+        assert (num2, e9) == (exp_num2, exp_e9)
+        assert n_pos == sum(labels) and n_neg == 500 - sum(labels)
+
+    def test_perfect_and_random(self, ray_session):
+        # perfectly separated -> AUC 1.0
+        _, e9, _, _ = self._run([1, 2, 3, 10, 11, 12],
+                                [False, False, False, True, True, True])
+        assert e9 == 10**9
+        # all scores identical -> AUC 0.5 exactly
+        _, e9, _, _ = self._run([7] * 10, [True] * 4 + [False] * 6)
+        assert e9 == 5 * 10**8
+
+    def test_single_class_undefined(self, ray_session):
+        _, e9, n_pos, n_neg = self._run([1, 2, 3], [True, True, True])
+        assert e9 is None and n_pos == 3 and n_neg == 0
