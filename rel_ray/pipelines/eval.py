@@ -787,3 +787,144 @@ def roc_auc(ds, *, score_col: str, label_col: str,
         "n_neg": pa.array([n_neg], type=pa.int64()),
         "auc_num2": pa.array([num2], type=pa.int64()),
         "auc_e9": pa.array([auc_e9], type=pa.int64())})
+
+
+def average_precision(ds, *, score_col: str, label_col: str,
+                      max_distinct: int = 2_000_000) -> pa.Table:
+    """Exact distributed average precision (area under the PR curve,
+    step-interpolated at distinct thresholds — the standard formulation:
+    AP = Σ_s ΔRecall(s)·Precision(s) over distinct scores s descending,
+    ties grouped at one threshold).
+
+    REL analog: the linkage-eval companion to :func:`roc_auc` — AP weighs
+    the head of the ranking, which is what a clerical-review budget or a
+    candidate-pruning threshold sweep actually consumes; AUC weighs all
+    pair orderings equally.
+
+    INTEGER-EXACT: precision at each threshold is per-term quantized,
+    prec_e9(s) = floor(cum_tp·1e9 / cum_n), and the AP numerator
+    Σ np(s)·prec_e9(s) is an exact integer sum — order-independent, so
+    hash-exact vs a HUGEINT SQL window twin. Headline
+    ap_e9 = floor((num + n_pos//2) / n_pos).
+
+    Scale shape: identical to roc_auc — one combiner pass of per-batch
+    distinct-score partials, one distinct-score groupby, driver folds only
+    the distinct-score table (cap ``max_distinct``). Returns ONE row
+    (n_pos, n_neg, ap_e9)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(pc.cast(t.column(score_col), pa.int64()),
+                       dtype=np.int64)
+        lab = np.asarray(pc.cast(t.column(label_col), pa.bool_()))
+        vals, inv = np.unique(s, return_inverse=True)
+        np_ = np.bincount(inv, weights=lab, minlength=len(vals))
+        nn_ = np.bincount(inv, weights=~lab, minlength=len(vals))
+        return pa.table({"score": pa.array(vals),
+                         "np": pa.array(np_.astype(np.int64)),
+                         "nn": pa.array(nn_.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("score").aggregate(Sum("np"), Sum("nn")))
+    tab = collect_table(agg, pa.schema([("score", pa.int64()),
+                                        ("sum(np)", pa.int64()),
+                                        ("sum(nn)", pa.int64())]))
+    if tab.num_rows > max_distinct:
+        raise ValueError(
+            f"average_precision: {tab.num_rows} distinct scores exceed "
+            f"max_distinct={max_distinct} — bucketize the score first")
+    tab = tab.sort_by([("score", "descending")])
+    np_l = tab.column("sum(np)").to_pylist()
+    nn_l = tab.column("sum(nn)").to_pylist()
+    num = 0
+    cum_tp = 0
+    cum_n = 0
+    for p, q in zip(np_l, nn_l):  # distinct-score-sized driver fold
+        cum_tp += p
+        cum_n += p + q
+        num += p * ((cum_tp * 10**9) // cum_n)
+    n_pos, n_neg = sum(np_l), sum(nn_l)
+    ap_e9 = (num + n_pos // 2) // n_pos if n_pos else None
+    return pa.table({
+        "n_pos": pa.array([n_pos], type=pa.int64()),
+        "n_neg": pa.array([n_neg], type=pa.int64()),
+        "ap_e9": pa.array([ap_e9], type=pa.int64())})
+
+
+def calibration_bins(ds, *, score_col: str, label_col: str,
+                     score_max: int, num_bins: int = 10) -> pa.Table:
+    """Reliability-diagram bins for an integer score in [0, score_max]
+    against a boolean label: per bin, the observed positive rate vs the
+    mean predicted score — the table a calibration plot / ECE computation
+    reads. The linkage use: REL-style match confidences feed a clerical-
+    review threshold; calibration says whether 0.9 means 90%.
+
+    INTEGER-EXACT: bins are floor(score·num_bins / (score_max+1)); outputs
+    frac_pos_e9 = floor(n_pos·1e9/n) and
+    mean_score_e9 = floor(sum_score·1e9 / (score_max·n)) — all integer,
+    hash-exact vs the SQL twin.
+
+    Scale shape: one combiner pass (per-batch bincount over num_bins) +
+    one num_bins-row groupby. Nothing leaves the cluster but the bin
+    table."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(pc.cast(t.column(score_col), pa.int64()),
+                       dtype=np.int64)
+        lab = np.asarray(pc.cast(t.column(label_col), pa.bool_()))
+        b = s * num_bins // (score_max + 1)
+        return pa.table({
+            "bin": pa.array(np.arange(num_bins, dtype=np.int64)),
+            "n": pa.array(np.bincount(b, minlength=num_bins)
+                          .astype(np.int64)),
+            "n_pos": pa.array(np.bincount(b, weights=lab,
+                                          minlength=num_bins)
+                              .astype(np.int64)),
+            "sum_score": pa.array(np.bincount(b, weights=s,
+                                              minlength=num_bins)
+                                  .astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bin")
+           .aggregate(Sum("n"), Sum("n_pos"), Sum("sum_score")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t.column("sum(n)"), dtype=np.int64)
+        npos = np.asarray(t.column("sum(n_pos)"), dtype=np.int64)
+        ssc = np.asarray(t.column("sum(sum_score)"), dtype=np.int64)
+        keep = n > 0
+        n, npos, ssc = n[keep], npos[keep], ssc[keep]
+        bins = np.asarray(t.column("bin"), dtype=np.int64)[keep]
+        # object dtype: n·1e9 would overflow int64 past ~9e9 rows per bin
+        n_o = n.astype(object)
+        fp = np.array([(int(p) * 10**9) // int(m)
+                       for p, m in zip(npos, n_o)], dtype=np.int64)
+        ms = np.array([(int(s) * 10**9) // (score_max * int(m))
+                       for s, m in zip(ssc, n_o)], dtype=np.int64)
+        return pa.table({"bin": pa.array(bins), "n": pa.array(n),
+                         "n_pos": pa.array(npos),
+                         "frac_pos_e9": pa.array(fp),
+                         "mean_score_e9": pa.array(ms)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def expected_calibration_error(bins_tab: pa.Table) -> pa.Table:
+    """ECE from a :func:`calibration_bins` table: the n-weighted mean of
+    |frac_pos − mean_score| over bins, ece_e9 = floor(Σ n_b·|Δ_b| / N).
+    Pure integer driver fold over the num_bins-row table."""
+    n = bins_tab.column("n").to_pylist()
+    fp = bins_tab.column("frac_pos_e9").to_pylist()
+    ms = bins_tab.column("mean_score_e9").to_pylist()
+    total = sum(n)
+    num = sum(m * abs(a - b) for m, a, b in zip(n, fp, ms))
+    return pa.table({
+        "n": pa.array([total], type=pa.int64()),
+        "ece_e9": pa.array([num // total if total else None],
+                           type=pa.int64())})

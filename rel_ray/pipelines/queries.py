@@ -5150,7 +5150,123 @@ FROM c
 """
 
 
+def q_average_precision_events(sf_dir: str):
+    """Exact distributed average precision (step-interpolated PR-AUC) of
+    the event value as a 'purchase' classifier score
+    (pipelines/eval.py::average_precision): same combiner + distinct-score
+    groupby shape as roc_auc_events; precision per threshold is per-term
+    quantized (prec_e9 = floor(cum_tp*1e9/cum_n)) so the numerator is an
+    order-independent integer sum — hash-exact vs the HUGEINT window
+    twin."""
+    from .eval import average_precision
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"])
+    scored = ev.map_batches(
+        lambda t: pa.table({
+            "score": _cents(t.column("value")),
+            "lab": pc.equal(t.column("event_type"), "purchase")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return average_precision(scored, score_col="score", label_col="lab")
+
+
+SQL_AVERAGE_PRECISION_EVENTS = """
+WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS score,
+                  (event_type = 'purchase') AS lab FROM events),
+s AS (SELECT score,
+             CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM t GROUP BY score),
+c AS (SELECT np, nn,
+             SUM(np) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtp,
+             SUM(np + nn) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+      FROM s)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST((SUM(np * ((cumtp * CAST(1000000000 AS HUGEINT)) // cumn))
+             + SUM(np) // 2) // SUM(np) AS BIGINT) AS ap_e9
+FROM c
+"""
+
+
+def q_calibration_bins_events(sf_dir: str):
+    """Reliability-diagram bins (pipelines/eval.py::calibration_bins) of a
+    deterministic pseudo-score s = event_id % 1000 (scaled to [0,1] as
+    s/999) against the 'purchase' label: 10 bins, per-bin observed
+    positive rate (frac_pos_e9) vs mean predicted score (mean_score_e9),
+    both floor-quantized integers — the table a calibration plot / ECE
+    reads. One combiner pass + a 10-row groupby."""
+    from .eval import calibration_bins
+
+    ev = _pq(sf_dir, "events", ["event_id", "event_type"])
+    scored = ev.map_batches(
+        lambda t: pa.table({
+            "score": pa.array(
+                np.asarray(t.column("event_id"), dtype=np.int64) % 1000),
+            "lab": pc.equal(t.column("event_type"), "purchase")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return calibration_bins(scored, score_col="score", label_col="lab",
+                            score_max=999, num_bins=10)
+
+
+SQL_CALIBRATION_BINS_EVENTS = """
+WITH t AS (SELECT (event_id % 1000) AS s,
+                  (event_type = 'purchase') AS lab FROM events),
+b AS (SELECT s * 10 // 1000 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(s) AS BIGINT) AS sum_score
+      FROM t GROUP BY 1)
+SELECT bin, n, n_pos,
+       CAST((n_pos * CAST(1000000000 AS HUGEINT)) // n AS BIGINT)
+           AS frac_pos_e9,
+       CAST((sum_score * CAST(1000000000 AS HUGEINT)) // (999 * n)
+            AS BIGINT) AS mean_score_e9
+FROM b WHERE n > 0
+"""
+
+
+def q_ece_events(sf_dir: str):
+    """Expected calibration error over the calibration_bins_events table
+    (pipelines/eval.py::expected_calibration_error): the n-weighted mean
+    of |observed − predicted| per bin, ece_e9 = floor(Σ n_b·|Δ_b| / N),
+    folded in Python ints over the 10-row bin table — hash-exact vs the
+    nested-aggregate twin."""
+    from ..functions.rayutil import collect_table
+    from .eval import expected_calibration_error
+
+    bins = q_calibration_bins_events(sf_dir)
+    tab = collect_table(bins, pa.schema(
+        [("bin", pa.int64()), ("n", pa.int64()), ("n_pos", pa.int64()),
+         ("frac_pos_e9", pa.int64()), ("mean_score_e9", pa.int64())]))
+    return expected_calibration_error(tab)
+
+
+SQL_ECE_EVENTS = """
+WITH t AS (SELECT (event_id % 1000) AS s,
+                  (event_type = 'purchase') AS lab FROM events),
+b AS (SELECT s * 10 // 1000 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(s) AS BIGINT) AS sum_score
+      FROM t GROUP BY 1),
+q AS (SELECT n,
+             CAST((n_pos * CAST(1000000000 AS HUGEINT)) // n AS BIGINT)
+                 AS fp,
+             CAST((sum_score * CAST(1000000000 AS HUGEINT)) // (999 * n)
+                  AS BIGINT) AS ms
+      FROM b WHERE n > 0)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(n * ABS(fp - ms)) // SUM(n) AS BIGINT) AS ece_e9
+FROM q
+"""
+
+
 QUERIES = {
+    "average_precision_events": q_average_precision_events,
+    "calibration_bins_events": q_calibration_bins_events,
+    "ece_events": q_ece_events,
     "adamic_adar_events": q_adamic_adar_events,
     "mad_outliers_events": q_mad_outliers_events,
     "bpe_train_documents": q_bpe_train_documents,
@@ -5299,6 +5415,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "average_precision_events": SQL_AVERAGE_PRECISION_EVENTS,
+    "calibration_bins_events": SQL_CALIBRATION_BINS_EVENTS,
+    "ece_events": SQL_ECE_EVENTS,
     "adamic_adar_events": SQL_ADAMIC_ADAR_EVENTS,
     "mad_outliers_events": SQL_MAD_OUTLIERS_EVENTS,
     "roc_auc_events": SQL_ROC_AUC_EVENTS,

@@ -137,3 +137,77 @@ class TestRocAuc:
     def test_single_class_undefined(self, ray_session):
         _, e9, n_pos, n_neg = self._run([1, 2, 3], [True, True, True])
         assert e9 is None and n_pos == 3 and n_neg == 0
+
+
+class TestAveragePrecision:
+    @staticmethod
+    def _naive(scores, labels):
+        # threshold-level AP with per-term e9 quantization, pure python
+        from collections import Counter
+        np_c, nn_c = Counter(), Counter()
+        for s, l in zip(scores, labels):
+            (np_c if l else nn_c)[s] += 1
+        num, cum_tp, cum_n = 0, 0, 0
+        for s in sorted(set(scores), reverse=True):
+            p, q = np_c[s], nn_c[s]
+            cum_tp += p
+            cum_n += p + q
+            num += p * ((cum_tp * 10**9) // cum_n)
+        n_pos = sum(labels)
+        return (num + n_pos // 2) // n_pos if n_pos else None
+
+    def _run(self, scores, labels):
+        from rel_ray.pipelines.eval import average_precision
+        ds = rd.from_arrow(pa.table({
+            "s": pa.array(scores, type=pa.int64()),
+            "l": pa.array(labels, type=pa.bool_())}))
+        t = average_precision(ds, score_col="s", label_col="l")
+        return t.column("ap_e9")[0].as_py()
+
+    def test_matches_naive_with_ties(self, ray_session):
+        import numpy as np
+        rng = np.random.RandomState(11)
+        scores = [int(x) for x in rng.randint(0, 15, size=400)]
+        labels = [bool(x) for x in rng.rand(400) < 0.25]
+        assert self._run(scores, labels) == self._naive(scores, labels)
+
+    def test_perfect_ranking_is_one(self, ray_session):
+        ap = self._run([5, 6, 7, 1, 2, 3],
+                       [True, True, True, False, False, False])
+        assert ap == 10**9
+
+    def test_no_positives_undefined(self, ray_session):
+        assert self._run([1, 2], [False, False]) is None
+
+
+class TestCalibration:
+    def test_bins_and_ece_known_answer(self, ray_session):
+        from rel_ray.functions.rayutil import collect_table
+        from rel_ray.pipelines.eval import (calibration_bins,
+                                            expected_calibration_error)
+        # scores 0..9 with score_max=9, 2 bins of width 5
+        scores = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+        labels = [True, False, False, False, False,
+                  True, True, True, True, False]
+        ds = rd.from_arrow(pa.table({
+            "s": pa.array(scores, type=pa.int64()),
+            "l": pa.array(labels, type=pa.bool_())}))
+        bins = collect_table(
+            calibration_bins(ds, score_col="s", label_col="l",
+                             score_max=9, num_bins=2),
+            pa.schema([("bin", pa.int64()), ("n", pa.int64()),
+                       ("n_pos", pa.int64()), ("frac_pos_e9", pa.int64()),
+                       ("mean_score_e9", pa.int64())])
+        ).sort_by([("bin", "ascending")])
+        assert bins.column("n").to_pylist() == [5, 5]
+        assert bins.column("n_pos").to_pylist() == [1, 4]
+        assert bins.column("frac_pos_e9").to_pylist() == [
+            10**9 // 5, 4 * 10**9 // 5]
+        # mean score bin0 = (0+1+2+3+4)/(9*5), bin1 = (5+..+9)/(9*5)
+        assert bins.column("mean_score_e9").to_pylist() == [
+            10 * 10**9 // 45, 35 * 10**9 // 45]
+        ece = expected_calibration_error(bins)
+        exp = (5 * abs(10**9 // 5 - 10 * 10**9 // 45)
+               + 5 * abs(4 * 10**9 // 5 - 35 * 10**9 // 45)) // 10
+        assert ece.column("ece_e9")[0].as_py() == exp
+        assert ece.column("n")[0].as_py() == 10
