@@ -5150,6 +5150,120 @@ FROM c
 """
 
 
+def q_grouped_regression_lineitem(sf_dir: str):
+    """Grouped simple OLS regression (extendedprice on quantity, dollars,
+    per returnflag) from INTEGER-EXACT sufficient statistics — the same
+    six co-moment partials as grouped_corr_lineitem, so the combiner merge
+    is order-independent. Final coefficients are exact integer rationals,
+    quantized to e9 with TRUNCATION toward zero (DuckDB's `//` truncates;
+    Python's floors — sign-aware abs/restore makes both sides identical):
+      slope_e9     = trunc((n·Σxy − Σx·Σy)·1e9 / (n·Σxx − Σx²))
+      intercept_e9 = trunc((Σy·D − N·Σx)·1e9 / (n·D)),  N/D = slope
+      r2_e9        = trunc(slope_e9 · slope_yx_e9 / 1e9)  (product of the
+                     two quantized regression slopes — r² = b_xy·b_yx;
+                     quantizing each factor first keeps every intermediate
+                     inside HUGEINT, which N²·1e9 would overflow).
+    Driver never sees rows — the fold is per group over the aggregated
+    k-row table (Python big ints; the SQL twin does the same in
+    HUGEINT)."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.column("l_returnflag")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        x = np.asarray(_cents(t.column("l_quantity"))) // 100
+        y = np.asarray(_cents(t.column("l_extendedprice"))) // 100
+        enc = pc.dictionary_encode(f)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+
+        def bc(w):
+            return pa.array(np.bincount(codes, weights=w, minlength=k)
+                            .astype(np.int64))
+
+        return pa.table({
+            "l_returnflag": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+            "sx": bc(x), "sy": bc(y), "sxx": bc(x * x), "syy": bc(y * y),
+            "sxy": bc(x * y)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"),
+                      Sum("syy"), Sum("sxy")))
+
+    def _tdiv(a: int, b: int) -> int:
+        # truncation toward zero, matching DuckDB's integer //
+        s = -1 if (a < 0) != (b < 0) else 1
+        return s * (abs(a) // abs(b))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(f"sum({c})").to_pylist()
+                for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        slope, intercept, r2 = [], [], []
+        for n, sx, sy, sxx, syy, sxy in zip(*(cols[c] for c in
+                                              ("n", "sx", "sy", "sxx",
+                                               "syy", "sxy"))):
+            num = n * sxy - sx * sy
+            den_x = n * sxx - sx * sx
+            den_y = n * syy - sy * sy
+            if den_x == 0 or den_y == 0:
+                slope.append(None); intercept.append(None); r2.append(None)
+                continue
+            b_e9 = _tdiv(num * 10**9, den_x)
+            byx_e9 = _tdiv(num * 10**9, den_y)
+            slope.append(b_e9)
+            intercept.append(_tdiv((sy * den_x - num * sx) * 10**9,
+                                   n * den_x))
+            r2.append(_tdiv(b_e9 * byx_e9, 10**9))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "n": pa.array(cols["n"], type=pa.int64()),
+            "slope_e9": pa.array(slope, type=pa.int64()),
+            "intercept_e9": pa.array(intercept, type=pa.int64()),
+            "r2_e9": pa.array(r2, type=pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_GROUPED_REGRESSION_LINEITEM = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity*100) AS BIGINT) // 100 AS x,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) // 100 AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x*x) AS HUGEINT) AS sxx,
+         CAST(SUM(y*y) AS HUGEINT) AS syy,
+         CAST(SUM(x*y) AS HUGEINT) AS sxy
+  FROM b GROUP BY l_returnflag),
+c AS (
+  SELECT l_returnflag, n,
+         (n*sxy - sx*sy) AS num,
+         (n*sxx - sx*sx) AS den_x,
+         (n*syy - sy*sy) AS den_y,
+         sx, sy
+  FROM s)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST((num * 1000000000) // den_x AS BIGINT) AS slope_e9,
+       CAST(((sy*den_x - num*sx) * 1000000000) // (n*den_x) AS BIGINT)
+           AS intercept_e9,
+       CAST((((num * 1000000000) // den_x)
+             * ((num * 1000000000) // den_y)) // 1000000000 AS BIGINT)
+           AS r2_e9
+FROM c
+"""
+
+
 def q_average_precision_events(sf_dir: str):
     """Exact distributed average precision (step-interpolated PR-AUC) of
     the event value as a 'purchase' classifier score
@@ -5264,6 +5378,7 @@ FROM q
 
 
 QUERIES = {
+    "grouped_regression_lineitem": q_grouped_regression_lineitem,
     "average_precision_events": q_average_precision_events,
     "calibration_bins_events": q_calibration_bins_events,
     "ece_events": q_ece_events,
@@ -5415,6 +5530,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "grouped_regression_lineitem": SQL_GROUPED_REGRESSION_LINEITEM,
     "average_precision_events": SQL_AVERAGE_PRECISION_EVENTS,
     "calibration_bins_events": SQL_CALIBRATION_BINS_EVENTS,
     "ece_events": SQL_ECE_EVENTS,
