@@ -5150,6 +5150,102 @@ FROM c
 """
 
 
+def q_clustering_coef_events(sf_dir: str):
+    """Per-node local clustering coefficient (Watts–Strogatz) of the
+    user-interaction graph — same edge derivation as
+    triangle_count_events (stages/graph.py::local_clustering): closed
+    triangles credit all three vertices, one skinny groupby + one cogroup
+    LEFT join against the degree table; coef_e9 =
+    trunc(2·tri·1e9/(deg·(deg−1))), NULL for deg<2 — hash-exact vs the
+    three-way self-join twin."""
+    from ..stages.behavior import consecutive_pairs
+    from ..stages.graph import local_clustering
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    edges = consecutive_pairs(ev, key="event_type", ts="ts", tie="event_id",
+                              val="user_id")
+    edges = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("src"), t.column("dst"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return local_clustering(edges)
+
+
+SQL_CLUSTERING_COEF_EVENTS = """
+WITH raw AS (SELECT user_id AS src,
+                    lead(user_id) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS dst
+             FROM events QUALIFY dst IS NOT NULL AND dst != user_id),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw),
+tri3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM e e1 JOIN e e2 ON e1.b = e2.a
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pernode AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+            FROM (SELECT x AS node FROM tri3
+                  UNION ALL SELECT y FROM tri3
+                  UNION ALL SELECT z FROM tri3)
+            GROUP BY node),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node)
+SELECT d.node, COALESCE(p.tri, 0) AS tri, d.deg,
+       CASE WHEN d.deg >= 2 THEN
+            CAST((2 * COALESCE(p.tri, 0) * CAST(1000000000 AS HUGEINT))
+                 // (d.deg * (d.deg - 1)) AS BIGINT)
+       END AS coef_e9
+FROM deg d LEFT JOIN pernode p USING (node)
+"""
+
+
+def q_assortativity_events(sf_dir: str):
+    """Degree assortativity coefficient (Newman '02) of the user-
+    interaction graph — same edge derivation as triangle_count_events
+    (stages/graph.py::assortativity). Over the symmetrized edge list the
+    Pearson sqrt cancels, so r is an exact integer rational; r_e9 uses
+    sign-aware truncation matching DuckDB's `//`. One degree exchange +
+    one combiner pass; single-row output."""
+    from ..stages.behavior import consecutive_pairs
+    from ..stages.graph import assortativity
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    edges = consecutive_pairs(ev, key="event_type", ts="ts", tie="event_id",
+                              val="user_id")
+    edges = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("src"), t.column("dst"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return assortativity(edges)
+
+
+SQL_ASSORTATIVITY_EVENTS = """
+WITH raw AS (SELECT user_id AS src,
+                    lead(user_id) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS dst
+             FROM events QUALIFY dst IS NOT NULL AND dst != user_id),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+sym AS (SELECT da.deg AS du, db.deg AS dv
+        FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        UNION ALL
+        SELECT db.deg, da.deg
+        FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+             CAST(SUM(du) AS HUGEINT) AS sx,
+             CAST(SUM(du*du) AS HUGEINT) AS sxx,
+             CAST(SUM(du*dv) AS HUGEINT) AS sxy
+      FROM sym)
+SELECT CAST(m AS BIGINT) AS m, CAST(sx AS BIGINT) AS sx,
+       CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+       CASE WHEN (m*sxx - sx*sx) != 0 THEN
+            CAST(((m*sxy - sx*sx) * 1000000000) // (m*sxx - sx*sx)
+                 AS BIGINT)
+       END AS r_e9
+FROM s
+"""
+
+
 def q_grouped_regression_lineitem(sf_dir: str):
     """Grouped simple OLS regression (extendedprice on quantity, dollars,
     per returnflag) from INTEGER-EXACT sufficient statistics — the same
@@ -5378,6 +5474,8 @@ FROM q
 
 
 QUERIES = {
+    "assortativity_events": q_assortativity_events,
+    "clustering_coef_events": q_clustering_coef_events,
     "grouped_regression_lineitem": q_grouped_regression_lineitem,
     "average_precision_events": q_average_precision_events,
     "calibration_bins_events": q_calibration_bins_events,
@@ -5530,6 +5628,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "assortativity_events": SQL_ASSORTATIVITY_EVENTS,
+    "clustering_coef_events": SQL_CLUSTERING_COEF_EVENTS,
     "grouped_regression_lineitem": SQL_GROUPED_REGRESSION_LINEITEM,
     "average_precision_events": SQL_AVERAGE_PRECISION_EVENTS,
     "calibration_bins_events": SQL_CALIBRATION_BINS_EVENTS,

@@ -248,11 +248,17 @@ def _simple_undirected(edges, src: str, dst: str):
                          batch_format="pyarrow", zero_copy_batch=True))
 
 
-def triangle_count(edges, *, src: str = "src", dst: str = "dst",
-                   num_buckets: int = 128,
-                   broadcast_max_rows: int = 2_000_000,
-                   wedge_limit: int = 50_000_000) -> int:
-    """Exact global triangle count of the UNDIRECTED simple graph induced
+def _closed_triangles(edges, *, src: str, dst: str, num_buckets: int,
+                      broadcast_max_rows: int, wedge_limit: int):
+    """Shared plan behind :func:`triangle_count` and
+    :func:`local_clustering`: returns ``(closed, degrees, bits)`` where
+    ``closed`` is a Dataset with ONE row per triangle, columns
+    ``s`` (the wedge center — the triangle's lowest-ordered vertex) and
+    ``pair`` = (a << bits) | b, the closing oriented edge; ``degrees`` is
+    the (node, deg) Dataset of the simple undirected graph; ``closed`` is
+    None when the graph is empty.
+
+    Exact global triangle count of the UNDIRECTED simple graph induced
     by ``edges`` (int node ids; self-loops dropped, multi-edges deduped).
 
     Degree-ordered node iterator (Schank & Wagner, WEA 2005; the
@@ -270,7 +276,7 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
     sorted node array; cogroup fallback past ``broadcast_max_rows``) ->
     wedge generation per source segment (one bucket exchange, vectorized
     variable-length pair expansion, no per-node Python) -> bucketed semi
-    join of wedges against oriented edges -> count. Returns the scalar.
+    join of wedges against oriented edges.
     """
     import ray as _ray
 
@@ -295,7 +301,7 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
                .materialize())
     n_nodes = degrees.count()
     if n_nodes == 0:
-        return 0
+        return None, degrees, 0
     max_id = int(degrees.max("node"))
     min_id = int(degrees.min("node"))
     if min_id < 0:
@@ -359,16 +365,19 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
 
     def wedge_pairs(bucket: pa.Table) -> pa.Table:
         n = bucket.num_rows
+        empty = pa.table({"s": pa.array([], type=pa.int64()),
+                          "pair": pa.array([], type=pa.int64())})
         if n == 0:
-            return pa.table({"pair": pa.array([], type=pa.int64())})
+            return empty
         d = np.asarray(bucket.column("d"), dtype=np.int64)
+        s_col = np.asarray(bucket.column("s"), dtype=np.int64)
         starts = np.asarray(segment_starts(bucket.column("s")))
         lens = np.diff(np.append(starts, n))
         pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
         left_counts = np.repeat(lens, lens) - 1 - pos
         total = int(left_counts.sum())
         if total == 0:
-            return pa.table({"pair": pa.array([], type=pa.int64())})
+            return empty
         if total > wedge_limit:
             raise ValueError(
                 f"wedge bucket of {total} pairs exceeds wedge_limit="
@@ -381,8 +390,9 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
         # rows within a segment are (deg_d, d)-sorted, so d[left] precedes
         # d[right] in orientation order — the composite matches the
         # oriented closing edge's (s, d) layout exactly
-        return pa.table({"pair": pa.array(
-            (d[left_idx] << bits) | d[right_idx])})
+        return pa.table({"s": pa.array(s_col[left_idx]),
+                         "pair": pa.array(
+                             (d[left_idx] << bits) | d[right_idx])})
 
     wedges = bucketed_group_apply(
         oriented, "s", wedge_pairs, num_buckets=num_buckets,
@@ -397,7 +407,91 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
                                      zero_copy_batch=True)
     closed = semi_anti_join(wedges, edge_keys, key="pair",
                             num_buckets=num_buckets)
-    return closed.count()
+    return closed, degrees, bits
+
+
+def triangle_count(edges, *, src: str = "src", dst: str = "dst",
+                   num_buckets: int = 128,
+                   broadcast_max_rows: int = 2_000_000,
+                   wedge_limit: int = 50_000_000) -> int:
+    """Exact global triangle count — see :func:`_closed_triangles` for the
+    degree-ordered plan (Schank & Wagner '05 / Suri & Vassilvitskii '11).
+    Returns the scalar count."""
+    closed, _, _ = _closed_triangles(
+        edges, src=src, dst=dst, num_buckets=num_buckets,
+        broadcast_max_rows=broadcast_max_rows, wedge_limit=wedge_limit)
+    return 0 if closed is None else closed.count()
+
+
+def local_clustering(edges, *, src: str = "src", dst: str = "dst",
+                     num_buckets: int = 128,
+                     broadcast_max_rows: int = 2_000_000,
+                     wedge_limit: int = 50_000_000):
+    """Per-node local clustering coefficient of the undirected simple
+    graph: coef(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — Watts & Strogatz
+    (Nature 1998). The ER reading: a mention block whose co-occurrence
+    neighborhood has high clustering is one entity; low clustering flags
+    a conflated block worth splitting.
+
+    Built on :func:`_closed_triangles`: each closed triangle (s; a, b)
+    credits all three vertices (one flat_map to 3 rows, one skinny
+    groupby), per-node counts then LEFT-join the degree table via one
+    cogroup exchange — nodes in no triangle keep tri=0. coef_e9 =
+    trunc(2·tri·1e9 / (deg·(deg−1))), integer, NULL when deg < 2 —
+    hash-exact vs a SQL twin. Returns a Dataset
+    (node, tri, deg, coef_e9)."""
+    from ..stages.joins import cogroup_join_multi
+
+    closed, degrees, bits = _closed_triangles(
+        edges, src=src, dst=dst, num_buckets=num_buckets,
+        broadcast_max_rows=broadcast_max_rows, wedge_limit=wedge_limit)
+    if closed is None:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "tri": pa.array([], type=pa.int64()),
+            "deg": pa.array([], type=pa.int64()),
+            "coef_e9": pa.array([], type=pa.int64())}))
+    mask = (1 << bits) - 1
+
+    def endpoints3(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("s"), dtype=np.int64)
+        pair = np.asarray(t.column("pair"), dtype=np.int64)
+        return pa.table({"node": pa.array(
+            np.concatenate([s, pair >> bits, pair & mask]))})
+
+    tri = (closed.map_batches(endpoints3, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("node").count()
+           .map_batches(lambda t: t.rename_columns(["node", "tri"]),
+                        batch_format="pyarrow", zero_copy_batch=True))
+
+    joined = cogroup_join_multi(
+        degrees, tri, key="node", left_cols=["deg"], right_cols=["tri"],
+        num_buckets=num_buckets, how="left",
+        left_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("tri", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        deg = np.asarray(t.column("deg"), dtype=np.int64)
+        tri_c = t.column("tri")
+        if isinstance(tri_c, pa.ChunkedArray):
+            tri_c = tri_c.combine_chunks()
+        tri_v = np.asarray(tri_c.fill_null(0), dtype=np.int64)
+        possible = deg * (deg - 1)  # 2x the pair count
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coef = np.where(possible > 0,
+                            2 * tri_v * 10**9 // np.maximum(possible, 1),
+                            0)
+        return pa.table({
+            "node": t.column("node"),
+            "tri": pa.array(tri_v),
+            "deg": pa.array(deg),
+            "coef_e9": pa.array(coef, type=pa.int64(),
+                                mask=possible <= 0)})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def k_core(edges, k: int, *, src: str = "src", dst: str = "dst",
@@ -640,3 +734,126 @@ def adamic_adar(edges, *, src: str = "src", dst: str = "dst",
 
     return scored.map_batches(decode, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def assortativity(edges, *, src: str = "src", dst: str = "dst",
+                  num_buckets: int = 128,
+                  broadcast_max_rows: int = 2_000_000) -> pa.Table:
+    """Degree assortativity coefficient (Newman, Phys. Rev. Lett. 2002):
+    the Pearson correlation of endpoint degrees over the DIRECTED-both-
+    ways edge list of the undirected simple graph. Positive r — hubs link
+    hubs (a conflated-entity smell in a linkage graph); negative r — hubs
+    link leaves (the usual mention-to-entity shape).
+
+    INTEGER-EXACT: over the symmetrized list the x and y marginals are
+    identical, so the sqrt in Pearson's r cancels —
+    r = (m·Σxy − (Σx)²) / (m·Σxx − (Σx)²), an exact integer rational,
+    emitted as r_e9 with sign-aware truncation (matching DuckDB's `//`).
+
+    Scale shape: degree table via one skinny exchange; degree attach via
+    broadcast searchsorted under ``broadcast_max_rows``, else two cogroup
+    joins; then ONE combiner pass of 5 int partials and a single-row
+    groupby. The driver folds one row in Python big ints (int64 partials
+    hold to ~10^14 edge-degree products per batch; the global fold is
+    arbitrary precision). Returns ONE row (m, sx, sxx, sxy, r_e9)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table, get_broadcast
+    from ..stages.joins import cogroup_inner_join
+
+    uniq_edges = _simple_undirected(edges, src, dst).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            t.column("u").combine_chunks()
+            if isinstance(t.column("u"), pa.ChunkedArray) else t.column("u"),
+            t.column("v").combine_chunks()
+            if isinstance(t.column("v"), pa.ChunkedArray) else t.column("v")])
+        return pa.table({"node": both})
+
+    degrees = (uniq_edges.map_batches(endpoints, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+               .groupby("node").count()
+               .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+               .materialize())
+    n_nodes = degrees.count()
+    if n_nodes == 0:
+        return pa.table({"m": pa.array([0], type=pa.int64()),
+                         "sx": pa.array([0], type=pa.int64()),
+                         "sxx": pa.array([0], type=pa.int64()),
+                         "sxy": pa.array([0], type=pa.int64()),
+                         "r_e9": pa.array([None], type=pa.int64())})
+
+    if n_nodes <= broadcast_max_rows:
+        deg_tab = collect_table(degrees, pa.schema(
+            [("node", pa.int64()), ("deg", pa.int64())])
+        ).sort_by([("node", "ascending")])
+        deg_ref = _ray.put((np.asarray(deg_tab.column("node"),
+                                       dtype=np.int64),
+                            np.asarray(deg_tab.column("deg"),
+                                       dtype=np.int64)))
+
+        def attach(t: pa.Table) -> pa.Table:
+            nodes, deg = get_broadcast(deg_ref)
+            u = np.asarray(t.column("u"), dtype=np.int64)
+            v = np.asarray(t.column("v"), dtype=np.int64)
+            return pa.table({"du": pa.array(deg[np.searchsorted(nodes, u)]),
+                             "dv": pa.array(deg[np.searchsorted(nodes, v)])})
+
+        deg_edges = uniq_edges.map_batches(attach, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    else:
+        e1 = cogroup_inner_join(
+            uniq_edges.map_batches(
+                lambda t: t.rename_columns(["node", "v"]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            degrees, key="node", right_cols=["deg"],
+            num_buckets=num_buckets).map_batches(
+            lambda t: t.rename_columns(["u", "node", "du"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        e2 = cogroup_inner_join(e1, degrees, key="node",
+                                right_cols=["deg"],
+                                num_buckets=num_buckets)
+        deg_edges = e2.map_batches(
+            lambda t: pa.table({"du": t.column("du"),
+                                "dv": t.column("deg")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        du = np.asarray(t.column("du"), dtype=np.int64)
+        dv = np.asarray(t.column("dv"), dtype=np.int64)
+        # symmetrized: each undirected edge contributes (du,dv) and (dv,du)
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "m": pa.array([2 * len(du)], type=pa.int64()),
+            "sx": pa.array([int(du.sum() + dv.sum())], type=pa.int64()),
+            "sxx": pa.array([int((du * du).sum() + (dv * dv).sum())],
+                            type=pa.int64()),
+            "sxy": pa.array([int(2 * (du * dv).sum())], type=pa.int64())})
+
+    agg = (deg_edges.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+           .groupby("g").aggregate(Sum("m"), Sum("sx"), Sum("sxx"),
+                                   Sum("sxy")))
+    tab = collect_table(agg, pa.schema(
+        [("g", pa.int64()), ("sum(m)", pa.int64()), ("sum(sx)", pa.int64()),
+         ("sum(sxx)", pa.int64()), ("sum(sxy)", pa.int64())]))
+    m = int(tab.column("sum(m)")[0].as_py())
+    sx = int(tab.column("sum(sx)")[0].as_py())
+    sxx = int(tab.column("sum(sxx)")[0].as_py())
+    sxy = int(tab.column("sum(sxy)")[0].as_py())
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    if den == 0:
+        r_e9 = None
+    else:
+        sgn = -1 if (num < 0) != (den < 0) else 1
+        r_e9 = sgn * ((abs(num) * 10**9) // abs(den))
+    return pa.table({"m": pa.array([m], type=pa.int64()),
+                     "sx": pa.array([sx], type=pa.int64()),
+                     "sxx": pa.array([sxx], type=pa.int64()),
+                     "sxy": pa.array([sxy], type=pa.int64()),
+                     "r_e9": pa.array([r_e9], type=pa.int64())})

@@ -278,3 +278,78 @@ class TestAdamicAdar:
     def test_empty(self, ray_session):
         assert self._run([]) == {}
         assert self._run([(5, 5)]) == {}
+
+
+class TestLocalClustering:
+    def _edges(self, pairs):
+        return rd.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], type=pa.int64())}))
+
+    def test_triangle_plus_pendant(self, ray_session):
+        from rel_ray.stages.graph import local_clustering
+        # K3 on {1,2,3} plus pendant 3-4
+        e = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        df = _df(local_clustering(self._edges(e), num_buckets=4)) \
+            .sort_values("node").reset_index(drop=True)
+        assert df["node"].tolist() == [1, 2, 3, 4]
+        assert df["tri"].tolist() == [1, 1, 1, 0]
+        assert df["deg"].tolist() == [2, 2, 3, 1]
+        # coef: 1.0, 1.0, 2*1/(3*2)=1/3, NULL (deg<2)
+        assert df["coef_e9"].tolist()[:3] == [10**9, 10**9,
+                                              2 * 10**9 // 6]
+        assert df["coef_e9"].isna().tolist() == [False, False, False, True]
+
+    def test_k4_all_ones(self, ray_session):
+        from rel_ray.stages.graph import local_clustering
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        df = _df(local_clustering(self._edges(k4), num_buckets=4))
+        assert sorted(df["coef_e9"]) == [10**9] * 4
+        assert sorted(df["tri"]) == [3] * 4
+
+    def test_empty(self, ray_session):
+        from rel_ray.stages.graph import local_clustering
+        assert _df(local_clustering(self._edges([]), num_buckets=2)).empty
+
+
+class TestAssortativity:
+    def _edges(self, pairs):
+        return rd.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], type=pa.int64())}))
+
+    def test_star_is_minus_one(self, ray_session):
+        from rel_ray.stages.graph import assortativity
+        # star K1,4: perfectly disassortative, r = -1
+        t = assortativity(self._edges([(0, i) for i in range(1, 5)]),
+                          num_buckets=4)
+        assert t.column("r_e9")[0].as_py() == -10**9
+
+    def test_regular_graph_undefined(self, ray_session):
+        from rel_ray.stages.graph import assortativity
+        # cycle C4: all degrees equal -> zero variance, r undefined
+        t = assortativity(self._edges([(0, 1), (1, 2), (2, 3), (3, 0)]),
+                          num_buckets=4)
+        assert t.column("r_e9")[0].as_py() is None
+        assert t.column("m")[0].as_py() == 8
+
+    def test_matches_naive_pearson(self, ray_session):
+        import numpy as np
+        from rel_ray.stages.graph import assortativity
+        rng = np.random.RandomState(3)
+        pairs = set()
+        while len(pairs) < 40:
+            a, b = rng.randint(0, 15, size=2)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)
+        deg = {}
+        for a, b in pairs:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs = [deg[a] for a, b in pairs] + [deg[b] for a, b in pairs]
+        ys = [deg[b] for a, b in pairs] + [deg[a] for a, b in pairs]
+        r = np.corrcoef(xs, ys)[0, 1]
+        t = assortativity(self._edges(pairs), num_buckets=4)
+        got = t.column("r_e9")[0].as_py() / 1e9
+        assert abs(got - r) < 1e-6
