@@ -5197,6 +5197,113 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_basket_lift_events(sf_dir: str):
+    """Association mining (support / lift) over user baskets of event
+    types (stages/behavior.py::market_basket_pairs): one bucket exchange
+    with a vectorized triangular pair expansion per basket, one skinny
+    pair groupby, item counts broadcast. Integer-exact rationals
+    (support_e9, lift_e9 by truncation) — hash-exact vs the distinct
+    self-join twin."""
+    from ..stages.behavior import market_basket_pairs
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    return market_basket_pairs(ev, key="user_id", item="event_type")
+
+
+SQL_BASKET_LIFT_EVENTS = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS nu FROM d),
+s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS c FROM d
+      GROUP BY event_type),
+p AS (SELECT d1.event_type AS a, d2.event_type AS b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM d d1 JOIN d d2 ON d1.user_id = d2.user_id
+                         AND d1.event_type < d2.event_type
+      GROUP BY 1, 2)
+SELECT p.a, p.b, p.c_ab,
+       CAST((p.c_ab * CAST(1000000000 AS HUGEINT)) // n.nu AS BIGINT)
+           AS support_e9,
+       CAST((n.nu * p.c_ab * 1000000000) // (sa.c * sb.c) AS BIGINT)
+           AS lift_e9
+FROM p
+CROSS JOIN n
+JOIN s sa ON sa.event_type = p.a
+JOIN s sb ON sb.event_type = p.b
+"""
+
+
+def q_k_anonymity_events(sf_dir: str):
+    """k-anonymity audit (Sweeney 2002) of the events table under the
+    quasi-identifier (event_type, hour-of-day): every QI group smaller
+    than k=5 is a re-identification risk — the privacy gate a training-
+    data release pipeline runs before export. One groupby + a vectorized
+    filter; returns the at-risk groups (event_type, hour, n)."""
+    from ray.data.aggregate import Count
+
+    ev = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def qi(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hour": pc.cast(pc.hour(t.column("ts")), pa.int64())})
+
+    agg = (ev.map_batches(qi, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["event_type", "hour"]).aggregate(Count()))
+    return agg.map_batches(
+        lambda t: t.rename_columns(["event_type", "hour", "n"]).filter(
+            pc.less(t.column("count()"), 5)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_K_ANONYMITY_EVENTS = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(*) < 5
+"""
+
+
+def q_forward_fill_events(sf_dir: str):
+    """Per-user forward fill (LOCF) of the last purchase amount over the
+    event stream (stages/temporal.py::forward_fill): value is observed
+    only on 'purchase' rows; every later row carries the most recent
+    purchase cents forward, rows before a user's first purchase stay
+    NULL. One bucket exchange, vectorized maximum.accumulate fill with a
+    per-user segment barrier — hash-exact vs DuckDB's
+    last_value(IGNORE NULLS) window twin."""
+    from ..stages.temporal import forward_fill
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                "value"])
+    obs = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "v": pc.if_else(pc.equal(t.column("event_type"), "purchase"),
+                            _cents(t.column("value")),
+                            pa.nulls(t.num_rows, type=pa.int64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    filled = forward_fill(obs, key="user_id", order_cols=["ts", "event_id"],
+                          val="v", out_col="filled_cents")
+    return filled.map_batches(
+        lambda t: t.select(["event_id", "user_id", "filled_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FORWARD_FILL_EVENTS = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_cents
+FROM events
+"""
+
+
 def q_assortativity_events(sf_dir: str):
     """Degree assortativity coefficient (Newman '02) of the user-
     interaction graph — same edge derivation as triangle_count_events
@@ -5474,6 +5581,9 @@ FROM q
 
 
 QUERIES = {
+    "basket_lift_events": q_basket_lift_events,
+    "k_anonymity_events": q_k_anonymity_events,
+    "forward_fill_events": q_forward_fill_events,
     "assortativity_events": q_assortativity_events,
     "clustering_coef_events": q_clustering_coef_events,
     "grouped_regression_lineitem": q_grouped_regression_lineitem,
@@ -5628,6 +5738,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "basket_lift_events": SQL_BASKET_LIFT_EVENTS,
+    "k_anonymity_events": SQL_K_ANONYMITY_EVENTS,
+    "forward_fill_events": SQL_FORWARD_FILL_EVENTS,
     "assortativity_events": SQL_ASSORTATIVITY_EVENTS,
     "clustering_coef_events": SQL_CLUSTERING_COEF_EVENTS,
     "grouped_regression_lineitem": SQL_GROUPED_REGRESSION_LINEITEM,

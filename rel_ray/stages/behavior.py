@@ -282,3 +282,143 @@ def consecutive_pairs(ds, *, key: str, ts: str, tie: str, val: str,
     return bucketed_group_apply(ds, key, pairs, num_buckets=num_buckets,
                                 sort_cols=[(ts, "ascending"),
                                            (tie, "ascending")])
+
+
+def market_basket_pairs(ds, *, key: str, item: str,
+                        num_buckets: int = 64,
+                        max_items_per_key: int = 10_000,
+                        broadcast_max_rows: int = 2_000_000):
+    """Association mining over (key, item) baskets — Agrawal & Srikant's
+    support/lift statistics (VLDB 1994) for every unordered item pair
+    co-occurring in at least one basket:
+
+      support_e9(a,b) = trunc(c_ab·1e9 / N)
+      lift_e9(a,b)    = trunc(N·c_ab·1e9 / (c_a·c_b))
+
+    where N = distinct baskets, c_x = baskets containing x, c_ab =
+    baskets containing both. Lift > 1e9 means a and b co-occur more than
+    independence predicts — the blocking-key reading: two mention forms
+    whose conversation sets have high lift likely name one entity.
+
+    Scale shape: ONE bucket exchange groups each basket's rows (sorted by
+    (key, item), so distinct items per basket are segment-local dedup,
+    then a vectorized triangular pair expansion — same index arithmetic
+    as the triangle wedge kernel); pair counts via one skinny groupby.
+    Per-item counts ride the same distinct pass. The item-count table is
+    broadcast (item domains are categorical vocabularies; cap-guarded at
+    ``broadcast_max_rows`` with a loud error). ``max_items_per_key``
+    bounds the quadratic per-basket blowup — a basket wider than that
+    raises rather than silently exploding.
+
+    Returns Dataset (a, b, c_ab, support_e9, lift_e9) with a < b."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    from ..functions.rayutil import collect_table, get_broadcast
+
+    def pairs_only(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        it = bucket.column(item)
+        if isinstance(it, pa.ChunkedArray):
+            it = it.combine_chunks()
+        if n == 0:
+            return pa.table({"a": it.slice(0, 0), "b": it.slice(0, 0)})
+        # bucket sorted by (key, item): dedup = first-of-run within segment
+        kstarts = np.asarray(segment_starts(bucket.column(key)))
+        first_of_key = np.zeros(n, dtype=bool)
+        first_of_key[kstarts] = True
+        same_item = np.zeros(n, dtype=bool)
+        same_item[1:] = np.asarray(
+            pc.equal(it.slice(1), it.slice(0, n - 1)).fill_null(False))
+        ded = bucket.filter(pa.array(first_of_key | ~same_item))
+        m = ded.num_rows
+        dit = ded.column(item)
+        if isinstance(dit, pa.ChunkedArray):
+            dit = dit.combine_chunks()
+        dstarts = np.asarray(segment_starts(ded.column(key)))
+        lens = np.diff(np.append(dstarts, m))
+        if lens.max(initial=0) > max_items_per_key:
+            raise ValueError(
+                f"basket of {int(lens.max())} distinct items exceeds "
+                f"max_items_per_key={max_items_per_key}")
+        # triangular expansion: pair each row with every LATER row of its
+        # segment (items sorted ascending, so a < b)
+        pos = np.arange(m, dtype=np.int64) - np.repeat(dstarts, lens)
+        later = np.repeat(lens, lens) - 1 - pos
+        total = int(later.sum())
+        if total == 0:
+            return pa.table({"a": dit.slice(0, 0), "b": dit.slice(0, 0)})
+        left_idx = np.repeat(np.arange(m, dtype=np.int64), later)
+        block_starts = np.cumsum(later) - later
+        k = (np.arange(total, dtype=np.int64)
+             - np.repeat(block_starts, later))
+        right_idx = left_idx + k + 1
+        return pa.table({"a": dit.take(pa.array(left_idx)),
+                         "b": dit.take(pa.array(right_idx))})
+
+    def singles_only(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        it = bucket.column(item)
+        if isinstance(it, pa.ChunkedArray):
+            it = it.combine_chunks()
+        if n == 0:
+            return pa.table({"item": it, "basket": bucket.column(key)})
+        kstarts = np.asarray(segment_starts(bucket.column(key)))
+        first_of_key = np.zeros(n, dtype=bool)
+        first_of_key[kstarts] = True
+        same_item = np.zeros(n, dtype=bool)
+        same_item[1:] = np.asarray(
+            pc.equal(it.slice(1), it.slice(0, n - 1)).fill_null(False))
+        ded = bucket.filter(pa.array(first_of_key | ~same_item))
+        return pa.table({"item": ded.column(item),
+                         "basket": ded.column(key)})
+
+    skinny = ds.map_batches(
+        lambda t: t.select([key, item]), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()  # consumed 2x: pairs + singles
+
+    pair_counts = (bucketed_group_apply(
+        skinny, key, pairs_only, num_buckets=num_buckets,
+        sort_cols=[(item, "ascending")])
+        .groupby(["a", "b"]).aggregate(Count())
+        .map_batches(lambda t: t.rename_columns(["a", "b", "c_ab"]),
+                     batch_format="pyarrow", zero_copy_batch=True))
+
+    singles = bucketed_group_apply(
+        skinny, key, singles_only, num_buckets=num_buckets,
+        sort_cols=[(item, "ascending")]).materialize()
+    n_baskets = (singles.groupby("basket").count()).count()
+    item_counts = (singles.groupby("item").count()
+                   .map_batches(lambda t: t.rename_columns(["item", "c"]),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True))
+    n_items = item_counts.count()
+    if n_items > broadcast_max_rows:
+        raise ValueError(
+            f"{n_items} distinct items exceed broadcast_max_rows="
+            f"{broadcast_max_rows} — market_basket_pairs broadcasts the "
+            f"item-count table; bucketize or re-code the item domain")
+    itab = collect_table(item_counts, pa.schema(
+        [("item", pa.string()), ("c", pa.int64())]))
+    ref = _ray.put({k_: int(v) for k_, v in
+                    zip(itab.column("item").to_pylist(),
+                        itab.column("c").to_pylist())})
+
+    def finish(t: pa.Table, N=n_baskets) -> pa.Table:
+        cmap = get_broadcast(ref)
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        cab = t.column("c_ab").to_pylist()
+        # pair-vocabulary-sized rows (distinct item pairs), python-int
+        # exact rationals
+        sup = [(c * 10**9) // N for c in cab]
+        lift = [(N * c * 10**9) // (cmap[x] * cmap[y])
+                for x, y, c in zip(a, b, cab)]
+        return pa.table({
+            "a": t.column("a"), "b": t.column("b"),
+            "c_ab": pa.array(cab, type=pa.int64()),
+            "support_e9": pa.array(sup, type=pa.int64()),
+            "lift_e9": pa.array(lift, type=pa.int64())})
+
+    return pair_counts.map_batches(finish, batch_format="pyarrow",
+                                   zero_copy_batch=True)

@@ -711,3 +711,47 @@ def grouped_collect_set(ds, *, key: str, val: str, sep: str = "|",
 
     return bucketed_group_apply(skinny, key, agg, num_buckets=num_buckets,
                                 sort_cols=[(val, "ascending")])
+
+
+def forward_fill(ds, *, key: str, order_cols: list[str], val: str,
+                 out_col: str = "filled", num_buckets: int = 64):
+    """Per-key forward fill (LOCF — last observation carried forward):
+    within each ``key`` group ordered by ``order_cols``, every null in
+    ``val`` takes the most recent non-null value; rows before the first
+    observation stay null. The time-series resample/gap-fill primitive —
+    SQL's ``last_value(x IGNORE NULLS) OVER (PARTITION BY ... ORDER BY
+    ... ROWS UNBOUNDED PRECEDING)``.
+
+    Scale shape: ONE bucket exchange (rayutil.bucketed_group_apply hashes
+    on ``key``; a key's rows land in one bucket call, sorted). Fill is
+    vectorized: last-valid-index via np.maximum.accumulate, with a
+    per-segment barrier (an index from the previous key segment is masked
+    off by comparing against the row's own segment start) — no per-row
+    Python. Output = input columns + ``out_col``."""
+    from ..functions.rayutil import segment_starts
+
+    def fill(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        vc = bucket.column(val)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        if n == 0:
+            return bucket.append_column(out_col, vc)
+        valid = np.asarray(pc.is_valid(vc))
+        pos = np.arange(n, dtype=np.int64)
+        last_valid = np.maximum.accumulate(np.where(valid, pos, -1))
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        lens = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, lens)
+        has_obs = last_valid >= seg_start
+        take_idx = pa.array(np.where(has_obs, last_valid, 0),
+                            type=pa.int64())
+        filled = vc.take(take_idx)
+        if not has_obs.all():
+            filled = pc.if_else(pa.array(has_obs), filled,
+                                pa.nulls(n, type=vc.type))
+        return bucket.append_column(out_col, filled)
+
+    return bucketed_group_apply(
+        ds, key, fill, num_buckets=num_buckets,
+        sort_cols=[(c, "ascending") for c in order_cols])

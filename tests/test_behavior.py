@@ -353,3 +353,31 @@ class TestAssortativity:
         t = assortativity(self._edges(pairs), num_buckets=4)
         got = t.column("r_e9")[0].as_py() / 1e9
         assert abs(got - r) < 1e-6
+
+
+class TestMarketBasket:
+    def test_known_answer(self, ray_session):
+        from rel_ray.stages.behavior import market_basket_pairs
+        # baskets: u1={x,y}, u2={x,y}, u3={x,z}, u4={y}
+        t = pa.table({
+            "u": pa.array([1, 1, 1, 2, 2, 3, 3, 4], type=pa.int64()),
+            "it": pa.array(["x", "y", "x", "x", "y", "x", "z", "y"])})
+        df = _df(market_basket_pairs(rd.from_arrow(t), key="u", item="it",
+                                     num_buckets=2)) \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        # N=4, c_x=3, c_y=3, c_z=1; pairs: (x,y)=2, (x,z)=1
+        assert df[["a", "b"]].values.tolist() == [["x", "y"], ["x", "z"]]
+        assert df["c_ab"].tolist() == [2, 1]
+        assert df["support_e9"].tolist() == [2 * 10**9 // 4, 10**9 // 4]
+        assert df["lift_e9"].tolist() == [
+            4 * 2 * 10**9 // (3 * 3), 4 * 1 * 10**9 // (3 * 1)]
+
+    def test_wide_basket_guard(self, ray_session):
+        from rel_ray.stages.behavior import market_basket_pairs
+        import pytest as _pt
+        t = pa.table({
+            "u": pa.array([1] * 5, type=pa.int64()),
+            "it": pa.array([f"i{j}" for j in range(5)])})
+        with _pt.raises(Exception, match="max_items_per_key"):
+            _df(market_basket_pairs(rd.from_arrow(t), key="u", item="it",
+                                    num_buckets=1, max_items_per_key=3))

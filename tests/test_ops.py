@@ -2742,3 +2742,33 @@ def test_grouped_collect_set_matches_naive():
         if vi is not None:
             want.setdefault(int(gi), set()).add(vi)
     assert got == {k: "|".join(sorted(s)) for k, s in want.items()}
+
+
+class TestForwardFill:
+    def test_locf_with_segment_barrier(self, ray_session):
+        from rel_ray.stages.temporal import forward_fill
+        # user 1: null, 5, null, null, 7, null -> null,5,5,5,7,7
+        # user 2: null, null -> null, null (must NOT leak user 1's 7)
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 1, 1, 1, 2, 2], type=pa.int64()),
+            "o": pa.array([0, 1, 2, 3, 4, 5, 0, 1], type=pa.int64()),
+            "v": pa.array([None, 5, None, None, 7, None, None, None],
+                          type=pa.int64())})
+        out = _collect(forward_fill(rd.from_arrow(t), key="k",
+                                    order_cols=["o"], val="v",
+                                    num_buckets=1)).to_pandas() \
+            .sort_values(["k", "o"])
+        got = [None if pa.compute.is_null(pa.scalar(x)).as_py() or x != x
+               else int(x) for x in out["filled"]]
+        assert got == [None, 5, 5, 5, 7, 7, None, None]
+
+    def test_no_nulls_identity(self, ray_session):
+        from rel_ray.stages.temporal import forward_fill
+        t = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                      "o": pa.array([0, 1], type=pa.int64()),
+                      "v": pa.array([3, 4], type=pa.int64())})
+        out = _collect(forward_fill(rd.from_arrow(t), key="k",
+                                    order_cols=["o"], val="v",
+                                    num_buckets=2)).to_pandas() \
+            .sort_values("o")
+        assert out["filled"].tolist() == [3, 4]
