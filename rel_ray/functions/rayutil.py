@@ -480,3 +480,25 @@ def hash_str_index_lookup(col, index, *, default: int = -1):
         pos_c = np.minimum(pos, len(hs) - 1)
         out = np.where(hs[pos_c] == bh, codes[pos_c], default)
     return out[np.asarray(enc.indices, dtype=np.int64)]
+
+
+def sever_lineage(mat_ds):
+    """Rebuild a MATERIALIZED dataset from its own block refs, dropping the
+    accumulated plan/lineage metadata.
+
+    Why this exists (measured, tiny 12-node graph, 4 CPUs): a loop that
+    carries state through chained cogroup joins slows down ~2-3x PER
+    ITERATION even with stable block counts and materialize() every round
+    — materialize keeps the upstream plan DAG (for recovery), and with
+    two joins per step the retained graph compounds until executor
+    bookkeeping dominates (2.5 s -> 41.7 s by iteration 5). Rebuilding
+    from block refs is zero-copy (refs, not rows — nothing touches the
+    driver) and flattens the same loop to a constant 1.7 s/iter.
+
+    Use on loop-carried state in iterative algorithms (HITS, PageRank's
+    cogroup fallback, match-merge). The trade: recovery lineage is gone —
+    a lost block after severing fails the job instead of recomputing,
+    which is the right trade inside a checkpointed pipeline."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(mat_ds.to_arrow_refs()).materialize()

@@ -5197,6 +5197,109 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_match_merge_documents(sf_dir: str):
+    """Iterative match-merge ER (R-Swoosh family, stages/swoosh.py) over
+    documents: evidence tokens = distinct lowercased words of length ≥ 4,
+    match = ≥ 8 shared tokens, merge = token-set union — merging two docs
+    can surface enough combined evidence to absorb a third that matched
+    neither parent (the closure pairwise near-dedup cannot reach). Not
+    SQL-expressible (iterative fixpoint); exactness pinned in
+    tests/test_swoosh.py against a sequential R-Swoosh reference
+    (order-independent under ICAR, so the naive greedy IS the answer)."""
+    from ..stages.swoosh import match_merge
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column("text"))
+        if isinstance(low, pa.ChunkedArray):
+            low = low.combine_chunks()
+        words = pc.split_pattern_regex(low, r"[^a-z0-9]+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        ids = pc.take(t.column("doc_id").combine_chunks()
+                      if isinstance(t.column("doc_id"), pa.ChunkedArray)
+                      else t.column("doc_id"), parent)
+        keep = pc.greater_equal(pc.utf8_length(flat), 4)
+        return pa.table({"record_id": pc.filter(ids, keep),
+                         "token": pc.filter(flat, keep)})
+
+    recs = docs.map_batches(tok, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return match_merge(recs, theta=8)
+
+
+def q_hits_events(sf_dir: str):
+    """HITS hubs & authorities (stages/graph.py::hits) over the same
+    bipartite user → event_type graph as pagerank_events: 8 L1-normalized
+    iterations on the broadcast fast path (2 streaming passes per
+    iteration, zero shuffles). VALUE-EXACT vs a DuckDB twin that unrolls
+    the same iterations as chained CTEs; both sides quantize to 1e-9,
+    absorbing float summation order (the pagerank idiom)."""
+    from ..stages.graph import hits
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda t: pa.table({
+            "src": pc.binary_join_element_wise(
+                pa.array(["u"] * t.num_rows),
+                pc.cast(t.column("user_id"), pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                pa.array(["t"] * t.num_rows), t.column("event_type"), "")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hits(ev, iters=8).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "hub_e9": pc.cast(pc.round(pc.multiply(
+                t.column("hub"), pa.scalar(1e9))), pa.int64()),
+            "auth_e9": pc.cast(pc.round(pc.multiply(
+                t.column("auth"), pa.scalar(1e9))), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hits_sql(iters: int = 8) -> str:
+    """Unrolled fixed-iteration HITS twin of stages/graph.py::hits (same
+    update: a ← Aᵀh L1-normalized, h ← Aa L1-normalized; multi-edges per
+    occurrence; h init 1/N). Chained CTEs, one (ar, a, hr, h) quad per
+    iteration — recursive CTEs can't aggregate over the recursive
+    relation."""
+    parts = ["""
+WITH edges AS MATERIALIZED (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst
+  FROM events),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS v FROM nodes)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.v) AS s
+  FROM edges e JOIN h{p} h ON h.node = e.src GROUP BY e.dst),
+a{k} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT SUM(s) FROM ar{k}) > 0
+              THEN COALESCE(r.s, 0.0) / (SELECT SUM(s) FROM ar{k})
+              ELSE COALESCE(r.s, 0.0) END AS v
+  FROM nodes n LEFT JOIN ar{k} r USING (node)),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.v) AS s
+  FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),
+h{k} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT SUM(s) FROM hr{k}) > 0
+              THEN COALESCE(r.s, 0.0) / (SELECT SUM(s) FROM hr{k})
+              ELSE COALESCE(r.s, 0.0) END AS v
+  FROM nodes n LEFT JOIN hr{k} r USING (node))""")
+    parts.append(f"""
+SELECT n.node,
+       CAST(ROUND(h{iters}.v * 1e9) AS BIGINT) AS hub_e9,
+       CAST(ROUND(a{iters}.v * 1e9) AS BIGINT) AS auth_e9
+FROM nodes n JOIN h{iters} ON h{iters}.node = n.node
+JOIN a{iters} ON a{iters}.node = n.node""")
+    return "".join(parts)
+
+
 def q_basket_lift_events(sf_dir: str):
     """Association mining (support / lift) over user baskets of event
     types (stages/behavior.py::market_basket_pairs): one bucket exchange
@@ -5581,6 +5684,8 @@ FROM q
 
 
 QUERIES = {
+    "match_merge_documents": q_match_merge_documents,
+    "hits_events": q_hits_events,
     "basket_lift_events": q_basket_lift_events,
     "k_anonymity_events": q_k_anonymity_events,
     "forward_fill_events": q_forward_fill_events,
@@ -5738,6 +5843,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "hits_events": _hits_sql(),
     "basket_lift_events": SQL_BASKET_LIFT_EVENTS,
     "k_anonymity_events": SQL_K_ANONYMITY_EVENTS,
     "forward_fill_events": SQL_FORWARD_FILL_EVENTS,

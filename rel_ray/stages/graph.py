@@ -127,6 +127,15 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
                     pc.fill_null(t.column("c"), 0.0), damping), b),
                 "outdeg": t.column("outdeg")}),
             batch_format="pyarrow", zero_copy_batch=True).materialize()
+        # loop-carried cogroup outputs carry left+right block counts —
+        # without compaction blocks double per iteration, and the
+        # retained plan DAG slows every execution even at stable block
+        # counts (measured in the HITS twin of this loop; see
+        # rayutil.sever_lineage)
+        if ranks.num_blocks() > 2 * num_buckets:
+            ranks = ranks.repartition(num_buckets).materialize()
+        from ..functions.rayutil import sever_lineage
+        ranks = sever_lineage(ranks)
 
     return ranks.map_batches(lambda t: t.select(["node", "rank"]),
                              batch_format="pyarrow", zero_copy_batch=True)
@@ -857,3 +866,200 @@ def assortativity(edges, *, src: str = "src", dst: str = "dst",
                      "sxx": pa.array([sxx], type=pa.int64()),
                      "sxy": pa.array([sxy], type=pa.int64()),
                      "r_e9": pa.array([r_e9], type=pa.int64())})
+
+
+def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 8,
+         num_buckets: int = 64, broadcast_max_rows: int = 2_000_000):
+    """HITS hubs & authorities (Kleinberg, JACM 1999), L1-normalized each
+    half-step: a ← A·h / ‖·‖₁, h ← Aᵀ·a / ‖·‖₁ per iteration (multi-edges
+    count per occurrence, matching the SQL twin). The ER reading over the
+    bipartite mention→entity graph: authority ranks entities by how many
+    strong mentions point at them; hub ranks mentions by how decisively
+    they point at strong entities — REL's prior·coherence decomposition.
+
+    Same two-path doctrine as :func:`pagerank`:
+
+    * Broadcast fast path (≤ ``broadcast_max_rows`` nodes): endpoints
+      dictionary-coded once into a materialized int-edge table; each
+      half-step is ONE streaming pass emitting sparse per-batch partial
+      sums merged on the driver — zero per-iteration shuffles, 2·iters
+      passes total.
+    * Co-group fallback: per half-step, one cogroup join of the edge
+      table against the skinny state table + one groupby; the L1 norm is
+      a streaming scalar reduce. State is materialized per step
+      (loop-carried lineage).
+
+    Returns Dataset (node, hub, auth); each vector sums to 1 (or is all
+    zero when that side has no edges)."""
+    import ray as _ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table, get_broadcast
+    from ..stages.joins import cogroup_inner_join
+
+    srcs = edges.map_batches(lambda t: pa.table({"node": t.column(src)}),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    dsts = edges.map_batches(lambda t: pa.table({"node": t.column(dst)}),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    nodes = srcs.union(dsts).map_batches(
+        lambda t: pa.table({"node": pc.unique(
+            t.column("node").combine_chunks()
+            if isinstance(t.column("node"), pa.ChunkedArray)
+            else t.column("node"))}),
+        batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "node").count().map_batches(
+        lambda t: pa.table({"node": t.column("node")}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.string()),
+            "hub": pa.array([], type=pa.float64()),
+            "auth": pa.array([], type=pa.float64())}))
+
+    if n <= broadcast_max_rows:
+        node_type = nodes.schema().base_schema.field("node").type
+        node_tab = collect_table(nodes, pa.schema([("node", node_type)]))
+        node_arr = node_tab.column("node")
+        if isinstance(node_arr, pa.ChunkedArray):
+            node_arr = node_arr.combine_chunks()
+        node_ref = _ray.put(node_arr)
+
+        def code(t: pa.Table) -> pa.Table:
+            na = get_broadcast(node_ref)
+            return pa.table({
+                "s": pc.cast(pc.index_in(t.column(src), value_set=na),
+                             pa.int64()),
+                "d": pc.cast(pc.index_in(t.column(dst), value_set=na),
+                             pa.int64())})
+
+        coded = edges.map_batches(code, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+        def merge_sparse(ds) -> np.ndarray:
+            def local(t: pa.Table) -> pa.Table:
+                idxs, vals = [], []
+                for row in range(t.num_rows):
+                    idxs.append(np.asarray(t.column("idx")[row].values))
+                    vals.append(np.asarray(t.column("val")[row].values))
+                if not idxs:
+                    return t
+                cat_i = np.concatenate(idxs)
+                cat_v = np.concatenate(vals)
+                uniq, inv = np.unique(cat_i, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(sums, inv, cat_v)
+                return pa.table({
+                    "idx": pa.array([uniq], type=pa.list_(pa.int64())),
+                    "val": pa.array([sums], type=pa.list_(pa.float64()))})
+
+            out = np.zeros(n, dtype=np.float64)
+            for b in ds.map_batches(local, batch_format="pyarrow",
+                                    zero_copy_batch=True,
+                                    batch_size=16).iter_batches(
+                                        batch_format="pyarrow"):
+                t = pa.table(b)
+                for row in range(t.num_rows):
+                    np.add.at(out,
+                              np.asarray(t.column("idx")[row].values),
+                              np.asarray(t.column("val")[row].values))
+            return out
+
+        def propagate(vec: np.ndarray, from_col: str,
+                      to_col: str) -> np.ndarray:
+            ref = _ray.put(vec)
+
+            def partial(t: pa.Table, ref=ref) -> pa.Table:
+                v = get_broadcast(ref)
+                f = np.asarray(t.column(from_col), dtype=np.int64)
+                g = np.asarray(t.column(to_col), dtype=np.int64)
+                uniq, inv = np.unique(g, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(sums, inv, v[f])
+                return pa.table({
+                    "idx": pa.array([uniq], type=pa.list_(pa.int64())),
+                    "val": pa.array([sums], type=pa.list_(pa.float64()))})
+
+            return merge_sparse(coded.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True))
+
+        h = np.full(n, 1.0 / n)
+        a = np.zeros(n)
+        for _ in range(iters):
+            a = propagate(h, "s", "d")
+            sa = a.sum()
+            if sa > 0:
+                a = a / sa
+            h = propagate(a, "d", "s")
+            sh = h.sum()
+            if sh > 0:
+                h = h / sh
+        return rd.from_arrow(pa.table({
+            "node": node_arr, "hub": pa.array(h), "auth": pa.array(a)}))
+
+    # --- cogroup fallback: state is a skinny (node, h, a) table ---
+    state = nodes.map_batches(
+        lambda t, r=1.0 / n: pa.table({
+            "node": t.column("node"),
+            "h": pa.array(np.full(t.num_rows, r)),
+            "a": pa.array(np.zeros(t.num_rows))}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def half_step(state, val_col: str, out_col: str, key_from: str,
+                  key_to: str):
+        # contributions: join edges (keyed by key_from) to state[val_col],
+        # sum at key_to, L1-normalize, left-join back onto state
+        contrib = cogroup_inner_join(
+            edges.map_batches(
+                lambda t: pa.table({"node": t.column(key_from),
+                                    "other": t.column(key_to)}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            state, key="node", right_cols=[val_col],
+            num_buckets=num_buckets)
+        summed = contrib.map_batches(
+            lambda t: pa.table({"node": t.column("other"),
+                                "c": t.column(val_col)}),
+            batch_format="pyarrow", zero_copy_batch=True).groupby(
+            "node").aggregate(Sum("c")).map_batches(
+            lambda t: t.rename_columns(["node", "c"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        total = summed.map_batches(
+            lambda t: pa.table({"c": t.column("c")}),
+            batch_format="pyarrow", zero_copy_batch=True).sum("c") or 0.0
+        keep = "a" if out_col == "h" else "h"
+        return cogroup_inner_join(
+            state.map_batches(
+                lambda t: t.select(["node", keep]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            summed, key="node", right_cols=["c"], how="left",
+            num_buckets=num_buckets).map_batches(
+            lambda t, tot=total: pa.table({
+                "node": t.column("node"),
+                "h": (pc.divide(pc.fill_null(t.column("c"), 0.0), tot)
+                      if tot > 0 else pc.fill_null(t.column("c"), 0.0))
+                if out_col == "h" else t.column("h"),
+                "a": (pc.divide(pc.fill_null(t.column("c"), 0.0), tot)
+                      if tot > 0 else pc.fill_null(t.column("c"), 0.0))
+                if out_col == "a" else t.column("a")}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    from ..functions.rayutil import sever_lineage
+
+    for _ in range(iters):
+        state = half_step(state, "h", "a", src, dst)   # a ← Aᵀh
+        state = half_step(state, "a", "h", dst, src)   # h ← Aa
+        # loop-carried cogroup outputs carry left+right block counts, so
+        # blocks double per round (measured: 3→7→15→31 on a 12-node
+        # graph) — compact whenever the count drifts past the exchange
+        # width, and sever the retained plan DAG every round (without it
+        # wall time still grows ~2.5x/iter at stable block counts; see
+        # rayutil.sever_lineage for the measurements)
+        if state.num_blocks() > 2 * num_buckets:
+            state = state.repartition(num_buckets).materialize()
+        state = sever_lineage(state)
+    return state.map_batches(
+        lambda t: t.select(["node", "h", "a"]).rename_columns(
+            ["node", "hub", "auth"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -381,3 +381,39 @@ class TestMarketBasket:
         with _pt.raises(Exception, match="max_items_per_key"):
             _df(market_basket_pairs(rd.from_arrow(t), key="u", item="it",
                                     num_buckets=1, max_items_per_key=3))
+
+
+class TestHits:
+    def _edges(self, pairs):
+        return rd.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs]),
+            "dst": pa.array([p[1] for p in pairs])}))
+
+    def test_star_authorities(self, ray_session):
+        from rel_ray.stages.graph import hits
+        # all hubs point at one authority
+        df = _df(hits(self._edges([("h1", "x"), ("h2", "x"), ("h3", "x")]),
+                      iters=4)).set_index("node")
+        assert abs(df.loc["x", "auth"] - 1.0) < 1e-12
+        for h in ("h1", "h2", "h3"):
+            assert abs(df.loc[h, "hub"] - 1.0 / 3) < 1e-12
+            assert df.loc[h, "auth"] == 0.0
+
+    def test_paths_agree(self, ray_session):
+        from rel_ray.stages.graph import hits
+        import numpy as np
+        rng = np.random.RandomState(9)
+        pairs = [(f"s{rng.randint(6)}", f"d{rng.randint(6)}")
+                 for _ in range(30)]
+        fast = _df(hits(self._edges(pairs), iters=5)) \
+            .set_index("node").sort_index()
+        slow = _df(hits(self._edges(pairs), iters=5,
+                        broadcast_max_rows=0, num_buckets=4)) \
+            .set_index("node").sort_index()
+        assert list(fast.index) == list(slow.index)
+        assert np.allclose(fast["hub"], slow["hub"], atol=1e-9)
+        assert np.allclose(fast["auth"], slow["auth"], atol=1e-9)
+
+    def test_empty(self, ray_session):
+        from rel_ray.stages.graph import hits
+        assert _df(hits(self._edges([]), iters=2)).empty
