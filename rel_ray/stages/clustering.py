@@ -155,7 +155,11 @@ def connected_components(
             .map_batches(lambda t: t.filter(pc.equal(t.column("count()"), 2)),
                          batch_format="pyarrow", zero_copy_batch=True)
             .count())
-        active = new
+        # drop the retained plan DAG on the loop-carried state — without
+        # this, per-round executor bookkeeping compounds (measured in the
+        # graph.py iterative loops; rayutil.sever_lineage)
+        from ..functions.rayutil import sever_lineage
+        active = sever_lineage(new)
         if n_active - common == 0:
             done = True
             break

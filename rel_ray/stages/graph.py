@@ -595,6 +595,10 @@ def k_core(edges, k: int, *, src: str = "src", dst: str = "dst",
                                 num_buckets=num_buckets).map_batches(
                 lambda t: t.rename_columns(["u", "v"]),
                 batch_format="pyarrow", zero_copy_batch=True).materialize()
+        # loop-carried state: drop the retained plan DAG so per-round
+        # executor bookkeeping stays flat (rayutil.sever_lineage)
+        from ..functions.rayutil import sever_lineage
+        ed = sever_lineage(ed)
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
 
 

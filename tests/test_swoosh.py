@@ -91,7 +91,9 @@ class TestMatchMerge:
                           max_clusters_per_token=3, counters=counters)
         assert _partition_of(out) == frozenset(
             frozenset({i}) for i in recs)
-        assert counters.totals()["swoosh_tokens_over_cap"] >= 1
+        tot = counters.totals(expect_keys=("swoosh_tokens_over_cap",),
+                              timeout_s=30.0)
+        assert tot["swoosh_tokens_over_cap"] >= 1
 
     def test_cluster_id_is_min_member(self, ray_session):
         recs = {5: {"a", "b"}, 9: {"a", "b"}, 2: {"x", "y"}}
