@@ -928,3 +928,73 @@ def expected_calibration_error(bins_tab: pa.Table) -> pa.Table:
         "n": pa.array([total], type=pa.int64()),
         "ece_e9": pa.array([num // total if total else None],
                            type=pa.int64())})
+
+
+def isotonic_fit(ds, *, score_col: str, label_col: str,
+                 max_distinct: int = 2_000_000) -> pa.Table:
+    """Isotonic regression of a boolean label on an integer score — the
+    pool-adjacent-violators algorithm (Ayer et al., Ann. Math. Stat.
+    1955; the standard probability-calibration fit, Zadrozny & Elkan
+    KDD'02). Output: for each distinct score, the fitted monotone
+    non-decreasing match probability — what turns a linkage scorer's raw
+    ordering into calibrated clerical-review confidences without assuming
+    the sigmoid shape Platt scaling does.
+
+    EXACT: sufficient statistics are integer (n, Σy per distinct score,
+    one combiner pass + one groupby — the roc_auc shape); PAV pooling
+    compares block means by integer cross-multiplication (no float until
+    the final quantization), and the fit is the unique L2 isotonic
+    solution, so fitted_e9 = floor(block_Σy·1e9 / block_n) is
+    deterministic. Driver folds only the distinct-score table
+    (``max_distinct`` cap). Returns (score, n, sum_y, fitted_e9) rows.
+    Not SQL-expressible (iterative pooling); pinned in tests against a
+    Fraction-exact naive PAV."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.asarray(pc.cast(t.column(score_col), pa.int64()),
+                       dtype=np.int64)
+        lab = np.asarray(pc.cast(t.column(label_col), pa.bool_()))
+        vals, inv = np.unique(s, return_inverse=True)
+        return pa.table({
+            "score": pa.array(vals),
+            "n": pa.array(np.bincount(inv, minlength=len(vals))
+                          .astype(np.int64)),
+            "sy": pa.array(np.bincount(inv, weights=lab,
+                                       minlength=len(vals))
+                           .astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("score").aggregate(Sum("n"), Sum("sy")))
+    tab = collect_table(agg, pa.schema([("score", pa.int64()),
+                                        ("sum(n)", pa.int64()),
+                                        ("sum(sy)", pa.int64())]))
+    if tab.num_rows > max_distinct:
+        raise ValueError(
+            f"isotonic_fit: {tab.num_rows} distinct scores exceed "
+            f"max_distinct={max_distinct} — bucketize the score first")
+    tab = tab.sort_by([("score", "ascending")])
+    scores = tab.column("score").to_pylist()
+    ns = tab.column("sum(n)").to_pylist()
+    sys_ = tab.column("sum(sy)").to_pylist()
+    # PAV monotone stack over the distinct-score table (driver fold, same
+    # contract as roc_auc): blocks of (w, s, count_of_scores)
+    bw, bs, bc = [], [], []
+    for w, s in zip(ns, sys_):
+        bw.append(w); bs.append(s); bc.append(1)
+        # pool while the previous block mean >= current block mean
+        # (integer cross-multiplication: s_prev/w_prev >= s_cur/w_cur)
+        while len(bw) >= 2 and bs[-2] * bw[-1] >= bs[-1] * bw[-2]:
+            bw[-2] += bw[-1]; bs[-2] += bs[-1]; bc[-2] += bc[-1]
+            bw.pop(); bs.pop(); bc.pop()
+    fitted = []
+    for w, s, c in zip(bw, bs, bc):
+        fitted.extend([(s * 10**9) // w] * c)
+    return pa.table({
+        "score": pa.array(scores, type=pa.int64()),
+        "n": pa.array(ns, type=pa.int64()),
+        "sum_y": pa.array(sys_, type=pa.int64()),
+        "fitted_e9": pa.array(fitted, type=pa.int64())})

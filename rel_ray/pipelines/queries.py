@@ -5197,6 +5197,23 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_isotonic_events(sf_dir: str):
+    """Isotonic probability calibration (PAV — pipelines/eval.py::
+    isotonic_fit) of the event value as a 'purchase' score: one combiner
+    pass + one distinct-score groupby, Fraction-exact pooling on the
+    driver's distinct-score table. Not SQL-expressible (iterative
+    pooling); exactness pinned in tests/test_eval.py vs a Fraction PAV."""
+    from .eval import isotonic_fit
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"])
+    scored = ev.map_batches(
+        lambda t: pa.table({
+            "score": _cents(t.column("value")),
+            "lab": pc.equal(t.column("event_type"), "purchase")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return isotonic_fit(scored, score_col="score", label_col="lab")
+
+
 def q_match_merge_documents(sf_dir: str):
     """Iterative match-merge ER (R-Swoosh family, stages/swoosh.py) over
     documents: evidence tokens = distinct lowercased words of length ≥ 4,
@@ -5684,6 +5701,7 @@ FROM q
 
 
 QUERIES = {
+    "isotonic_events": q_isotonic_events,
     "match_merge_documents": q_match_merge_documents,
     "hits_events": q_hits_events,
     "basket_lift_events": q_basket_lift_events,

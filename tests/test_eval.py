@@ -211,3 +211,66 @@ class TestCalibration:
                + 5 * abs(4 * 10**9 // 5 - 35 * 10**9 // 45)) // 10
         assert ece.column("ece_e9")[0].as_py() == exp
         assert ece.column("n")[0].as_py() == 10
+
+
+class TestIsotonic:
+    @staticmethod
+    def _naive_pav(pairs):
+        """Fraction-exact PAV over (score, y) rows."""
+        from collections import defaultdict
+        from fractions import Fraction
+        agg = defaultdict(lambda: [0, 0])
+        for s, y in pairs:
+            agg[s][0] += 1
+            agg[s][1] += int(y)
+        scores = sorted(agg)
+        blocks = []  # (w, s, scores_in_block)
+        for sc in scores:
+            w, s = agg[sc]
+            blocks.append([w, s, [sc]])
+            while (len(blocks) >= 2 and
+                   Fraction(blocks[-2][1], blocks[-2][0])
+                   >= Fraction(blocks[-1][1], blocks[-1][0])):
+                a = blocks.pop()
+                blocks[-1][0] += a[0]
+                blocks[-1][1] += a[1]
+                blocks[-1][2] += a[2]
+        out = {}
+        for w, s, scs in blocks:
+            for sc in scs:
+                out[sc] = (s * 10**9) // w
+        return out
+
+    def _run(self, pairs):
+        from rel_ray.pipelines.eval import isotonic_fit
+        ds = rd.from_arrow(pa.table({
+            "s": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "l": pa.array([p[1] for p in pairs], type=pa.bool_())}))
+        t = isotonic_fit(ds, score_col="s", label_col="l")
+        return dict(zip(t.column("score").to_pylist(),
+                        t.column("fitted_e9").to_pylist()))
+
+    def test_matches_naive_pav(self, ray_session):
+        import numpy as np
+        rng = np.random.RandomState(23)
+        # noisy monotone signal: violations guaranteed
+        pairs = [(int(s), bool(rng.rand() < 0.1 + 0.08 * s))
+                 for s in rng.randint(0, 12, size=600)]
+        got = self._run(pairs)
+        assert got == self._naive_pav(pairs)
+        # monotone non-decreasing in score
+        fitted = [got[s] for s in sorted(got)]
+        assert all(a <= b for a, b in zip(fitted, fitted[1:]))
+
+    def test_all_violating_pools_to_global_mean(self, ray_session):
+        # decreasing observed rates -> one pooled block = global mean
+        pairs = ([(0, True)] * 3 + [(0, False)] * 1 +
+                 [(1, True)] * 1 + [(1, False)] * 3)
+        got = self._run(pairs)
+        assert got[0] == got[1] == 4 * 10**9 // 8
+
+    def test_perfect_monotone_untouched(self, ray_session):
+        pairs = ([(0, False)] * 4 + [(1, True), (1, False)] * 2 +
+                 [(2, True)] * 4)
+        got = self._run(pairs)
+        assert got == {0: 0, 1: 5 * 10**8, 2: 10**9}
