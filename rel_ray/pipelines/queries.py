@@ -5197,6 +5197,167 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_cumulative_distinct_events(sf_dir: str):
+    """Running distinct-event-type count per user in (ts, event_id) order
+    (stages/temporal.py::cumulative_distinct) — the novelty/vocabulary-
+    growth curve. One bucket exchange, vectorized first-occurrence flag +
+    per-segment-rebased cumsum; hash-exact vs the ROW_NUMBER + running-sum
+    window twin."""
+    from ..stages.temporal import cumulative_distinct
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = cumulative_distinct(ev, key="user_id",
+                              order_cols=["ts", "event_id"],
+                              val="event_type")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "distinct_so_far"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CUMULATIVE_DISTINCT_EVENTS = """
+WITH r AS (SELECT event_id, ts, user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_so_far
+FROM r
+"""
+
+
+def q_psi_drift_documents(sf_dir: str):
+    """Population stability index between the lang distributions of two
+    document sources ('src0' vs 'src1'): the standard distribution-drift
+    gate a refreshed training corpus runs before replacing the old one.
+    Counts exact (one groupby); Laplace +1 smoothing over the category
+    union (no zero-cell infinities, deterministic); PSI quantized to 1e-9
+    units after the sum — the entropy-oracle idiom (category cardinality
+    is tiny, so f64 error ~1e-15 against the 1e-9 grid)."""
+    from ray.data.aggregate import Sum
+
+    docs = _pq(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("source"),
+                        value_set=pa.array(["src0", "src1"]))
+        f = t.filter(keep)
+        return pa.table({
+            "lang": f.column("lang"),
+            "a": pc.cast(pc.equal(f.column("source"), "src0"), pa.int64()),
+            "b": pc.cast(pc.equal(f.column("source"), "src1"), pa.int64())})
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("lang").aggregate(Sum("a"), Sum("b")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ca = np.asarray(t.column("sum(a)"), dtype=np.int64) + 1
+        cb = np.asarray(t.column("sum(b)"), dtype=np.int64) + 1
+        na, nb = int(ca.sum()), int(cb.sum())
+        p = ca.astype(np.float64) / na
+        q = cb.astype(np.float64) / nb
+        psi = float(((p - q) * np.log(p / q)).sum())
+        return pa.table({
+            "n_src0": pa.array([na - len(ca)], type=pa.int64()),
+            "n_src1": pa.array([nb - len(cb)], type=pa.int64()),
+            "k": pa.array([len(ca)], type=pa.int64()),
+            "psi_e9": pa.array([int(np.floor(psi * 1e9 + 0.5))],
+                               type=pa.int64())})
+
+    # category-sized single-block finish (lang domain is a tiny vocab)
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PSI_DRIFT_DOCUMENTS = """
+WITH c AS (SELECT lang,
+                  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                       AS BIGINT) + 1 AS ca,
+                  CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                       AS BIGINT) + 1 AS cb
+           FROM documents WHERE source IN ('src0', 'src1')
+           GROUP BY lang),
+n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS k FROM c)
+SELECT n.na - n.k AS n_src0, n.nb - n.k AS n_src1, n.k AS k,
+       CAST(FLOOR(SUM((CAST(c.ca AS DOUBLE)/n.na
+                       - CAST(c.cb AS DOUBLE)/n.nb)
+                      * ln((CAST(c.ca AS DOUBLE)/n.na)
+                           / (CAST(c.cb AS DOUBLE)/n.nb)))
+                  * 1e9 + 0.5) AS BIGINT) AS psi_e9
+FROM c CROSS JOIN n
+GROUP BY n.na, n.nb, n.k
+"""
+
+
+def q_gini_events(sf_dir: str):
+    """Exact Gini concentration coefficient of the event value (cents)
+    — the inequality/hot-key diagnostic: how concentrated is activity
+    mass? INTEGER-EXACT from the distinct-value count table (the roc_auc
+    contract): with values sorted ascending and S1 = Σ rank·x over the
+    1-indexed sorted multiset (tie runs fold in closed form:
+    v·(c·s + c(c+1)/2)), G = (2·S1 − (n+1)·T) / (n·T). gini_e9 by
+    truncation, arbitrary-precision driver fold, hash-exact vs the
+    HUGEINT window twin."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table
+
+    ev = _pq(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(_cents(t.column("value")), dtype=np.int64)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("v").aggregate(Sum("c")))
+    tab = collect_table(agg, pa.schema(
+        [("v", pa.int64()), ("sum(c)", pa.int64())])).sort_by(
+        [("v", "ascending")])
+    vs = tab.column("v").to_pylist()
+    cs = tab.column("sum(c)").to_pylist()
+    s1 = 0
+    t_sum = 0
+    pos = 0  # cumulative count before this run
+    for v, c in zip(vs, cs):  # distinct-value-sized driver fold
+        s1 += v * (c * pos + c * (c + 1) // 2)
+        t_sum += v * c
+        pos += c
+    n = pos
+    num = 2 * s1 - (n + 1) * t_sum
+    den = n * t_sum
+    gini_e9 = (num * 10**9) // den if den else None
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "total_cents": pa.array([t_sum], type=pa.int64()),
+        "gini_e9": pa.array([gini_e9], type=pa.int64())})
+
+
+SQL_GINI_EVENTS = """
+WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+c AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS c FROM t GROUP BY v),
+w AS (SELECT v, c,
+             COALESCE(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS pos
+      FROM c),
+s AS (SELECT CAST(SUM(v * (c * pos + c * (c + 1) // 2)) AS HUGEINT) AS s1,
+             CAST(SUM(v * c) AS HUGEINT) AS t_sum,
+             CAST(SUM(c) AS HUGEINT) AS n
+      FROM w)
+SELECT CAST(n AS BIGINT) AS n, CAST(t_sum AS BIGINT) AS total_cents,
+       CAST(((2 * s1 - (n + 1) * t_sum) * 1000000000) // (n * t_sum)
+            AS BIGINT) AS gini_e9
+FROM s
+"""
+
+
 def q_isotonic_events(sf_dir: str):
     """Isotonic probability calibration (PAV — pipelines/eval.py::
     isotonic_fit) of the event value as a 'purchase' score: one combiner
@@ -5701,6 +5862,9 @@ FROM q
 
 
 QUERIES = {
+    "cumulative_distinct_events": q_cumulative_distinct_events,
+    "psi_drift_documents": q_psi_drift_documents,
+    "gini_events": q_gini_events,
     "isotonic_events": q_isotonic_events,
     "match_merge_documents": q_match_merge_documents,
     "hits_events": q_hits_events,
@@ -5861,6 +6025,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cumulative_distinct_events": SQL_CUMULATIVE_DISTINCT_EVENTS,
+    "psi_drift_documents": SQL_PSI_DRIFT_DOCUMENTS,
+    "gini_events": SQL_GINI_EVENTS,
     "hits_events": _hits_sql(),
     "basket_lift_events": SQL_BASKET_LIFT_EVENTS,
     "k_anonymity_events": SQL_K_ANONYMITY_EVENTS,

@@ -755,3 +755,47 @@ def forward_fill(ds, *, key: str, order_cols: list[str], val: str,
     return bucketed_group_apply(
         ds, key, fill, num_buckets=num_buckets,
         sort_cols=[(c, "ascending") for c in order_cols])
+
+
+def cumulative_distinct(ds, *, key: str, order_cols: list[str], val: str,
+                        out_col: str = "distinct_so_far",
+                        num_buckets: int = 64):
+    """Running count of DISTINCT ``val`` per ``key`` in ``order_cols``
+    order — the vocabulary-growth / novelty curve (SQL needs a
+    first-occurrence flag + running sum; COUNT(DISTINCT) OVER is not a
+    thing). One bucket exchange; the first-occurrence flag is vectorized
+    (np.unique return_index over the time-ordered bucket — unique returns
+    the FIRST hit in array order) and the running count is one cumsum
+    with per-segment rebasing."""
+    from ..functions.rayutil import segment_starts
+
+    def run(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return bucket.append_column(
+                out_col, pa.array([], type=pa.int64()))
+        kc = bucket.column(key)
+        vc = bucket.column(val)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        # composite (key, val) dictionary codes: first occurrence in the
+        # time-ordered bucket = first time this key sees this value
+        kcode = np.asarray(pc.dictionary_encode(kc).indices,
+                           dtype=np.int64)
+        vcode = np.asarray(pc.dictionary_encode(vc).indices,
+                           dtype=np.int64)
+        comp = kcode * (vcode.max() + 1) + vcode
+        first_idx = np.unique(comp, return_index=True)[1]
+        flag = np.zeros(n, dtype=np.int64)
+        flag[first_idx] = 1
+        cum = np.cumsum(flag)
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        lens = np.diff(np.append(starts, n))
+        base = np.repeat(cum[starts] - flag[starts], lens)
+        return bucket.append_column(out_col, pa.array(cum - base))
+
+    return bucketed_group_apply(
+        ds, key, run, num_buckets=num_buckets,
+        sort_cols=[(c, "ascending") for c in order_cols])

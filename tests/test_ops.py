@@ -2772,3 +2772,28 @@ class TestForwardFill:
                                     num_buckets=2)).to_pandas() \
             .sort_values("o")
         assert out["filled"].tolist() == [3, 4]
+
+
+class TestCumulativeDistinct:
+    def test_per_key_novelty_curve(self, ray_session):
+        from rel_ray.stages.temporal import cumulative_distinct
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+            "o": pa.array([0, 1, 2, 3, 0, 1], type=pa.int64()),
+            "v": pa.array(["a", "b", "a", "c", "a", "a"])})
+        out = _collect(cumulative_distinct(
+            rd.from_arrow(t), key="k", order_cols=["o"], val="v",
+            num_buckets=1)).to_pandas().sort_values(["k", "o"])
+        assert out["distinct_so_far"].tolist() == [1, 2, 2, 3, 1, 1]
+
+    def test_same_value_across_keys_independent(self, ray_session):
+        from rel_ray.stages.temporal import cumulative_distinct
+        # value "x" first seen by k=1 must still count as new for k=2
+        t = pa.table({
+            "k": pa.array([1, 2], type=pa.int64()),
+            "o": pa.array([0, 0], type=pa.int64()),
+            "v": pa.array(["x", "x"])})
+        out = _collect(cumulative_distinct(
+            rd.from_arrow(t), key="k", order_cols=["o"], val="v",
+            num_buckets=1)).to_pandas()
+        assert out["distinct_so_far"].tolist() == [1, 1]
