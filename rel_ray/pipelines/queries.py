@@ -5197,6 +5197,58 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_scd2_events(sf_dir: str):
+    """SCD Type-2 validity intervals of each user's event_type change log
+    (stages/temporal.py::scd2_intervals): one bucket exchange, shifted-
+    compare change detection, next-change interval closing (NULL-open
+    current row). Hash-exact vs the lag-filter + lead window twin."""
+    from ..stages.temporal import scd2_intervals
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return scd2_intervals(ev, key="user_id", ts="ts", tie="event_id",
+                          val="event_type")
+
+
+SQL_SCD2_EVENTS = """
+WITH r AS (SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pv
+           FROM events),
+c AS (SELECT user_id, event_type, ts, event_id FROM r
+      WHERE pv IS NULL OR event_type != pv)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+FROM c
+"""
+
+
+def q_longest_streak_events(sf_dir: str):
+    """Longest run of consecutive active DAYS per user — gaps-and-islands
+    (stages/temporal.py::longest_streak): one bucket exchange, numpy
+    distinct-day dedup + island breaks + maximum.reduceat per key.
+    Hash-exact vs the day − row_number() island twin."""
+    from ..stages.temporal import longest_streak
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"])
+    return longest_streak(ev, key="user_id", ts="ts")
+
+
+SQL_LONGEST_STREAK_EVENTS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d),
+runs AS (SELECT user_id, day - rn AS grp, CAST(COUNT(*) AS BIGINT) AS len
+         FROM r GROUP BY user_id, day - rn)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(SUM(len) AS BIGINT) AS active_periods
+FROM runs GROUP BY user_id
+"""
+
+
 def q_cumulative_distinct_events(sf_dir: str):
     """Running distinct-event-type count per user in (ts, event_id) order
     (stages/temporal.py::cumulative_distinct) — the novelty/vocabulary-
@@ -5515,33 +5567,47 @@ JOIN s sb ON sb.event_type = p.b
 
 def q_k_anonymity_events(sf_dir: str):
     """k-anonymity audit (Sweeney 2002) of the events table under the
-    quasi-identifier (event_type, hour-of-day): every QI group smaller
-    than k=5 is a re-identification risk — the privacy gate a training-
-    data release pipeline runs before export. One groupby + a vectorized
-    filter; returns the at-risk groups (event_type, hour, n)."""
-    from ray.data.aggregate import Count
+    quasi-identifier (user_id, event_type, hour-of-day): the GROUP-SIZE
+    HISTOGRAM (size -> number of QI groups, rows covered) — k-anonymity
+    holds at k iff no histogram mass sits below k, and the shape says how
+    far the release is from it. Histogram (not an at-risk row list) so
+    the result is never empty at any scale: an empty Dataset loses its
+    schema and the driver compare can't see the column names. Two
+    groupbys, both vectorized."""
+    from ray.data.aggregate import Count, Sum
 
-    ev = _pq(sf_dir, "events", ["event_type", "ts"])
+    ev = _pq(sf_dir, "events", ["user_id", "event_type", "ts"])
 
     def qi(t: pa.Table) -> pa.Table:
         return pa.table({
+            "user_id": t.column("user_id"),
             "event_type": t.column("event_type"),
             "hour": pc.cast(pc.hour(t.column("ts")), pa.int64())})
 
     agg = (ev.map_batches(qi, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["event_type", "hour"]).aggregate(Count()))
-    return agg.map_batches(
-        lambda t: t.rename_columns(["event_type", "hour", "n"]).filter(
-            pc.less(t.column("count()"), 5)),
+           .groupby(["user_id", "event_type", "hour"]).aggregate(Count()))
+    hist = (agg.map_batches(
+        lambda t: pa.table({"n": t.column("count()"),
+                            "one": pa.array(np.ones(t.num_rows,
+                                                    dtype=np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n").aggregate(Sum("one")))
+    return hist.map_batches(
+        lambda t: pa.table({
+            "n": t.column("n"),
+            "groups": t.column("sum(one)"),
+            "rows": pc.multiply(t.column("n"), t.column("sum(one)"))}),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_K_ANONYMITY_EVENTS = """
-SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM events
-GROUP BY 1, 2
-HAVING COUNT(*) < 5
+WITH g AS (SELECT user_id, event_type,
+                  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3)
+SELECT n, CAST(COUNT(*) AS BIGINT) AS groups,
+       CAST(n * COUNT(*) AS BIGINT) AS rows
+FROM g GROUP BY n
 """
 
 
@@ -5862,6 +5928,8 @@ FROM q
 
 
 QUERIES = {
+    "scd2_events": q_scd2_events,
+    "longest_streak_events": q_longest_streak_events,
     "cumulative_distinct_events": q_cumulative_distinct_events,
     "psi_drift_documents": q_psi_drift_documents,
     "gini_events": q_gini_events,
@@ -6025,6 +6093,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "scd2_events": SQL_SCD2_EVENTS,
+    "longest_streak_events": SQL_LONGEST_STREAK_EVENTS,
     "cumulative_distinct_events": SQL_CUMULATIVE_DISTINCT_EVENTS,
     "psi_drift_documents": SQL_PSI_DRIFT_DOCUMENTS,
     "gini_events": SQL_GINI_EVENTS,

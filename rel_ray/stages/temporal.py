@@ -799,3 +799,125 @@ def cumulative_distinct(ds, *, key: str, order_cols: list[str], val: str,
     return bucketed_group_apply(
         ds, key, run, num_buckets=num_buckets,
         sort_cols=[(c, "ascending") for c in order_cols])
+
+
+def longest_streak(ds, *, key: str, ts: str, unit_us: int = 86_400_000_000,
+                   num_buckets: int = 64):
+    """Longest run of CONSECUTIVE active periods per key (default unit =
+    day) — the gaps-and-islands classic (SQL: day − row_number() islands
+    + GROUP BY + MAX). Engagement/continuity diagnostic over resolved
+    identities.
+
+    One bucket exchange on ``key`` sorted by period; per bucket the whole
+    computation is numpy: distinct periods per segment via shifted
+    compare, island breaks where the period step ≠ 1 OR the key changes,
+    run lengths via break-indexed diff, per-key max via maximum.reduceat.
+    Returns Dataset (``key``, max_streak:int64, active_periods:int64)."""
+    from ..functions.rayutil import segment_starts
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        kc = bucket.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if n == 0:
+            return pa.table({key: kc,
+                             "max_streak": pa.array([], type=pa.int64()),
+                             "active_periods": pa.array([],
+                                                        type=pa.int64())})
+        period = np.asarray(
+            pc.cast(bucket.column(ts), pa.int64())) // unit_us
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        seg_first = np.zeros(n, dtype=bool)
+        seg_first[starts] = True
+        # distinct periods: drop rows equal to their predecessor within a
+        # segment (bucket is (key, ts)-sorted, so equal periods adjoin)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = period[1:] == period[:-1]
+        keep = seg_first | ~same
+        period = period[keep]
+        seg_first = seg_first[keep]
+        m = len(period)
+        # island break = new key OR period gap != 1
+        brk = np.ones(m, dtype=bool)
+        brk[1:] = seg_first[1:] | (period[1:] != period[:-1] + 1)
+        run_starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.append(run_starts, m))
+        # per-key max over that key's runs
+        key_starts_kept = np.flatnonzero(seg_first)
+        # map each run to its key segment: runs are ordered, key segments
+        # are ordered; a run belongs to the key whose start is the last
+        # key_start <= run_start
+        run_key = np.searchsorted(key_starts_kept, run_starts,
+                                  side="right") - 1
+        key_break = np.flatnonzero(
+            np.concatenate(([True], run_key[1:] != run_key[:-1])))
+        max_per_key = np.maximum.reduceat(run_lens, key_break)
+        active = np.bincount(run_key, weights=run_lens,
+                             minlength=len(key_starts_kept)).astype(
+            np.int64)
+        kc_kept = kc.filter(pa.array(keep))
+        return pa.table({
+            key: kc_kept.take(pa.array(key_starts_kept)),
+            "max_streak": pa.array(max_per_key.astype(np.int64)),
+            "active_periods": pa.array(active)})
+
+    return bucketed_group_apply(
+        ds, key, per_bucket, num_buckets=num_buckets,
+        sort_cols=[(ts, "ascending")])
+
+
+def scd2_intervals(ds, *, key: str, ts: str, tie: str, val: str,
+                   num_buckets: int = 64):
+    """Slowly-changing-dimension Type-2 interval build: collapse a change
+    log into (key, value, valid_from, valid_to) validity intervals —
+    keep rows where the value differs from the key's previous row (in
+    (ts, tie) order), each interval closing at the NEXT change's
+    timestamp (open/NULL for the current value). The warehouse-standard
+    history table an as-of join consumes.
+
+    One bucket exchange; change detection and interval closing are both
+    shifted-compare numpy over the sorted bucket."""
+    from ..functions.rayutil import segment_starts
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        vc = bucket.column(val)
+        tc = bucket.column(ts)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        if isinstance(tc, pa.ChunkedArray):
+            tc = tc.combine_chunks()
+        if n == 0:
+            return pa.table({key: bucket.column(key), val: vc,
+                             "valid_from": tc, "valid_to": tc})
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        seg_first = np.zeros(n, dtype=bool)
+        seg_first[starts] = True
+        same = np.zeros(n, dtype=bool)
+        same[1:] = np.asarray(
+            pc.equal(vc.slice(1), vc.slice(0, n - 1)).fill_null(False))
+        keep = seg_first | ~same
+        ch = bucket.filter(pa.array(keep))
+        m = ch.num_rows
+        ctc = ch.column(ts)
+        if isinstance(ctc, pa.ChunkedArray):
+            ctc = ctc.combine_chunks()
+        cstarts = np.asarray(segment_starts(ch.column(key)))
+        # valid_to = next change's ts within the key, NULL on the last
+        nxt = np.arange(1, m + 1, dtype=np.int64)
+        is_last = np.zeros(m, dtype=bool)
+        is_last[np.append(cstarts[1:] - 1, m - 1)] = True
+        nxt[is_last] = 0  # placeholder index; masked below
+        valid_to = ctc.take(pa.array(np.minimum(nxt, m - 1)))
+        valid_to = pc.if_else(pa.array(is_last),
+                              pa.nulls(m, type=ctc.type), valid_to)
+        cvc = ch.column(val)
+        if isinstance(cvc, pa.ChunkedArray):
+            cvc = cvc.combine_chunks()
+        return pa.table({key: ch.column(key), val: cvc,
+                         "valid_from": ctc, "valid_to": valid_to})
+
+    return bucketed_group_apply(
+        ds, key, per_bucket, num_buckets=num_buckets,
+        sort_cols=[(ts, "ascending"), (tie, "ascending")])

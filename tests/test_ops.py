@@ -2797,3 +2797,41 @@ class TestCumulativeDistinct:
             rd.from_arrow(t), key="k", order_cols=["o"], val="v",
             num_buckets=1)).to_pandas()
         assert out["distinct_so_far"].tolist() == [1, 1]
+
+
+class TestLongestStreak:
+    def test_islands_and_gaps(self, ray_session):
+        from rel_ray.stages.temporal import longest_streak
+        day = 86_400_000_000
+        # u1: days 0,1,2, 5,6, 9 -> max 3, active 6 (dup on day 1)
+        # u2: days 3 -> max 1, active 1
+        ts = [0, day, day + 1, 2 * day, 5 * day, 6 * day, 9 * day,
+              3 * day]
+        ks = [1, 1, 1, 1, 1, 1, 1, 2]
+        t = pa.table({"k": pa.array(ks, type=pa.int64()),
+                      "ts": pa.array(ts, type=pa.timestamp("us"))})
+        out = _collect(longest_streak(rd.from_arrow(t), key="k", ts="ts",
+                                      num_buckets=1)).to_pandas() \
+            .sort_values("k")
+        assert out["max_streak"].tolist() == [3, 1]
+        assert out["active_periods"].tolist() == [6, 1]
+
+
+class TestScd2:
+    def test_change_log_to_intervals(self, ray_session):
+        from rel_ray.stages.temporal import scd2_intervals
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array([10, 20, 30, 40, 5], type=pa.timestamp("us")),
+            "tie": pa.array([0, 1, 2, 3, 0], type=pa.int64()),
+            "v": pa.array(["a", "a", "b", "a", "z"])})
+        out = _collect(scd2_intervals(
+            rd.from_arrow(t), key="k", ts="ts", tie="tie", val="v",
+            num_buckets=1)).to_pandas().sort_values(
+            ["k", "valid_from"]).reset_index(drop=True)
+        assert out["v"].tolist() == ["a", "b", "a", "z"]
+        assert [x.value // 1000 if x == x else None
+                for x in out["valid_from"]] == [10, 30, 40, 5]
+        vt = [None if x != x else x.value // 1000
+              for x in out["valid_to"]]
+        assert vt == [30, 40, None, None]
