@@ -5197,6 +5197,163 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_chi2_events(sf_dir: str):
+    """Pearson chi-squared test of independence between event_type and
+    hour-of-day — the categorical-association audit (is activity mix
+    time-of-day dependent?). INTEGER-EXACT: with O the observed cell
+    count, r/c the marginals and N the total, the cell statistic
+    (O·N − r·c)²/(N·r·c) is an exact rational; each cell is floor-
+    quantized to e9 (all terms non-negative, so Python floor == DuckDB
+    truncation) and the sum of per-cell integers is order-independent —
+    hash-exact vs the HUGEINT twin. One joint groupby; marginals fold on
+    the driver over the vocab-sized (type × hour) table."""
+    from ray.data.aggregate import Count
+
+    from ..functions.rayutil import collect_table
+
+    ev = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def qi(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "et": t.column("event_type"),
+            "hour": pc.cast(pc.hour(t.column("ts")), pa.int64())})
+
+    agg = (ev.map_batches(qi, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["et", "hour"]).aggregate(Count()))
+    tab = collect_table(agg, pa.schema(
+        [("et", pa.string()), ("hour", pa.int64()),
+         ("count()", pa.int64())]))
+    ets = tab.column("et").to_pylist()
+    hrs = tab.column("hour").to_pylist()
+    os_ = tab.column("count()").to_pylist()
+    n = sum(os_)
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for e, h, o in zip(ets, hrs, os_):
+        row_tot[e] = row_tot.get(e, 0) + o
+        col_tot[h] = col_tot.get(h, 0) + o
+    # zero cells still contribute (0·N − r·c)²/(N·r·c) = r·c/N — the
+    # full cross product is walked, absent cells defaulting to O=0
+    chi2 = 0
+    seen = {(e, h): o for e, h, o in zip(ets, hrs, os_)}
+    for e, r in row_tot.items():
+        for h, c in col_tot.items():
+            o = seen.get((e, h), 0)
+            num = (o * n - r * c) ** 2 * 10**9
+            chi2 += num // (n * r * c)
+    dof = (len(row_tot) - 1) * (len(col_tot) - 1)
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "dof": pa.array([dof], type=pa.int64()),
+        "chi2_e9": pa.array([chi2], type=pa.int64())})
+
+
+SQL_CHI2_EVENTS = """
+WITH j AS (SELECT event_type AS et,
+                  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                  CAST(COUNT(*) AS HUGEINT) AS o
+           FROM events GROUP BY 1, 2),
+r AS (SELECT et, CAST(SUM(o) AS HUGEINT) AS rt FROM j GROUP BY et),
+c AS (SELECT hour, CAST(SUM(o) AS HUGEINT) AS ct FROM j GROUP BY hour),
+n AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM j),
+cells AS (SELECT r.et, c.hour, r.rt, c.ct, COALESCE(j.o, 0) AS o
+          FROM r CROSS JOIN c
+          LEFT JOIN j ON j.et = r.et AND j.hour = c.hour)
+SELECT CAST(n.n AS BIGINT) AS n,
+       CAST(((SELECT COUNT(*) FROM r) - 1)
+            * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
+       CAST(SUM(((cells.o * n.n - cells.rt * cells.ct)
+                 * (cells.o * n.n - cells.rt * cells.ct)
+                 * 1000000000) // (n.n * cells.rt * cells.ct))
+            AS BIGINT) AS chi2_e9
+FROM cells CROSS JOIN n
+GROUP BY n.n
+"""
+
+
+def q_benford_events(sf_dir: str):
+    """Benford first-significant-digit audit of the event value — the
+    fabricated-numbers / data-quality screen: observed digit counts vs
+    Benford's log10(1+1/d) expectation, chi-squared over the 9 digits.
+    Digit extraction is integer (repeated //10 via log-free numpy);
+    counts exact; the statistic's transcendental expectation makes the
+    final chi2 a float, quantized to 1e-9 after the 9-term sum (the
+    entropy-oracle idiom). Returns per-digit rows + the statistic as
+    columns repeated per row would break hashing — so ONE row with the
+    digit counts pivoted wide (d1..d9) plus chi2_e9."""
+    from ray.data.aggregate import Sum
+
+    ev = _pq(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(_cents(t.column("value")), dtype=np.int64)
+        v = v[v > 0]
+        # first significant digit: strip trailing magnitude by integer
+        # division until < 10 (max 19 digits -> bounded loop on the BATCH,
+        # vectorized per step, not per row)
+        while (v >= 10).any():
+            v = np.where(v >= 10, v // 10, v)
+        cnt = np.bincount(v, minlength=10)[1:10]
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            **{f"d{i}": pa.array([int(cnt[i - 1])], type=pa.int64())
+               for i in range(1, 10)}})
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("g").aggregate(*[Sum(f"d{i}") for i in range(1, 10)]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cnt = np.array([t.column(f"sum(d{i})")[0].as_py()
+                        for i in range(1, 10)], dtype=np.int64)
+        n = int(cnt.sum())
+        exp = n * np.log10(1.0 + 1.0 / np.arange(1, 10))
+        chi2 = float(((cnt - exp) ** 2 / exp).sum()) if n else 0.0
+        return pa.table({
+            **{f"d{i}": pa.array([int(cnt[i - 1])], type=pa.int64())
+               for i in range(1, 10)},
+            "n": pa.array([n], type=pa.int64()),
+            "chi2_e9": pa.array([int(np.floor(chi2 * 1e9 + 0.5))],
+                                type=pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_BENFORD_EVENTS = """
+WITH t AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+           WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM t),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY digit),
+w AS (SELECT
+        COALESCE(MAX(CASE WHEN digit = 1 THEN cnt END), 0) AS d1,
+        COALESCE(MAX(CASE WHEN digit = 2 THEN cnt END), 0) AS d2,
+        COALESCE(MAX(CASE WHEN digit = 3 THEN cnt END), 0) AS d3,
+        COALESCE(MAX(CASE WHEN digit = 4 THEN cnt END), 0) AS d4,
+        COALESCE(MAX(CASE WHEN digit = 5 THEN cnt END), 0) AS d5,
+        COALESCE(MAX(CASE WHEN digit = 6 THEN cnt END), 0) AS d6,
+        COALESCE(MAX(CASE WHEN digit = 7 THEN cnt END), 0) AS d7,
+        COALESCE(MAX(CASE WHEN digit = 8 THEN cnt END), 0) AS d8,
+        COALESCE(MAX(CASE WHEN digit = 9 THEN cnt END), 0) AS d9,
+        CAST(SUM(cnt) AS BIGINT) AS n
+      FROM c)
+SELECT d1, d2, d3, d4, d5, d6, d7, d8, d9, n,
+       CAST(FLOOR((
+         POWER(d1 - n*LOG10(2.0/1.0), 2) / (n*LOG10(2.0/1.0)) +
+         POWER(d2 - n*LOG10(3.0/2.0), 2) / (n*LOG10(3.0/2.0)) +
+         POWER(d3 - n*LOG10(4.0/3.0), 2) / (n*LOG10(4.0/3.0)) +
+         POWER(d4 - n*LOG10(5.0/4.0), 2) / (n*LOG10(5.0/4.0)) +
+         POWER(d5 - n*LOG10(6.0/5.0), 2) / (n*LOG10(6.0/5.0)) +
+         POWER(d6 - n*LOG10(7.0/6.0), 2) / (n*LOG10(7.0/6.0)) +
+         POWER(d7 - n*LOG10(8.0/7.0), 2) / (n*LOG10(8.0/7.0)) +
+         POWER(d8 - n*LOG10(9.0/8.0), 2) / (n*LOG10(9.0/8.0)) +
+         POWER(d9 - n*LOG10(10.0/9.0), 2) / (n*LOG10(10.0/9.0))
+       ) * 1e9 + 0.5) AS BIGINT) AS chi2_e9
+FROM w
+"""
+
+
 def q_scd2_events(sf_dir: str):
     """SCD Type-2 validity intervals of each user's event_type change log
     (stages/temporal.py::scd2_intervals): one bucket exchange, shifted-
@@ -5928,6 +6085,8 @@ FROM q
 
 
 QUERIES = {
+    "chi2_events": q_chi2_events,
+    "benford_events": q_benford_events,
     "scd2_events": q_scd2_events,
     "longest_streak_events": q_longest_streak_events,
     "cumulative_distinct_events": q_cumulative_distinct_events,
@@ -6093,6 +6252,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "chi2_events": SQL_CHI2_EVENTS,
+    "benford_events": SQL_BENFORD_EVENTS,
     "scd2_events": SQL_SCD2_EVENTS,
     "longest_streak_events": SQL_LONGEST_STREAK_EVENTS,
     "cumulative_distinct_events": SQL_CUMULATIVE_DISTINCT_EVENTS,
