@@ -5197,6 +5197,63 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_spearman_lineitem(sf_dir: str):
+    """Spearman rank correlation of quantity vs extendedprice (dollars)
+    with exact average-rank ties (stages/selection.py::spearman): two
+    distinct-value groupbys feed broadcast rank maps at 2× integer scale,
+    one combiner pass sums integer co-moments, and only the final rho is
+    float — one fixed-shape f64 expression over six integer sums (the
+    grouped_corr idiom), hash-exact vs the window twin."""
+    from ..stages.selection import spearman
+
+    ds = _pq(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    ints = ds.map_batches(
+        lambda t: pa.table({
+            "x": pc.cast(pc.divide(_cents(t.column("l_quantity")),
+                                   pa.scalar(100)), pa.int64()),
+            "y": pc.cast(pc.divide(_cents(t.column("l_extendedprice")),
+                                   pa.scalar(100)), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return spearman(ints, x_col="x", y_col="y")
+
+
+SQL_SPEARMAN_LINEITEM = """
+WITH b AS (SELECT CAST(ROUND(l_quantity*100) AS BIGINT) // 100 AS x,
+                  CAST(ROUND(l_extendedprice*100) AS BIGINT) // 100 AS y
+           FROM lineitem),
+xr AS (SELECT v, 2 * pos + c + 1 AS r2 FROM (
+  SELECT x AS v, CAST(COUNT(*) AS HUGEINT) AS c,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+  FROM b GROUP BY x)),
+yr AS (SELECT v, 2 * pos + c + 1 AS r2 FROM (
+  SELECT y AS v, CAST(COUNT(*) AS HUGEINT) AS c,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+  FROM b GROUP BY y)),
+r AS (SELECT xr.r2 AS rx, yr.r2 AS ry
+      FROM b JOIN xr ON xr.v = b.x JOIN yr ON yr.v = b.y),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(rx) AS HUGEINT) AS sx,
+             CAST(SUM(ry) AS HUGEINT) AS sy,
+             CAST(SUM(rx*rx) AS HUGEINT) AS sxx,
+             CAST(SUM(ry*ry) AS HUGEINT) AS syy,
+             CAST(SUM(rx*ry) AS HUGEINT) AS sxy
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+       CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+       CAST(sxy AS BIGINT) AS sxy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS spearman
+FROM s
+"""
+
+
 def q_chi2_events(sf_dir: str):
     """Pearson chi-squared test of independence between event_type and
     hour-of-day — the categorical-association audit (is activity mix
@@ -6085,6 +6142,7 @@ FROM q
 
 
 QUERIES = {
+    "spearman_lineitem": q_spearman_lineitem,
     "chi2_events": q_chi2_events,
     "benford_events": q_benford_events,
     "scd2_events": q_scd2_events,
@@ -6252,6 +6310,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "spearman_lineitem": SQL_SPEARMAN_LINEITEM,
     "chi2_events": SQL_CHI2_EVENTS,
     "benford_events": SQL_BENFORD_EVENTS,
     "scd2_events": SQL_SCD2_EVENTS,

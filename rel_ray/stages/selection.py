@@ -343,3 +343,89 @@ def grouped_mad_outliers(ds, *, group_col: str, val_col: str,
 
     return _attach_stat(dist, mad4, "__mad4").map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def spearman(ds, *, x_col: str, y_col: str,
+             max_distinct: int = 2_000_000) -> pa.Table:
+    """Spearman rank correlation with exact average-rank tie handling
+    (Spearman 1904; the robust monotone-association complement to
+    Pearson — a linkage scorer and a human judgment usually agree in
+    ORDER long before they agree in value).
+
+    Ranks are EXACT integers at 2× scale: for a distinct value with c
+    ties after pos smaller rows, r2 = 2·pos + c + 1. Both marginal rank
+    maps come from one distinct-value groupby each (driver fold capped at
+    ``max_distinct``, the roc_auc contract) and broadcast as sorted
+    arrays; one combiner pass then sums the integer co-moments over the
+    r2 values (Pearson is affine-invariant, so the 2× scale cancels).
+    The only float is the final correlation — ONE fixed-shape f64
+    expression over six integer sums that numpy and DuckDB round
+    identically (the grouped_corr idiom). int64 co-moment bound:
+    Σ rx2·ry2 ≤ 4n³ — shard past ~1.3e6 rows per partial batch times
+    2^63; practical corpora at this engine's block sizes stay far under.
+
+    Returns ONE row (n, sx, sxx, syy, sxy, spearman)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table, get_broadcast
+
+    def rank2_map(col: str):
+        counts = (ds.map_batches(
+            lambda t, c=col: pa.table({"v": t.column(c)}),
+            batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("v").count())
+        tab = collect_table(counts, pa.schema(
+            [("v", pa.int64()), ("count()", pa.int64())]))
+        if tab.num_rows > max_distinct:
+            raise ValueError(
+                f"spearman: {tab.num_rows} distinct values of {col} "
+                f"exceed max_distinct={max_distinct}")
+        tab = tab.sort_by([("v", "ascending")])
+        c = np.asarray(tab.column("count()"), dtype=np.int64)
+        pos = np.concatenate(([0], np.cumsum(c)[:-1]))
+        r2 = 2 * pos + c + 1
+        return _ray.put((np.asarray(tab.column("v"), dtype=np.int64), r2))
+
+    rx_ref = rank2_map(x_col)
+    ry_ref = rank2_map(y_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv, xr = get_broadcast(rx_ref)
+        yv, yr = get_broadcast(ry_ref)
+        x = xr[np.searchsorted(xv, np.asarray(t.column(x_col),
+                                              dtype=np.int64))]
+        y = yr[np.searchsorted(yv, np.asarray(t.column(y_col),
+                                              dtype=np.int64))]
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("g").aggregate(Sum("n"), Sum("sx"), Sum("sy"),
+                                   Sum("sxx"), Sum("syy"), Sum("sxy")))
+    tab = collect_table(agg, pa.schema(
+        [("g", pa.int64())] + [(f"sum({c})", pa.int64())
+                               for c in ("n", "sx", "sy", "sxx", "syy",
+                                         "sxy")]))
+    g = {c: int(tab.column(f"sum({c})")[0].as_py())
+         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    d = {c: np.float64(v) for c, v in g.items()}
+    num = d["n"] * d["sxy"] - d["sx"] * d["sy"]
+    den = np.sqrt(d["n"] * d["sxx"] - d["sx"] * d["sx"]) \
+        * np.sqrt(d["n"] * d["syy"] - d["sy"] * d["sy"])
+    rho = float(num / den) if den > 0 else None
+    return pa.table({
+        "n": pa.array([g["n"]], type=pa.int64()),
+        "sx": pa.array([g["sx"]], type=pa.int64()),
+        "sxx": pa.array([g["sxx"]], type=pa.int64()),
+        "syy": pa.array([g["syy"]], type=pa.int64()),
+        "sxy": pa.array([g["sxy"]], type=pa.int64()),
+        "spearman": pa.array([rho], type=pa.float64())})

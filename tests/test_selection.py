@@ -237,3 +237,44 @@ class TestMadOutliers:
         rows += [("g2", 900, 10**7)]
         assert (self._run(rows, broadcast_max_rows=0)
                 == self._run(rows) == self._naive(rows))
+
+
+class TestSpearman:
+    def test_matches_scipy_free_reference(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from rel_ray.stages.selection import spearman
+        rng = np.random.RandomState(31)
+        x = rng.randint(0, 20, size=500)
+        y = (x * 3 + rng.randint(0, 30, size=500)).astype(np.int64)
+
+        def avg_ranks(v):
+            order = np.argsort(v, kind="stable")
+            r = np.empty(len(v), dtype=np.float64)
+            sv = v[order]
+            i = 0
+            while i < len(sv):
+                j = i
+                while j < len(sv) and sv[j] == sv[i]:
+                    j += 1
+                r[order[i:j]] = (i + j + 1) / 2.0
+                i = j
+            return r
+
+        rx, ry = avg_ranks(x), avg_ranks(y)
+        expected = np.corrcoef(rx, ry)[0, 1]
+        t = spearman(rd.from_arrow(pa.table({
+            "x": pa.array(x, type=pa.int64()),
+            "y": pa.array(y, type=pa.int64())})), x_col="x", y_col="y")
+        assert abs(t.column("spearman")[0].as_py() - expected) < 1e-12
+
+    def test_perfect_monotone_is_one(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from rel_ray.stages.selection import spearman
+        t = spearman(rd.from_arrow(pa.table({
+            "x": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "y": pa.array([10, 20, 40, 80], type=pa.int64())})),
+            x_col="x", y_col="y")
+        assert abs(t.column("spearman")[0].as_py() - 1.0) < 1e-12
