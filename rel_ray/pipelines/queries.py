@@ -5197,6 +5197,73 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_fs_explain_transcripts(sf_dir: str):
+    """Match-weight waterfall for every candidate pair (pipelines/eval.py
+    ::fs_explain_pairs — the Splink-style per-pair explanation): prior
+    log2 odds + per-feature log2 Bayes factors at the pair's agreement
+    levels, e6-quantized on the driver grid so total_e6 is exactly the
+    sum of its parts. Rows-only (EM fixpoint); the waterfall-sum
+    invariant and posterior monotonicity are pinned in tests."""
+    import dataclasses
+
+    from .eval import fs_explain_pairs
+    from .linkage import run_linkage
+
+    ungated = dataclasses.replace(CFG, threshold=0.0)
+    out = run_linkage(transcripts_from_events(sf_dir), ungated)
+    return fs_explain_pairs(out["edges"])
+
+
+def q_bridge_edges_events(sf_dir: str):
+    """Cut edges of each user-interaction component (stages/clustering.py
+    ::bridge_edges — Tarjan low-link per cluster inside one bucket
+    exchange): the cluster-REPAIR primitive — a component held together
+    by one edge is a split candidate for clerical review. Components via
+    the int-coded CC fast path, cluster attach by broadcast. Not
+    SQL-expressible (connectivity); bridge semantics pinned on hand
+    graphs in tests/test_behavior.py."""
+    import ray as _ray
+
+    from ..config import DEFAULT_CONFIG as CFG
+    from ..functions.rayutil import get_broadcast
+    from ..stages.behavior import consecutive_pairs
+    from ..stages.clustering import bridge_edges, connected_components_codes
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    edges = consecutive_pairs(ev, key="event_type", ts="ts",
+                              tie="event_id", val="user_id")
+    edges = edges.map_batches(
+        lambda t: pa.table({
+            "id_a": pc.min_element_wise(t.column("src"), t.column("dst")),
+            "id_b": pc.max_element_wise(t.column("src"), t.column("dst"))}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    edges = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("id_a"),
+                                        t.column("id_b"))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    lab = connected_components_codes(edges, CFG)
+    lab = lab.sort_by([("code", "ascending")])
+    ref = _ray.put((np.asarray(lab.column("code"), dtype=np.int64),
+                    np.asarray(lab.column("cluster_code"),
+                               dtype=np.int64)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        codes, roots = get_broadcast(ref)
+        a = np.asarray(t.column("id_a"), dtype=np.int64)
+        return pa.table({
+            "cluster_id": pa.array(roots[np.searchsorted(codes, a)]),
+            "id_a": t.column("id_a"), "id_b": t.column("id_b")})
+
+    with_cluster = edges.map_batches(attach, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    # dedup multi-edges so a repeated pair is not its own cycle
+    dedup = with_cluster.groupby(
+        ["cluster_id", "id_a", "id_b"]).count().map_batches(
+        lambda t: t.select(["cluster_id", "id_a", "id_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bridge_edges(dedup)
+
+
 def q_spearman_lineitem(sf_dir: str):
     """Spearman rank correlation of quantity vs extendedprice (dollars)
     with exact average-rank ties (stages/selection.py::spearman): two
@@ -6142,6 +6209,8 @@ FROM q
 
 
 QUERIES = {
+    "fs_explain_transcripts": q_fs_explain_transcripts,
+    "bridge_edges_events": q_bridge_edges_events,
     "spearman_lineitem": q_spearman_lineitem,
     "chi2_events": q_chi2_events,
     "benford_events": q_benford_events,

@@ -442,3 +442,87 @@ def _expand_clusters_cogroup(records_with_rep, rep_clusters, extras=(), *,
     return bucketed_group_apply(
         members.union(crows), "key", assign,
         num_buckets=num_buckets, sort_cols=[("side", "descending")])
+
+
+def bridge_edges(edges, *, cluster_col: str = "cluster_id",
+                 src: str = "id_a", dst: str = "id_b",
+                 max_cluster_edges: int = 100_000,
+                 num_buckets: int = 64):
+    """Bridges (cut edges) of each cluster's internal graph — Tarjan's
+    low-link bridge finding (Tarjan 1974). The ER repair primitive: a
+    linkage cluster held together by ONE low-confidence edge is a merge
+    candidate for clerical review; dropping a bridge splits the entity,
+    dropping a non-bridge never does. Input rows: (cluster, u, v); output
+    rows: the subset that are bridges, same columns.
+
+    Scale shape: one bucket exchange on the cluster id — every cluster's
+    edges land in one bucket call. Within a bucket the DFS is per
+    CLUSTER, not per row, and entity clusters are small by construction
+    (block caps upstream bound them); a cluster wider than
+    ``max_cluster_edges`` raises rather than silently degrading — split
+    it upstream (it is almost certainly conflated) before asking for its
+    bridges. The DFS is iterative (no recursion limit)."""
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return bucket
+        import numpy as np
+        starts = np.asarray(segment_starts(bucket.column(cluster_col)))
+        lens = np.diff(np.append(starts, n))
+        if lens.max(initial=0) > max_cluster_edges:
+            raise ValueError(
+                f"cluster with {int(lens.max())} edges exceeds "
+                f"max_cluster_edges={max_cluster_edges} — conflated "
+                f"cluster; split upstream before bridge analysis")
+        ua = bucket.column(src)
+        va = bucket.column(dst)
+        if isinstance(ua, pa.ChunkedArray):
+            ua = ua.combine_chunks()
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        keep = np.zeros(n, dtype=bool)
+        for s0, ln in zip(starts, lens):
+            us = ua.slice(s0, ln).to_pylist()
+            vs = va.slice(s0, ln).to_pylist()
+            adj: dict = {}
+            for i, (x, y) in enumerate(zip(us, vs)):
+                if x == y:
+                    continue
+                adj.setdefault(x, []).append((y, i))
+                adj.setdefault(y, []).append((x, i))
+            disc: dict = {}
+            low: dict = {}
+            timer = 0
+            for root in adj:
+                if root in disc:
+                    continue
+                # iterative Tarjan: stack of (node, parent_edge, iterator)
+                stack = [(root, -1, iter(adj[root]))]
+                disc[root] = low[root] = timer
+                timer += 1
+                while stack:
+                    node, pedge, it = stack[-1]
+                    advanced = False
+                    for nxt, eidx in it:
+                        if eidx == pedge:
+                            continue
+                        if nxt not in disc:
+                            disc[nxt] = low[nxt] = timer
+                            timer += 1
+                            stack.append((nxt, eidx, iter(adj[nxt])))
+                            advanced = True
+                            break
+                        low[node] = min(low[node], disc[nxt])
+                    if not advanced:
+                        stack.pop()
+                        if stack:
+                            parent = stack[-1][0]
+                            low[parent] = min(low[parent], low[node])
+                            if low[node] > disc[parent]:
+                                keep[s0 + pedge] = True
+        return bucket.filter(pa.array(keep))
+
+    return bucketed_group_apply(edges, cluster_col, per_bucket,
+                                num_buckets=num_buckets)

@@ -417,3 +417,35 @@ class TestHits:
     def test_empty(self, ray_session):
         from rel_ray.stages.graph import hits
         assert _df(hits(self._edges([]), iters=2)).empty
+
+
+class TestBridges:
+    def _ds(self, rows):
+        return rd.from_arrow(pa.table({
+            "cluster_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "id_a": pa.array([r[1] for r in rows], type=pa.int64()),
+            "id_b": pa.array([r[2] for r in rows], type=pa.int64())}))
+
+    def test_path_cycle_barbell(self, ray_session):
+        from rel_ray.stages.clustering import bridge_edges
+        rows = (
+            # cluster 1: path 1-2-3 -> both edges are bridges
+            [(1, 1, 2), (1, 2, 3)] +
+            # cluster 2: triangle -> no bridges
+            [(2, 10, 11), (2, 11, 12), (2, 10, 12)] +
+            # cluster 3: barbell: triangle a + bridge + triangle b
+            [(3, 20, 21), (3, 21, 22), (3, 20, 22),
+             (3, 22, 30), (3, 30, 31), (3, 31, 32), (3, 30, 32)])
+        df = _df(bridge_edges(self._ds(rows), num_buckets=2)) \
+            .sort_values(["cluster_id", "id_a", "id_b"]) \
+            .reset_index(drop=True)
+        got = list(map(tuple, df[["cluster_id", "id_a", "id_b"]].values))
+        assert got == [(1, 1, 2), (1, 2, 3), (3, 22, 30)]
+
+    def test_cluster_cap_raises(self, ray_session):
+        from rel_ray.stages.clustering import bridge_edges
+        import pytest as _pt
+        rows = [(1, i, i + 1) for i in range(10)]
+        with _pt.raises(Exception, match="max_cluster_edges"):
+            _df(bridge_edges(self._ds(rows), num_buckets=1,
+                             max_cluster_edges=5))

@@ -274,3 +274,34 @@ class TestIsotonic:
                  [(2, True)] * 4)
         got = self._run(pairs)
         assert got == {0: 0, 1: 5 * 10**8, 2: 10**9}
+
+
+class TestFsExplain:
+    def test_waterfall_sums_and_monotone(self, ray_session):
+        import numpy as np
+        from rel_ray.pipelines.eval import fs_explain_pairs
+        rng = np.random.RandomState(7)
+        n = 400
+        is_match = rng.rand(n) < 0.25
+        def feat(base):
+            return np.clip(np.where(is_match,
+                                    base + rng.rand(n) * 0.2,
+                                    rng.rand(n) * 0.5), 0, 1)
+        t = pa.table({
+            "id_a": pa.array([f"a{i}" for i in range(n)]),
+            "id_b": pa.array([f"b{i}" for i in range(n)]),
+            "sim_jaccard": pa.array(feat(0.8)),
+            "sim_jw": pa.array(feat(0.75)),
+            "sim_emb": pa.array(feat(0.85))})
+        out = fs_explain_pairs(rd.from_arrow(t)).to_pandas()
+        # waterfall property: total == prior + sum of per-feature weights
+        parts = (out["prior_e6"] + out["sim_jaccard_weight_e6"]
+                 + out["sim_jw_weight_e6"] + out["sim_emb_weight_e6"])
+        assert (out["total_e6"] == parts).all()
+        # posterior is monotone in total weight
+        s = out.sort_values("total_e6")
+        assert s["posterior_e6"].is_monotonic_increasing
+        # high-agreement pairs explain as matches, low as non-matches
+        hi = out[is_match]["posterior_e6"].mean()
+        lo = out[~is_match]["posterior_e6"].mean()
+        assert hi > 0.9e6 and lo < 0.5e6
