@@ -5197,6 +5197,44 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_ctfidf_labels(sf_dir: str):
+    """BERTopic-style c-TF-IDF cluster labeling (stages/retrieval.py::
+    ctfidf_topk): top-5 most distinctive terms per embedding-cluster
+    label — score = cnt(term, cluster) · ln(K/df_cluster(term)), per-term
+    e9-quantized, deterministic (score desc, term asc) tie-breaks. One
+    cogroup label attach + two groupbys + a vocab-sized broadcast;
+    hash-exact vs the ROW_NUMBER twin."""
+    from ..stages.retrieval import ctfidf_topk
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    labels = _pq(sf_dir, "embeddings", ["vec_id", "label"])
+    return ctfidf_topk(docs, labels, id_col="doc_id", text_col="text",
+                       label_id_col="vec_id", label_col="label", k=5)
+
+
+SQL_CTFIDF_LABELS = """
+WITH lab AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label
+             FROM embeddings),
+tok AS (SELECT l.label,
+               unnest(regexp_extract_all(lower(d.text), '[a-z]{4,}'))
+                   AS term
+        FROM documents d JOIN lab l USING (doc_id)),
+c AS (SELECT label, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY label, term),
+kk AS (SELECT CAST(COUNT(DISTINCT label) AS DOUBLE) AS k FROM c),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY term),
+s AS (SELECT c.label, c.term, c.cnt,
+             c.cnt * CAST(FLOOR(ln(kk.k / df.df) * 1e9 + 0.5) AS BIGINT)
+                 AS score_e9
+      FROM c JOIN df USING (term) CROSS JOIN kk),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY score_e9 DESC, term ASC)
+          AS rn
+      FROM s)
+SELECT label, term, cnt, score_e9 FROM r WHERE rn <= 5
+"""
+
+
 def q_fs_explain_transcripts(sf_dir: str):
     """Match-weight waterfall for every candidate pair (pipelines/eval.py
     ::fs_explain_pairs — the Splink-style per-pair explanation): prior
@@ -6209,6 +6247,7 @@ FROM q
 
 
 QUERIES = {
+    "ctfidf_labels": q_ctfidf_labels,
     "fs_explain_transcripts": q_fs_explain_transcripts,
     "bridge_edges_events": q_bridge_edges_events,
     "spearman_lineitem": q_spearman_lineitem,
@@ -6379,6 +6418,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "ctfidf_labels": SQL_CTFIDF_LABELS,
     "spearman_lineitem": SQL_SPEARMAN_LINEITEM,
     "chi2_events": SQL_CHI2_EVENTS,
     "benford_events": SQL_BENFORD_EVENTS,
