@@ -5197,6 +5197,141 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_mutual_info_events(sf_dir: str):
+    """Mutual information between event_type and hour-of-day — the
+    information-theoretic association measure next to chi2_events'
+    significance test. Counts exact via the same joint groupby; MI =
+    Σ (o/n)·ln(o·n/(r·c)) over non-zero cells, quantized to 1e-9 after
+    the sum (the entropy-oracle idiom — ≤ type×hour cells, f64 error
+    ~1e-15 against the grid). One row (n, mi_e9)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.rayutil import collect_table
+
+    ev = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def qi(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "et": t.column("event_type"),
+            "hour": pc.cast(pc.hour(t.column("ts")), pa.int64())})
+
+    agg = (ev.map_batches(qi, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["et", "hour"]).aggregate(Count()))
+    tab = collect_table(agg, pa.schema(
+        [("et", pa.string()), ("hour", pa.int64()),
+         ("count()", pa.int64())]))
+    ets = tab.column("et").to_pylist()
+    hrs = tab.column("hour").to_pylist()
+    os_ = tab.column("count()").to_pylist()
+    n = sum(os_)
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for e, h, o in zip(ets, hrs, os_):
+        row_tot[e] = row_tot.get(e, 0) + o
+        col_tot[h] = col_tot.get(h, 0) + o
+    mi = sum((o / n) * np.log(o * n / (row_tot[e] * col_tot[h]))
+             for e, h, o in sorted(zip(ets, hrs, os_)))
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "mi_e9": pa.array([int(np.floor(mi * 1e9 + 0.5))],
+                          type=pa.int64())})
+
+
+SQL_MUTUAL_INFO_EVENTS = """
+WITH j AS (SELECT event_type AS et,
+                  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+r AS (SELECT et, CAST(SUM(o) AS BIGINT) AS rt FROM j GROUP BY et),
+c AS (SELECT hour, CAST(SUM(o) AS BIGINT) AS ct FROM j GROUP BY hour),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM j)
+SELECT n.n,
+       CAST(FLOOR(SUM((CAST(j.o AS DOUBLE) / n.n)
+                      * ln(CAST(j.o AS DOUBLE) * n.n
+                           / (CAST(r.rt AS DOUBLE) * c.ct)))
+                  * 1e9 + 0.5) AS BIGINT) AS mi_e9
+FROM j JOIN r USING (et) JOIN c USING (hour) CROSS JOIN n
+GROUP BY n.n
+"""
+
+
+def q_ks_drift_documents(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the n_chars
+    distributions of two document sources — the continuous-column drift
+    gate (PSI's complement: no binning choice). INTEGER-EXACT: with
+    per-side distinct-value counts, D = max over values of
+    |cumA·nB − cumB·nA| / (nA·nB) is an exact rational; one distinct-
+    value groupby, driver folds the distinct-value table (the roc_auc
+    contract). Hash-exact vs the HUGEINT window twin."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table
+
+    docs = _pq(sf_dir, "documents", ["n_chars", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("source"),
+                        value_set=pa.array(["src0", "src1"]))
+        f = t.filter(keep)
+        v = np.asarray(f.column("n_chars"), dtype=np.int64)
+        a = np.asarray(pc.equal(f.column("source"), "src0"))
+        vals, inv = np.unique(v, return_inverse=True)
+        return pa.table({
+            "v": pa.array(vals),
+            "ca": pa.array(np.bincount(inv, weights=a,
+                                       minlength=len(vals))
+                           .astype(np.int64)),
+            "cb": pa.array(np.bincount(inv, weights=~a,
+                                       minlength=len(vals))
+                           .astype(np.int64))})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("v").aggregate(Sum("ca"), Sum("cb")))
+    tab = collect_table(agg, pa.schema(
+        [("v", pa.int64()), ("sum(ca)", pa.int64()),
+         ("sum(cb)", pa.int64())])).sort_by([("v", "ascending")])
+    ca = tab.column("sum(ca)").to_pylist()
+    cb = tab.column("sum(cb)").to_pylist()
+    na, nb = sum(ca), sum(cb)
+    best = 0
+    cum_a = cum_b = 0
+    for x, y in zip(ca, cb):  # distinct-value-sized driver fold
+        cum_a += x
+        cum_b += y
+        best = max(best, abs(cum_a * nb - cum_b * na))
+    ks_e9 = (best * 10**9) // (na * nb) if na and nb else None
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+        "ks_e9": pa.array([ks_e9], type=pa.int64())})
+
+
+SQL_KS_DRIFT_DOCUMENTS = """
+WITH t AS (SELECT n_chars AS v, (source = 'src0') AS a
+           FROM documents WHERE source IN ('src0', 'src1')),
+c AS (SELECT v,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+             CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS cb
+      FROM t GROUP BY v),
+w AS (SELECT v,
+             SUM(ca) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cuma,
+             SUM(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumb
+      FROM c),
+n AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+             CAST(SUM(cb) AS HUGEINT) AS nb FROM c)
+SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+       CAST((MAX(ABS(w.cuma * n.nb - w.cumb * n.na)) * 1000000000)
+            // (n.na * n.nb) AS BIGINT) AS ks_e9
+FROM w CROSS JOIN n
+GROUP BY n.na, n.nb
+"""
+
+
 def q_ctfidf_labels(sf_dir: str):
     """BERTopic-style c-TF-IDF cluster labeling (stages/retrieval.py::
     ctfidf_topk): top-5 most distinctive terms per embedding-cluster
@@ -6247,6 +6382,8 @@ FROM q
 
 
 QUERIES = {
+    "mutual_info_events": q_mutual_info_events,
+    "ks_drift_documents": q_ks_drift_documents,
     "ctfidf_labels": q_ctfidf_labels,
     "fs_explain_transcripts": q_fs_explain_transcripts,
     "bridge_edges_events": q_bridge_edges_events,
@@ -6418,6 +6555,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "mutual_info_events": SQL_MUTUAL_INFO_EVENTS,
+    "ks_drift_documents": SQL_KS_DRIFT_DOCUMENTS,
     "ctfidf_labels": SQL_CTFIDF_LABELS,
     "spearman_lineitem": SQL_SPEARMAN_LINEITEM,
     "chi2_events": SQL_CHI2_EVENTS,
