@@ -5197,6 +5197,50 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_one_to_one_part(sf_dir: str):
+    """Uniqueness-constrained 1:1 linkage over the JW ≥ 0.93 part-name
+    candidate pairs (stages/pairs.py::greedy_one_to_one): connected
+    components of the pair graph are the matching scopes (components
+    partition records, so the at-most-one guarantee holds globally),
+    greedy by (jw_e6 desc, ids asc) within each. Not SQL-expressible
+    (sequential greedy); matching semantics pinned on hand graphs in
+    tests/test_stages.py."""
+    import ray as _ray
+
+    from ..config import DEFAULT_CONFIG as CFG
+    from ..functions.rayutil import get_broadcast
+    from ..stages.clustering import connected_components_codes
+    from ..stages.pairs import greedy_one_to_one
+    from ..stages.strjoin import string_sim_self_join
+
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_name"])
+    pairs = string_sim_self_join(ds, id_col="p_partkey", text_col="p_name",
+                                 metric="jaro_winkler", threshold=0.93,
+                                 score_col="jw").materialize()
+    lab = connected_components_codes(pairs.map_batches(
+        lambda t: pa.table({"id_a": t.column("id_a"),
+                            "id_b": t.column("id_b")}),
+        batch_format="pyarrow", zero_copy_batch=True), CFG)
+    lab = lab.sort_by([("code", "ascending")])
+    ref = _ray.put((np.asarray(lab.column("code"), dtype=np.int64),
+                    np.asarray(lab.column("cluster_code"),
+                               dtype=np.int64)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        codes, roots = get_broadcast(ref)
+        a = np.asarray(t.column("id_a"), dtype=np.int64)
+        return pa.table({
+            "blk": pa.array(roots[np.searchsorted(codes, a)]),
+            "id_a": t.column("id_a"), "id_b": t.column("id_b"),
+            "jw_e6": pc.cast(pc.round(pc.multiply(
+                t.column("jw"), pa.scalar(1e6))), pa.int64())})
+
+    scored = pairs.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return greedy_one_to_one(scored, block_col="blk",
+                             score_col="jw_e6")
+
+
 def q_mutual_info_events(sf_dir: str):
     """Mutual information between event_type and hour-of-day — the
     information-theoretic association measure next to chi2_events'
@@ -6382,6 +6426,7 @@ FROM q
 
 
 QUERIES = {
+    "one_to_one_part": q_one_to_one_part,
     "mutual_info_events": q_mutual_info_events,
     "ks_drift_documents": q_ks_drift_documents,
     "ctfidf_labels": q_ctfidf_labels,

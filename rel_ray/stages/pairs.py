@@ -167,3 +167,57 @@ def pairs_stage(blocks, cfg: PipelineConfig, num_partitions: int = 0,
         pairs, "id_a", _dedup_bucket,
         num_buckets=cfg.num_buckets,
         sort_cols=[("id_b", "ascending")])
+
+
+def greedy_one_to_one(scored_pairs, *, block_col: str,
+                      a_col: str = "id_a", b_col: str = "id_b",
+                      score_col: str = "score",
+                      max_block_pairs: int = 100_000,
+                      num_buckets: int = 64):
+    """Uniqueness-constrained linkage: within each block, accept pairs
+    greedily by (score desc, id_a asc, id_b asc), skipping any pair whose
+    endpoint is already matched — each record ends up in AT MOST one
+    accepted pair. The classic 1:1 ER mode (one customer record may
+    merge with at most one registry record); greedy on sorted weights is
+    the standard deterministic heuristic (1/2-approximation to
+    maximum-weight matching — Avis 1983), and determinism is the
+    property the pipeline contract needs.
+
+    One bucket exchange on ``block_col``; the greedy scan is per BLOCK
+    (block caps upstream bound block sizes; ``max_block_pairs`` raises
+    loudly past that). Output = accepted subset, input schema."""
+    from ..functions.rayutil import segment_starts as _segstarts
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n == 0:
+            return bucket
+        starts = np.asarray(_segstarts(bucket.column(block_col)))
+        lens = np.diff(np.append(starts, n))
+        if lens.max(initial=0) > max_block_pairs:
+            raise ValueError(
+                f"block with {int(lens.max())} pairs exceeds "
+                f"max_block_pairs={max_block_pairs}")
+        a = bucket.column(a_col)
+        b = bucket.column(b_col)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        keep = np.zeros(n, dtype=bool)
+        for s0, ln in zip(starts, lens):
+            used: set = set()
+            for i in range(s0, s0 + ln):  # rows pre-sorted by the
+                x = a[i].as_py()          # exchange's (score desc, ids)
+                y = b[i].as_py()
+                if x in used or y in used:
+                    continue
+                used.add(x)
+                used.add(y)
+                keep[i] = True
+        return bucket.filter(pa.array(keep))
+
+    return bucketed_group_apply(
+        scored_pairs, block_col, per_bucket, num_buckets=num_buckets,
+        sort_cols=[(score_col, "descending"), (a_col, "ascending"),
+                   (b_col, "ascending")])

@@ -241,3 +241,35 @@ def test_conversation_locality_equivalence(small_corpus):
     got_guard = _collect_sorted(
         conversation_stage(ds_contig, cfg, locality=True, max_span_convs=0))
     assert got_guard.equals(want)
+
+
+class TestGreedyOneToOne:
+    def test_greedy_matching(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from rel_ray.stages.pairs import greedy_one_to_one
+        t = pa.table({
+            "blk": pa.array([1] * 4 + [2], type=pa.int64()),
+            "id_a": pa.array(["a", "a", "b", "c", "x"]),
+            "id_b": pa.array(["p", "q", "p", "q", "y"]),
+            "score": pa.array([0.9, 0.8, 0.7, 0.6, 0.5])})
+        out = greedy_one_to_one(rd.from_arrow(t), block_col="blk",
+                                num_buckets=1).to_pandas() \
+            .sort_values(["blk", "id_a"]).reset_index(drop=True)
+        # a-p (0.9) accepted; a-q and b-p blocked; c-q (0.6) accepted
+        got = list(map(tuple, out[["id_a", "id_b"]].values))
+        assert got == [("a", "p"), ("c", "q"), ("x", "y")]
+
+    def test_tie_determinism(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from rel_ray.stages.pairs import greedy_one_to_one
+        t = pa.table({
+            "blk": pa.array([1, 1], type=pa.int64()),
+            "id_a": pa.array(["a", "a"]),
+            "id_b": pa.array(["q", "p"]),
+            "score": pa.array([0.5, 0.5])})
+        out = greedy_one_to_one(rd.from_arrow(t), block_col="blk",
+                                num_buckets=1).to_pandas()
+        # equal scores: (id_a, id_b) ascending wins -> a-p
+        assert out["id_b"].tolist() == ["p"]
