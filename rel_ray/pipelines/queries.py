@@ -5197,6 +5197,23 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_blb_ci_events(sf_dir: str):
+    """Bag of Little Bootstraps 95% CI for the mean event value in cents
+    (stages/selection.py::blb_mean_ci — Kleiner et al. 2012): disjoint
+    hash subsets, per-subset multinomial(n, 1/b) replicates with
+    subset-seeded deterministic rngs, subset-averaged CI. Not
+    SQL-expressible (multinomial resampling); bracketing + determinism
+    pinned in tests/test_selection.py."""
+    from ..stages.selection import blb_mean_ci
+
+    ev = _pq(sf_dir, "events", ["event_id", "value"])
+    ints = ev.map_batches(
+        lambda t: pa.table({"id": t.column("event_id"),
+                            "v": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return blb_mean_ci(ints, val_col="v", id_col="id")
+
+
 def q_one_to_one_part(sf_dir: str):
     """Uniqueness-constrained 1:1 linkage over the JW ≥ 0.93 part-name
     candidate pairs (stages/pairs.py::greedy_one_to_one): connected
@@ -6426,6 +6443,7 @@ FROM q
 
 
 QUERIES = {
+    "blb_ci_events": q_blb_ci_events,
     "one_to_one_part": q_one_to_one_part,
     "mutual_info_events": q_mutual_info_events,
     "ks_drift_documents": q_ks_drift_documents,

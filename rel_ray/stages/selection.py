@@ -429,3 +429,93 @@ def spearman(ds, *, x_col: str, y_col: str,
         "syy": pa.array([g["syy"]], type=pa.int64()),
         "sxy": pa.array([g["sxy"]], type=pa.int64()),
         "spearman": pa.array([rho], type=pa.float64())})
+
+
+def blb_mean_ci(ds, *, val_col: str, id_col: str, n_subsets: int = 10,
+                n_boot: int = 50, alpha: float = 0.05,
+                num_buckets: int = 64) -> pa.Table:
+    """Bag of Little Bootstraps confidence interval for the mean
+    (Kleiner, Talwalkar, Sarkar & Jordan, 2012): the distributed answer
+    to "what's the error bar on this corpus statistic" — a full bootstrap
+    would resample ALL rows per replicate; BLB resamples only within
+    disjoint subsets and rescales, giving the same asymptotics at a
+    fraction of the movement.
+
+    Plan: rows hash-partition by ``id_col`` into ``n_subsets`` disjoint
+    subsets (ONE bucket exchange); within each subset of size b, draw
+    ``n_boot`` multinomial(n, 1/b) weight vectors (vectorized, one
+    rng per subset seeded by the subset id — deterministic across runs
+    and cluster sizes), compute the weighted mean per replicate, take the
+    subset's (alpha/2, 1-alpha/2) empirical quantiles; the final CI is
+    the average of the subset CIs (the BLB estimator). Returns ONE row
+    (n, mean_e9, lo_e9, hi_e9)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import (bucketed_group_apply, collect_table,
+                                     segment_starts)
+
+    skinny = ds.map_batches(
+        lambda t: pa.table({
+            "__subset": pa.array(
+                (np.asarray(t.column(id_col), dtype=np.int64)
+                 * np.int64(2654435761)) % np.int64(2**31) % n_subsets),
+            "v": pc.cast(t.column(val_col), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_total = skinny.count()
+    if n_total == 0:
+        return pa.table({"n": pa.array([0], type=pa.int64()),
+                         "mean_e9": pa.array([None], type=pa.int64()),
+                         "lo_e9": pa.array([None], type=pa.int64()),
+                         "hi_e9": pa.array([None], type=pa.int64())})
+
+    def per_subset(bucket: pa.Table) -> pa.Table:
+        m = bucket.num_rows
+        if m == 0:
+            return pa.table({"lo": pa.array([], type=pa.float64()),
+                             "hi": pa.array([], type=pa.float64()),
+                             "w": pa.array([], type=pa.int64())})
+        starts = np.asarray(segment_starts(bucket.column("__subset")))
+        lens = np.diff(np.append(starts, m))
+        vv = np.asarray(bucket.column("v"), dtype=np.float64)
+        subs = np.asarray(bucket.column("__subset"), dtype=np.int64)
+        los, his, ws = [], [], []
+        for s0, ln in zip(starts, lens):
+            x = vv[s0:s0 + ln]
+            rng = np.random.RandomState(100003 + int(subs[s0]))
+            w = rng.multinomial(n_total, np.full(ln, 1.0 / ln),
+                                size=n_boot)
+            means = (w * x[None, :]).sum(axis=1) / n_total
+            means.sort()
+            lo_i = int(np.floor(alpha / 2 * (n_boot - 1)))
+            hi_i = int(np.ceil((1 - alpha / 2) * (n_boot - 1)))
+            los.append(float(means[lo_i]))
+            his.append(float(means[hi_i]))
+            ws.append(int(ln))
+        return pa.table({"lo": pa.array(los), "hi": pa.array(his),
+                         "w": pa.array(ws, type=pa.int64())})
+
+    parts = bucketed_group_apply(skinny, "__subset", per_subset,
+                                 num_buckets=min(num_buckets, n_subsets))
+    tab = collect_table(parts, pa.schema(
+        [("lo", pa.float64()), ("hi", pa.float64()), ("w", pa.int64())]))
+    # subset-count-sized driver fold; unweighted subset average is the
+    # canonical BLB combiner
+    lo = float(np.mean(np.asarray(tab.column("lo"))))
+    hi = float(np.mean(np.asarray(tab.column("hi"))))
+    total = skinny.map_batches(
+        lambda t: pa.table({"g": pa.array([0], type=pa.int64()),
+                            "s": pa.array([int(np.asarray(
+                                t.column("v"),
+                                dtype=np.int64).sum())],
+                                type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "g").aggregate(Sum("s"))
+    s_total = collect_table(total, pa.schema(
+        [("g", pa.int64()), ("sum(s)", pa.int64())])
+    ).column("sum(s)")[0].as_py()
+    mean = s_total / n_total
+    q = lambda x: int(np.floor(x * 1e9 + 0.5))
+    return pa.table({"n": pa.array([n_total], type=pa.int64()),
+                     "mean_e9": pa.array([q(mean)], type=pa.int64()),
+                     "lo_e9": pa.array([q(lo)], type=pa.int64()),
+                     "hi_e9": pa.array([q(hi)], type=pa.int64())})

@@ -278,3 +278,35 @@ class TestSpearman:
             "y": pa.array([10, 20, 40, 80], type=pa.int64())})),
             x_col="x", y_col="y")
         assert abs(t.column("spearman")[0].as_py() - 1.0) < 1e-12
+
+
+class TestBlb:
+    def test_ci_brackets_true_mean_and_deterministic(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from rel_ray.stages.selection import blb_mean_ci
+        rng = np.random.RandomState(5)
+        vals = rng.randint(0, 1000, size=4000).astype(np.int64)
+        t = pa.table({"id": pa.array(np.arange(4000, dtype=np.int64)),
+                      "v": pa.array(vals)})
+        out1 = blb_mean_ci(rd.from_arrow(t), val_col="v", id_col="id")
+        out2 = blb_mean_ci(rd.from_arrow(t), val_col="v", id_col="id")
+        lo = out1.column("lo_e9")[0].as_py() / 1e9
+        hi = out1.column("hi_e9")[0].as_py() / 1e9
+        mean = vals.mean()
+        assert lo < mean < hi
+        # interval is tight-ish for n=4000 (sd/sqrt(n) ~ 4.5)
+        assert hi - lo < 40
+        # deterministic across runs
+        for c in ("mean_e9", "lo_e9", "hi_e9"):
+            assert out1.column(c)[0].as_py() == out2.column(c)[0].as_py()
+
+    def test_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from rel_ray.stages.selection import blb_mean_ci
+        t = pa.table({"id": pa.array([], type=pa.int64()),
+                      "v": pa.array([], type=pa.int64())})
+        out = blb_mean_ci(rd.from_arrow(t), val_col="v", id_col="id")
+        assert out.column("n")[0].as_py() == 0
