@@ -5197,6 +5197,64 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_hierarchy_flatten_part(sf_dir: str):
+    """Hierarchy flattening by pointer jumping (stages/graph.py::
+    pointer_jump_roots — Wyllie's path doubling, ⌈log₂ depth⌉ rounds vs
+    the recursive CTE's depth sequential steps) over a deterministic
+    synthetic forest on part: parent(k) = k−1−(k·2654435761 mod 2³¹) mod
+    47 for k ≥ 50, roots below. Hash-exact vs DuckDB's WITH RECURSIVE
+    twin — the oracle walks the chains row-at-a-time, the engine doubles;
+    identical (node, root, depth) is the whole point."""
+    from ..stages.graph import pointer_jump_roots
+
+    part = _pq(sf_dir, "part", ["p_partkey"])
+
+    def parent(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("p_partkey"), dtype=np.int64)
+        par = np.where(k < 50, k,
+                       k - 1 - (k * 2654435761 % 2**31) % 47)
+        return pa.table({"node": pa.array(k), "parent": pa.array(par)})
+
+    parents = part.map_batches(parent, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return pointer_jump_roots(parents)
+
+
+SQL_HIERARCHY_FLATTEN_PART = """
+WITH RECURSIVE p AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey < 50 THEN p_partkey
+              ELSE p_partkey - 1
+                   - (p_partkey * 2654435761 % 2147483648) % 47
+         END AS parent
+  FROM part),
+chain AS (
+  SELECT node, parent AS cur,
+         CASE WHEN node < 50 THEN 0 ELSE 1 END AS depth
+  FROM p
+  UNION ALL
+  SELECT c.node, pp.parent, c.depth + 1
+  FROM chain c JOIN p pp ON pp.node = c.cur
+  WHERE c.cur >= 50)
+SELECT node, cur AS root, CAST(depth AS BIGINT) AS depth
+FROM chain WHERE cur < 50 OR node < 50
+"""
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA of the embeddings table (stages/similarity.py::
+    pca_fit_transform): one d×d-covariance combiner pass + driver eigh +
+    a broadcast projection map; signs fixed, output deterministic.
+    Returns the per-id 8-component projection. Not SQL-expressible
+    (eigendecomposition); planted-axis recovery + determinism pinned in
+    tests/test_ops.py."""
+    from ..stages.similarity import pca_fit_transform
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, out = pca_fit_transform(emb, n_components=8)
+    return out
+
+
 def q_blb_ci_events(sf_dir: str):
     """Bag of Little Bootstraps 95% CI for the mean event value in cents
     (stages/selection.py::blb_mean_ci — Kleiner et al. 2012): disjoint
@@ -6443,6 +6501,8 @@ FROM q
 
 
 QUERIES = {
+    "hierarchy_flatten_part": q_hierarchy_flatten_part,
+    "pca_embeddings": q_pca_embeddings,
     "blb_ci_events": q_blb_ci_events,
     "one_to_one_part": q_one_to_one_part,
     "mutual_info_events": q_mutual_info_events,
@@ -6618,6 +6678,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "hierarchy_flatten_part": SQL_HIERARCHY_FLATTEN_PART,
     "mutual_info_events": SQL_MUTUAL_INFO_EVENTS,
     "ks_drift_documents": SQL_KS_DRIFT_DOCUMENTS,
     "ctfidf_labels": SQL_CTFIDF_LABELS,

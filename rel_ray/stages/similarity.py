@@ -1029,3 +1029,91 @@ def knn_graph_ivf(ds, *, k: int = 5, n_cells: int = 32, nprobe: int = 4,
     return bucketed_group_apply(cands, "vec_id", reduce_topk,
                                 num_buckets=num_buckets,
                                 sort_cols=[("cosine", "ascending")])
+
+
+def pca_fit_transform(ds, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", n_components: int = 8):
+    """Distributed PCA (Pearson 1901 / the covariance-eigendecomposition
+    route): project every embedding onto the top ``n_components``
+    principal axes — the dimensionality-reduction step before clustering
+    or cheap ANN, and the standard embedding-drift visualizer.
+
+    Scale shape: the d×d covariance needs ONE streaming combiner pass
+    (per-batch partial n, Σx, ΣxᵀX as a d- and d×d-grid — d is the
+    embedding dim, driver-safe); the eigendecomposition is a driver
+    ``eigh`` on the d×d matrix; the projection is a second streaming
+    map against the broadcast component matrix. Rows never accumulate
+    anywhere. Determinism: eigh of a fixed matrix is deterministic, and
+    each component's sign is fixed by forcing its largest-|.|
+    coordinate positive. Returns (components, out_ds):
+    ``components`` a pa.Table (component, explained_var_e9) and
+    ``out_ds`` a Dataset (id_col, proj: list<float>)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import collect_table, get_broadcast
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _embedding_matrix(t, vec_col)
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "n": pa.array([m.shape[0]], type=pa.int64()),
+            "sx": pa.array([m.sum(axis=0)],
+                           type=pa.list_(pa.float64())),
+            "sxx": pa.array([(m.T @ m).ravel()],
+                            type=pa.list_(pa.float64()))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = int(np.asarray(t.column("n")).sum())
+        sx = np.stack([np.asarray(t.column("sx")[i].values)
+                       for i in range(t.num_rows)]).sum(axis=0)
+        sxx = np.stack([np.asarray(t.column("sxx")[i].values)
+                        for i in range(t.num_rows)]).sum(axis=0)
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "n": pa.array([n], type=pa.int64()),
+            "sx": pa.array([sx], type=pa.list_(pa.float64())),
+            "sxx": pa.array([sxx], type=pa.list_(pa.float64()))})
+
+    # worker-level pre-fold (batches of partial rows), then driver merge
+    folded = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .map_batches(fold, batch_format="pyarrow", batch_size=32))
+    tab = collect_table(folded, None)
+    n = int(np.asarray(tab.column("n")).sum())
+    if n == 0:
+        raise ValueError("pca_fit_transform: empty input")
+    sx = np.stack([np.asarray(tab.column("sx")[i].values)
+                   for i in range(tab.num_rows)]).sum(axis=0)
+    sxx_f = np.stack([np.asarray(tab.column("sxx")[i].values)
+                      for i in range(tab.num_rows)]).sum(axis=0)
+    d = len(sx)
+    mean = sx / n
+    cov = sxx_f.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order]            # d × k
+    evals_k = np.maximum(evals[order], 0.0)
+    # sign fix: largest-|.| coordinate of each component positive
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    comps = comps * flip[None, :]
+    total_var = max(float(np.maximum(evals, 0.0).sum()), 1e-300)
+    comp_tab = pa.table({
+        "component": pa.array(np.arange(len(order), dtype=np.int64)),
+        "explained_var_e9": pa.array(
+            np.floor(evals_k / total_var * 1e9 + 0.5).astype(np.int64))})
+    ref = _ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, w = get_broadcast(ref)
+        m = _embedding_matrix(t, vec_col)
+        p = (m - mu[None, :]) @ w
+        return pa.table({
+            id_col: t.column(id_col),
+            "proj": pa.array(list(p.astype(np.float32)),
+                             type=pa.list_(pa.float32()))})
+
+    return comp_tab, ds.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True)

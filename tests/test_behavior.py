@@ -449,3 +449,37 @@ class TestBridges:
         with _pt.raises(Exception, match="max_cluster_edges"):
             _df(bridge_edges(self._ds(rows), num_buckets=1,
                              max_cluster_edges=5))
+
+
+class TestPointerJump:
+    def _parents(self, pairs):
+        return rd.from_arrow(pa.table({
+            "node": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "parent": pa.array([p[1] for p in pairs], type=pa.int64())}))
+
+    CASE = [(0, 0), (1, 0), (2, 1), (3, 2), (4, 2), (10, 10), (11, 10),
+            (12, 11), (13, 12), (14, 13), (15, 14)]
+    WANT = {0: (0, 0), 1: (0, 1), 2: (0, 2), 3: (0, 3), 4: (0, 3),
+            10: (10, 0), 11: (10, 1), 12: (10, 2), 13: (10, 3),
+            14: (10, 4), 15: (10, 5)}
+
+    def _check(self, df):
+        got = {int(r.node): (int(r.root), int(r.depth))
+               for r in df.itertuples()}
+        assert got == self.WANT
+
+    def test_broadcast_path(self, ray_session):
+        from rel_ray.stages.graph import pointer_jump_roots
+        self._check(_df(pointer_jump_roots(self._parents(self.CASE))))
+
+    def test_cogroup_path_agrees(self, ray_session):
+        from rel_ray.stages.graph import pointer_jump_roots
+        self._check(_df(pointer_jump_roots(
+            self._parents(self.CASE), broadcast_max_rows=0,
+            num_buckets=4)))
+
+    def test_missing_parent_raises(self, ray_session):
+        from rel_ray.stages.graph import pointer_jump_roots
+        import pytest as _pt
+        with _pt.raises(Exception, match="missing"):
+            _df(pointer_jump_roots(self._parents([(1, 99)])))

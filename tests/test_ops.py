@@ -2835,3 +2835,45 @@ class TestScd2:
         vt = [None if x != x else x.value // 1000
               for x in out["valid_to"]]
         assert vt == [30, 40, None, None]
+
+
+class TestPca:
+    def test_recovers_planted_axes(self, ray_session):
+        from rel_ray.stages.similarity import pca_fit_transform
+        rng = np.random.RandomState(13)
+        n, d = 600, 8
+        # variance concentrated on two planted orthogonal directions
+        base = np.zeros((n, d))
+        base[:, 0] = rng.randn(n) * 10
+        base[:, 3] = rng.randn(n) * 5
+        noise = rng.randn(n, d) * 0.01
+        m = (base + noise).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32()))})
+        comps, out = pca_fit_transform(rd.from_arrow(t), n_components=2)
+        ev = comps.column("explained_var_e9").to_pylist()
+        # two planted axes carry essentially all variance
+        assert ev[0] > 7 * 10**8 and ev[0] + ev[1] > 99 * 10**7
+        proj = _collect(out).to_pandas()
+        assert len(proj) == n and len(proj["proj"].iloc[0]) == 2
+        # projection variance matches the planted scales (10 and 5)
+        p = np.stack(proj.sort_values("vec_id")["proj"].to_numpy())
+        assert 8 < p[:, 0].std() < 12
+        assert 4 < p[:, 1].std() < 6
+
+    def test_deterministic(self, ray_session):
+        from rel_ray.stages.similarity import pca_fit_transform
+        rng = np.random.RandomState(3)
+        m = rng.randn(100, 6).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(100, dtype=np.int64)),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32()))})
+        c1, o1 = pca_fit_transform(rd.from_arrow(t), n_components=3)
+        c2, o2 = pca_fit_transform(rd.from_arrow(t), n_components=3)
+        assert c1.equals(c2)
+        p1 = np.stack(_collect(o1).to_pandas().sort_values("vec_id")
+                      ["proj"].to_numpy())
+        p2 = np.stack(_collect(o2).to_pandas().sort_values("vec_id")
+                      ["proj"].to_numpy())
+        assert np.array_equal(p1, p2)
