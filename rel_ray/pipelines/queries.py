@@ -5197,6 +5197,41 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_twa_events(sf_dir: str):
+    """Time-weighted average event value per user (stages/temporal.py::
+    time_weighted_avg — metering semantics: a value holds until the next
+    observation). Integer-exact µ-cents via masked reduceat + a two-step
+    exact division; users with zero span dropped (the SQL HAVING).
+    Hash-exact vs the lead() window twin (values non-negative, so floor
+    == DuckDB truncation)."""
+    from ..stages.temporal import time_weighted_avg
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ints = ev.map_batches(
+        lambda t: pa.table({"user_id": t.column("user_id"),
+                            "ts": t.column("ts"),
+                            "event_id": t.column("event_id"),
+                            "v": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return time_weighted_avg(ints, key="user_id", ts="ts", tie="event_id",
+                             val="v")
+
+
+SQL_TWA_EVENTS = """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT user_id,
+       CAST((CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                            ELSE v * (nxt - t) END) AS HUGEINT) * 1000000)
+            // (MAX(t) - MIN(t)) AS BIGINT) AS twa_e6
+FROM o GROUP BY user_id
+HAVING MAX(t) > MIN(t)
+"""
+
+
 def q_hierarchy_flatten_part(sf_dir: str):
     """Hierarchy flattening by pointer jumping (stages/graph.py::
     pointer_jump_roots — Wyllie's path doubling, ⌈log₂ depth⌉ rounds vs
@@ -6501,6 +6536,7 @@ FROM q
 
 
 QUERIES = {
+    "twa_events": q_twa_events,
     "hierarchy_flatten_part": q_hierarchy_flatten_part,
     "pca_embeddings": q_pca_embeddings,
     "blb_ci_events": q_blb_ci_events,
@@ -6678,6 +6714,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "twa_events": SQL_TWA_EVENTS,
     "hierarchy_flatten_part": SQL_HIERARCHY_FLATTEN_PART,
     "mutual_info_events": SQL_MUTUAL_INFO_EVENTS,
     "ks_drift_documents": SQL_KS_DRIFT_DOCUMENTS,

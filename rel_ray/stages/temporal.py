@@ -921,3 +921,59 @@ def scd2_intervals(ds, *, key: str, ts: str, tie: str, val: str,
     return bucketed_group_apply(
         ds, key, per_bucket, num_buckets=num_buckets,
         sort_cols=[(ts, "ascending"), (tie, "ascending")])
+
+
+def time_weighted_avg(ds, *, key: str, ts: str, tie: str, val: str,
+                      num_buckets: int = 64,
+                      out_col: str = "twa_e6") -> "object":
+    """Time-weighted average per key — the metering/billing semantics:
+    each observation's value HOLDS until the next one, so
+    TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first) (keys with a zero span
+    are dropped, the SQL HAVING). INTEGER-EXACT: values are integer
+    units, timestamps integer µs, and the per-interval products fold
+    with masked reduceat; out_col = trunc(num·1e6 / span) (µ-units).
+    Overflow guard: max|v|·span must fit int64 — raises loudly past it.
+    One bucket exchange."""
+    from ..functions.rayutil import segment_starts
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        kc = bucket.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if n == 0:
+            return pa.table({key: kc,
+                             out_col: pa.array([], type=pa.int64())})
+        t = np.asarray(pc.cast(bucket.column(ts), pa.int64()))
+        v = np.asarray(bucket.column(val), dtype=np.int64)
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        lens = np.diff(np.append(starts, n))
+        ends = starts + lens - 1
+        span = t[ends] - t[starts]
+        if len(v) and (np.abs(v).max(initial=0)
+                       * max(int(span.max(initial=0)), 1)) >= 2**62:
+            raise ValueError(
+                "time_weighted_avg: value x span exceeds the int64 "
+                "product bound — rescale the value or shard the span")
+        dt = np.zeros(n, dtype=np.int64)
+        dt[:-1] = t[1:] - t[:-1]
+        dt[ends] = 0  # no interval past a key's last observation
+        prod = v * dt
+        num = np.add.reduceat(prod, starts)
+        keep = span > 0
+        nk, sk = num[keep], span[keep]
+        if len(sk) and int(sk.max()) < 2**63 // 10**6:
+            # exact two-step division, no 128-bit needed:
+            # (q*span + r)*1e6/span = q*1e6 + r*1e6//span, r < span
+            q, r = nk // sk, nk % sk
+            twa = q * 10**6 + (r * 10**6) // sk
+        else:  # spans past ~292 years of µs: arbitrary-precision per key
+            twa = np.array([int(a) * 10**6 // int(b)
+                            for a, b in zip(nk, sk)], dtype=np.int64)
+        return pa.table({
+            key: kc.take(pa.array(starts[keep])),
+            out_col: pa.array(twa)})
+
+    return bucketed_group_apply(
+        ds, key, per_bucket, num_buckets=num_buckets,
+        sort_cols=[(ts, "ascending"), (tie, "ascending")])

@@ -2877,3 +2877,20 @@ class TestPca:
         p2 = np.stack(_collect(o2).to_pandas().sort_values("vec_id")
                       ["proj"].to_numpy())
         assert np.array_equal(p1, p2)
+
+
+class TestTimeWeightedAvg:
+    def test_holds_until_next(self, ray_session):
+        from rel_ray.stages.temporal import time_weighted_avg
+        # k=1: v=10 for 3us, v=40 for 1us -> (30+40)/4 = 17.5 -> 17.5e6
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array([0, 3, 4, 9], type=pa.timestamp("us")),
+            "tie": pa.array([0, 1, 2, 0], type=pa.int64()),
+            "v": pa.array([10, 40, 99, 7], type=pa.int64())})
+        out = _collect(time_weighted_avg(
+            rd.from_arrow(t), key="k", ts="ts", tie="tie", val="v",
+            num_buckets=1)).to_pandas()
+        # single-event key 2 dropped (zero span)
+        assert out["k"].tolist() == [1]
+        assert out["twa_e6"].tolist() == [70 * 10**6 // 4]
