@@ -5197,6 +5197,185 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_attribution_events(sf_dir: str):
+    """First/last-touch attribution (stages/behavior.py::
+    touch_attribution): for every purchase, the min/max click event_id in
+    the trailing 24h window per user. One bucket exchange; window bounds
+    via the range_join composite searchsorted, per-window MIN/MAX via one
+    interleaved reduceat with a sentinel (overlapping windows, no per-row
+    Python). Hash-exact vs the RANGE-frame window twin."""
+    from ..stages.behavior import touch_attribution
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return touch_attribution(ev, key="user_id", ts="ts", tie="event_id",
+                             type_col="event_type", touch_type="click",
+                             convert_type="purchase",
+                             window_us=24 * 3600 * 1_000_000)
+
+
+SQL_ATTRIBUTION_EVENTS = """
+WITH w AS (SELECT user_id, event_id, event_type, ts,
+                  MIN(CASE WHEN event_type = 'click' THEN event_id END)
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                      AND CURRENT ROW) AS first_touch,
+                  MAX(CASE WHEN event_type = 'click' THEN event_id END)
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                      AND CURRENT ROW) AS last_touch
+           FROM events)
+SELECT user_id, event_id AS convert_id, first_touch, last_touch
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+def q_autocorr_events(sf_dir: str):
+    """Lag-1 autocorrelation of the event value over each user's ordered
+    stream (pooled across users — consecutive (vᵢ, vᵢ₊₁) pairs never
+    straddle a user): does activity value persist? Six INTEGER-EXACT
+    sufficient statistics from one bucket exchange + shifted compares;
+    the correlation is the one fixed-shape f64 expression numpy and
+    DuckDB round identically (the grouped_corr idiom)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import bucketed_group_apply, segment_starts
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ints = ev.map_batches(
+        lambda t: pa.table({"user_id": t.column("user_id"),
+                            "ts": t.column("ts"),
+                            "event_id": t.column("event_id"),
+                            "v": _cents(t.column("value"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        if n < 2:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("g", "n", "sx", "sy", "sxx",
+                                       "syy", "sxy")})
+        v = np.asarray(bucket.column("v"), dtype=np.int64)
+        starts = np.asarray(segment_starts(bucket.column("user_id")))
+        seg_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.append(starts, n)))
+        ok = seg_id[:-1] == seg_id[1:]
+        x, y = v[:-1][ok], v[1:][ok]
+        return pa.table({
+            "g": pa.array([0], type=pa.int64()),
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64())})
+
+    agg = (bucketed_group_apply(
+        ints, "user_id", pairs, num_buckets=64,
+        sort_cols=[("ts", "ascending"), ("event_id", "ascending")])
+        .groupby("g").aggregate(Sum("n"), Sum("sx"), Sum("sy"),
+                                Sum("sxx"), Sum("syy"), Sum("sxy")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = {c: int(t.column(f"sum({c})")[0].as_py())
+             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        d = {c: np.float64(v) for c, v in g.items()}
+        num = d["n"] * d["sxy"] - d["sx"] * d["sy"]
+        den = np.sqrt(d["n"] * d["sxx"] - d["sx"] * d["sx"]) \
+            * np.sqrt(d["n"] * d["syy"] - d["sy"] * d["sy"])
+        return pa.table({
+            "n": pa.array([g["n"]], type=pa.int64()),
+            "sxy": pa.array([g["sxy"]], type=pa.int64()),
+            "autocorr": pa.array([float(num / den) if den > 0 else None],
+                                 type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_AUTOCORR_EVENTS = """
+WITH s AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+                  lead(CAST(ROUND(value * 100) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS y
+           FROM events),
+p AS (SELECT x, y FROM s WHERE y IS NOT NULL),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx,
+             CAST(SUM(y*y) AS HUGEINT) AS syy,
+             CAST(SUM(x*y) AS HUGEINT) AS sxy
+      FROM p)
+SELECT CAST(n AS BIGINT) AS n, CAST(sxy AS BIGINT) AS sxy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS autocorr
+FROM t
+"""
+
+
+def q_top_paths_events(sf_dir: str):
+    """Top-25 length-3 event-type paths (sequential trigrams per user in
+    (ts, event_id) order) — the journey-mining extension of the Markov
+    transition matrix. One bucket exchange; trigrams are two shifted
+    compares inside each user segment (vectorized), counts via one
+    skinny groupby, top-25 with (count desc, path asc) tie-breaks via
+    global_topk (k rows per block, no global sort). Hash-exact vs the
+    double-lead window twin."""
+    from ray.data.aggregate import Count
+
+    from ..functions.rayutil import (bucketed_group_apply, global_topk,
+                                     segment_starts)
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def trigrams(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        et = bucket.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        if n < 3:
+            return pa.table({"path": pa.array([], type=pa.string())})
+        starts = np.asarray(segment_starts(bucket.column("user_id")))
+        seg_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.append(starts, n)))
+        ok = np.zeros(n - 2, dtype=bool)
+        ok = (seg_id[:-2] == seg_id[2:])
+        idx = np.flatnonzero(ok)
+        joined = pc.binary_join_element_wise(
+            et.take(pa.array(idx)), et.take(pa.array(idx + 1)),
+            et.take(pa.array(idx + 2)), ">")
+        return pa.table({"path": joined})
+
+    grams = bucketed_group_apply(
+        ev, "user_id", trigrams, num_buckets=64,
+        sort_cols=[("ts", "ascending"), ("event_id", "ascending")])
+    counts = (grams.groupby("path").aggregate(Count())
+              .map_batches(lambda t: t.rename_columns(["path", "n"]),
+                           batch_format="pyarrow", zero_copy_batch=True))
+    return global_topk(counts, [("n", "descending"),
+                                ("path", "ascending")], 25)
+
+
+SQL_TOP_PATHS_EVENTS = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 25
+"""
+
+
 def q_twa_events(sf_dir: str):
     """Time-weighted average event value per user (stages/temporal.py::
     time_weighted_avg — metering semantics: a value holds until the next
@@ -6536,6 +6715,9 @@ FROM q
 
 
 QUERIES = {
+    "attribution_events": q_attribution_events,
+    "autocorr_events": q_autocorr_events,
+    "top_paths_events": q_top_paths_events,
     "twa_events": q_twa_events,
     "hierarchy_flatten_part": q_hierarchy_flatten_part,
     "pca_embeddings": q_pca_embeddings,
@@ -6714,6 +6896,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "attribution_events": SQL_ATTRIBUTION_EVENTS,
+    "autocorr_events": SQL_AUTOCORR_EVENTS,
+    "top_paths_events": SQL_TOP_PATHS_EVENTS,
     "twa_events": SQL_TWA_EVENTS,
     "hierarchy_flatten_part": SQL_HIERARCHY_FLATTEN_PART,
     "mutual_info_events": SQL_MUTUAL_INFO_EVENTS,

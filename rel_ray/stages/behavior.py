@@ -422,3 +422,93 @@ def market_basket_pairs(ds, *, key: str, item: str,
 
     return pair_counts.map_batches(finish, batch_format="pyarrow",
                                    zero_copy_batch=True)
+
+
+def touch_attribution(ds, *, key: str, ts: str, tie: str, type_col: str,
+                      touch_type: str, convert_type: str,
+                      window_us: int, num_buckets: int = 64):
+    """First- and last-touch attribution: for every conversion event,
+    the MIN and MAX ``tie`` (event id) among the key's ``touch_type``
+    events inside the trailing time window [t_conv − window, t_conv] —
+    the marketing-attribution primitive (which touch gets credit), and
+    over resolved identities exactly the post-linkage consumer workload
+    this engine exists for.
+
+    One bucket exchange; per bucket the windows are two searchsorteds
+    over each segment's touch rows, and the per-window MIN/MAX run as
+    ONE interleaved ``np.minimum/maximum.reduceat`` over the
+    [lo, hi) pairs — overlapping windows, zero per-row Python. Empty
+    windows yield NULLs. Output: (key, convert_id, first_touch,
+    last_touch)."""
+    from ..functions.rayutil import segment_starts
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        n = bucket.num_rows
+        empty = pa.table({
+            key: bucket.column(key).slice(0, 0),
+            "convert_id": pa.array([], type=pa.int64()),
+            "first_touch": pa.array([], type=pa.int64()),
+            "last_touch": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        et = bucket.column(type_col)
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        t = np.asarray(pc.cast(bucket.column(ts), pa.int64()))
+        eid = np.asarray(bucket.column(tie), dtype=np.int64)
+        is_touch = np.asarray(pc.equal(et, touch_type))
+        is_conv = np.asarray(pc.equal(et, convert_type))
+        starts = np.asarray(segment_starts(bucket.column(key)))
+        seg_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.append(starts, n)))
+        conv_idx = np.flatnonzero(is_conv)
+        if len(conv_idx) == 0:
+            return empty
+        touch_idx = np.flatnonzero(is_touch)
+        tt = t[touch_idx]
+        tseg = seg_id[touch_idx]
+        teid = eid[touch_idx]
+        m = len(teid)
+        # composite (segment, time-offset) searchsorted — the range_join
+        # idiom: one vectorized search answers every window bound
+        from ..stages.temporal import _composite, _time_bits
+        t0 = int(t.min())
+        t_bits = _time_bits(int(t.max()) - t0 + window_us)
+        if int(seg_id.max()).bit_length() + t_bits > 63:
+            raise ValueError(
+                f"touch_attribution composite overflow "
+                f"({int(seg_id.max()) + 1} keys x the bucket's time span)"
+                f" — raise num_buckets")
+        comp_touch = _composite(tseg, (tt - t0).astype(np.int64)
+                                + np.int64(1), t_bits)
+        cv_seg = seg_id[conv_idx]
+        cv_t = t[conv_idx]
+        lo = np.searchsorted(comp_touch, _composite(
+            cv_seg, np.maximum(cv_t - window_us - t0, 0).astype(np.int64)
+            + np.int64(1), t_bits), side="left")
+        hi = np.searchsorted(comp_touch, _composite(
+            cv_seg, (cv_t - t0).astype(np.int64) + np.int64(1), t_bits),
+            side="right")
+        has = hi > lo
+        # per-window MIN/MAX via interleaved reduceat; a sentinel row
+        # makes every index (incl. hi == m) valid and edge-free
+        pairs = np.stack([lo, hi], axis=1).ravel()
+        mins = np.minimum.reduceat(
+            np.append(teid, np.iinfo(np.int64).max), pairs)[::2]
+        maxs = np.maximum.reduceat(
+            np.append(teid, np.iinfo(np.int64).min), pairs)[::2]
+        first = np.where(has, mins, 0)
+        last = np.where(has, maxs, 0)
+        kc = bucket.column(key)
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        return pa.table({
+            key: kc.take(pa.array(conv_idx)),
+            "convert_id": pa.array(eid[conv_idx]),
+            "first_touch": pa.array(first, type=pa.int64(),
+                                    mask=~has),
+            "last_touch": pa.array(last, type=pa.int64(), mask=~has)})
+
+    return bucketed_group_apply(
+        ds, key, per_bucket, num_buckets=num_buckets,
+        sort_cols=[(ts, "ascending"), (tie, "ascending")])

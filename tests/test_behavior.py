@@ -483,3 +483,33 @@ class TestPointerJump:
         import pytest as _pt
         with _pt.raises(Exception, match="missing"):
             _df(pointer_jump_roots(self._parents([(1, 99)])))
+
+
+class TestAttribution:
+    def test_first_last_touch_windows(self, ray_session):
+        from rel_ray.stages.behavior import touch_attribution
+        # user 1: clicks at t=1(id10),3(id11),5(id12); buys at t=6(id20)
+        #   window 4 -> clicks in [2,6] = ids 11,12 -> first 11, last 12
+        # user 1: buys at t=20(id21) -> window [16,20] empty -> nulls
+        # user 2: click at t=7(id30); buys at t=7(id40) -> same-ts click
+        #   included -> first=last=30
+        rows = [
+            (1, 1, "click", 10), (1, 3, "click", 11), (1, 5, "click", 12),
+            (1, 6, "buy", 20), (1, 20, "buy", 21),
+            (2, 7, "click", 30), (2, 7, "buy", 40)]
+        t = pa.table({
+            "u": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "eid": pa.array([r[3] for r in rows], type=pa.int64()),
+            "et": pa.array([r[2] for r in rows])})
+        out = _df(touch_attribution(
+            rd.from_arrow(t), key="u", ts="ts", tie="eid", type_col="et",
+            touch_type="click", convert_type="buy", window_us=4,
+            num_buckets=1)).sort_values("convert_id") \
+            .reset_index(drop=True)
+        assert out["convert_id"].tolist() == [20, 21, 40]
+        assert out["first_touch"].tolist()[0] == 11
+        assert out["last_touch"].tolist()[0] == 12
+        assert out["first_touch"].isna().tolist() == [False, True, False]
+        assert out["first_touch"].tolist()[2] == 30
+        assert out["last_touch"].tolist()[2] == 30
