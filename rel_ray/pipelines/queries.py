@@ -5197,6 +5197,80 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_grouped_means_events(sf_dir: str):
+    """Grouped harmonic and geometric means of the event value per type
+    (latency-style vs ratio-style averaging — the two non-arithmetic
+    Pythagorean means). Harmonic is INTEGER-EXACT: each reciprocal is
+    per-term floor-quantized at 1e12 (rq = 1e12 // cents, an exact
+    integer, order-independent sum), hm_e6 = trunc(n·1e12·1e6 / Σrq).
+    Geometric uses the quantized-log idiom: counts/Σln exact per term in
+    f64, gm_e6 quantized after exp (1-ulp ln/exp divergence ≪ the 1e-6
+    grid at these magnitudes). Rows with zero cents are excluded from
+    both (the SQL WHERE)."""
+    from ray.data.aggregate import Sum
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        v = np.asarray(_cents(t.column("value")), dtype=np.int64)
+        keep = v > 0
+        et = et.filter(pa.array(keep))
+        v = v[keep]
+        enc = pc.dictionary_encode(et)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        rq = 10**12 // v
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=k)
+                          .astype(np.int64)),
+            "sr": pa.array(np.bincount(codes, weights=rq, minlength=k)
+                           .astype(np.int64)),
+            "sl": pa.array(np.bincount(codes, weights=np.log(v),
+                                       minlength=k))})
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type").aggregate(Sum("n"), Sum("sr"),
+                                            Sum("sl")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("sum(n)").to_pylist()
+        sr = t.column("sum(sr)").to_pylist()
+        sl = np.asarray(t.column("sum(sl)"), dtype=np.float64)
+        hm = [(m * 10**12 * 10**6) // s if s else None
+              for m, s in zip(n, sr)]
+        gm = np.floor(np.exp(sl / np.asarray(n, dtype=np.float64))
+                      * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": pa.array(n, type=pa.int64()),
+            "harmonic_e6": pa.array(hm, type=pa.int64()),
+            "geometric_e6": pa.array(gm)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_GROUPED_MEANS_EVENTS = """
+WITH t AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(1000000000000 // v) AS HUGEINT) AS sr,
+             SUM(ln(CAST(v AS DOUBLE))) AS sl
+      FROM t GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000000000 * 1000000) // sr AS BIGINT)
+           AS harmonic_e6,
+       CAST(FLOOR(exp(sl / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS geometric_e6
+FROM a
+"""
+
+
 def q_attribution_events(sf_dir: str):
     """First/last-touch attribution (stages/behavior.py::
     touch_attribution): for every purchase, the min/max click event_id in
@@ -6715,6 +6789,7 @@ FROM q
 
 
 QUERIES = {
+    "grouped_means_events": q_grouped_means_events,
     "attribution_events": q_attribution_events,
     "autocorr_events": q_autocorr_events,
     "top_paths_events": q_top_paths_events,
@@ -6896,6 +6971,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "grouped_means_events": SQL_GROUPED_MEANS_EVENTS,
     "attribution_events": SQL_ATTRIBUTION_EVENTS,
     "autocorr_events": SQL_AUTOCORR_EVENTS,
     "top_paths_events": SQL_TOP_PATHS_EVENTS,
