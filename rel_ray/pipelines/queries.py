@@ -5197,6 +5197,73 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_pagerank_weighted_events(sf_dir: str):
+    """Edge-weighted PageRank (stages/graph.py::pagerank_weighted) over
+    the user → event_type graph with value-cents edge weights:
+    contributions split by weight share, zero-out-weight nodes dangling.
+    VALUE-EXACT vs the unrolled weighted chained-CTE twin at 1e-9
+    quantization (the pagerank oracle idiom)."""
+    from ..stages.graph import pagerank_weighted
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type",
+                                "value"]).map_batches(
+        lambda t: pa.table({
+            "src": pc.binary_join_element_wise(
+                pa.array(["u"] * t.num_rows),
+                pc.cast(t.column("user_id"), pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                pa.array(["t"] * t.num_rows), t.column("event_type"), ""),
+            "w": pc.cast(_cents(t.column("value")), pa.float64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return pagerank_weighted(ev, iters=10).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "rank_e9": pc.cast(pc.round(pc.multiply(
+                t.column("rank"), pa.scalar(1e9))), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pagerank_weighted_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled weighted-PageRank twin of pagerank_weighted (same update:
+    contribution r·w/W_out, dangling = zero out-weight, rank init 1/N)."""
+    d = repr(damping)
+    parts = [f"""
+WITH edges AS MATERIALIZED (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src, 't' || event_type AS dst,
+         CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS w
+  FROM events),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+wout AS MATERIALIZED (
+  SELECT n.node, COALESCE(o.sw, 0.0) AS sw
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, SUM(w) AS sw FROM edges GROUP BY src) o
+  USING (node)),
+r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+b{k} AS MATERIALIZED (
+  SELECT (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * COALESCE((SELECT SUM(r.rank) FROM r{p} r
+                           JOIN wout g USING (node) WHERE g.sw = 0), 0.0)
+           / (SELECT n FROM nn) AS base),
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank * e.w / g.sw) AS c
+  FROM edges e JOIN r{p} r ON r.node = e.src
+  JOIN wout g ON g.node = e.src
+  WHERE g.sw > 0
+  GROUP BY e.dst),
+r{k} AS MATERIALIZED (
+  SELECT n.node, {d} * COALESCE(c.c, 0.0) + (SELECT base FROM b{k}) AS rank
+  FROM nodes n LEFT JOIN c{k} c USING (node))""")
+    parts.append(f"""
+SELECT node, CAST(ROUND(rank * 1e9) AS BIGINT) AS rank_e9 FROM r{iters}""")
+    return "".join(parts)
+
+
 def q_grouped_means_events(sf_dir: str):
     """Grouped harmonic and geometric means of the event value per type
     (latency-style vs ratio-style averaging — the two non-arithmetic
@@ -6789,6 +6856,7 @@ FROM q
 
 
 QUERIES = {
+    "pagerank_weighted_events": q_pagerank_weighted_events,
     "grouped_means_events": q_grouped_means_events,
     "attribution_events": q_attribution_events,
     "autocorr_events": q_autocorr_events,
@@ -6971,6 +7039,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "pagerank_weighted_events": _pagerank_weighted_sql(),
     "grouped_means_events": SQL_GROUPED_MEANS_EVENTS,
     "attribution_events": SQL_ATTRIBUTION_EVENTS,
     "autocorr_events": SQL_AUTOCORR_EVENTS,
