@@ -1046,3 +1046,111 @@ def fs_explain_pairs(edges, *, feature_cols=("sim_jaccard", "sim_jw",
 
     return edges.map_batches(explain, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def blocking_rule_frontier(records, labels, *, id_col: str = "record_id",
+                           rules: dict | None = None,
+                           text_col: str = "mention_norm",
+                           num_buckets: int = 64) -> pa.Table:
+    """Blocking-rule analysis (the Splink `blocking_rule` report): for
+    every candidate rule, the CANDIDATE PAIR COUNT it would generate and
+    its RECALL on labeled true pairs — the cost/coverage frontier a
+    practitioner reads before picking blocking keys. A rule that covers
+    99% of true pairs at 10⁶ candidates beats one covering 99.9% at 10⁹.
+
+    ``rules``: {name: fn} with fn mapping a string Array → key Array
+    (empty-string keys are excluded — the engine-wide empty-block
+    sentinel). Candidate count per rule = Σ c·(c−1)/2 over key groups —
+    counted from the key histogram, NO pair materialization. Recall: one
+    cogroup attach of each side's key onto the labeled pairs, covered ⇔
+    keys equal and non-empty. Scale: one skinny groupby + two cogroup
+    attaches per rule, rules are a handful.
+
+    Returns (rule, cand_pairs, true_pairs, covered, recall_e6) rows."""
+    if rules is None:
+        from ..functions.phonetic import soundex_codes
+
+        def first_char(col):
+            return pc.utf8_slice_codeunits(col, 0, 1)
+
+        def prefix3(col):
+            return pc.utf8_slice_codeunits(col, 0, 3)
+
+        def first_token(col):
+            parts = pc.split_pattern(col, " ")
+            return pc.list_element(parts, 0)
+
+        rules = {"first_char": first_char, "prefix3": prefix3,
+                 "first_token": first_token, "soundex": soundex_codes}
+
+    lab = labels.map_batches(
+        lambda t: t.filter(pc.cast(t.column("same_entity"), pa.bool_()))
+        .select(["id_a", "id_b"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_true = lab.count()
+
+    rows = []
+    for name, fn in rules.items():
+        keyed = records.map_batches(
+            lambda t, f=fn: pa.table({
+                "rid": t.column(id_col),
+                "key": f(t.column(text_col).combine_chunks()
+                         if isinstance(t.column(text_col),
+                                       pa.ChunkedArray)
+                         else t.column(text_col))}),
+            batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            lambda t: t.filter(pc.and_(pc.is_valid(t.column("key")),
+                                       pc.not_equal(t.column("key"),
+                                                    ""))),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        sizes = keyed.groupby("key").count()
+        cand = 0
+        for b in sizes.iter_batches(batch_format="pyarrow"):
+            c = np.asarray(pa.table(b).column("count()"), dtype=np.int64)
+            cand += int((c * (c - 1) // 2).sum())
+
+        covered = _count_covered(lab, keyed, num_buckets)
+        rows.append((name, cand, n_true, covered,
+                     (covered * 10**6) // n_true if n_true else None))
+    return pa.table({
+        "rule": pa.array([r[0] for r in rows]),
+        "cand_pairs": pa.array([r[1] for r in rows], type=pa.int64()),
+        "true_pairs": pa.array([r[2] for r in rows], type=pa.int64()),
+        "covered": pa.array([r[3] for r in rows], type=pa.int64()),
+        "recall_e6": pa.array([r[4] for r in rows], type=pa.int64())})
+
+
+def _count_covered(lab, keyed, num_buckets: int) -> int:
+    """Count labeled pairs whose two records share the (non-empty) key:
+    two cogroup attaches, then an equality filter count."""
+    from ..stages.joins import cogroup_join_multi
+
+    a = cogroup_join_multi(
+        lab.map_batches(
+            lambda t: pa.table({"rid": t.column("id_a"),
+                                "other": t.column("id_b")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        keyed, key="rid", left_cols=["other"], right_cols=["key"],
+        num_buckets=num_buckets, how="inner",
+        left_schema=pa.schema([("rid", pa.string()),
+                               ("other", pa.string())]),
+        right_schema=pa.schema([("rid", pa.string()),
+                                ("key", pa.string())]))
+    b = cogroup_join_multi(
+        a.map_batches(
+            lambda t: pa.table({"rid": t.column("other"),
+                                "key_a": t.column("key")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        keyed.map_batches(
+            lambda t: t.rename_columns(["rid", "key_b"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key="rid", left_cols=["key_a"], right_cols=["key_b"],
+        num_buckets=num_buckets, how="inner",
+        left_schema=pa.schema([("rid", pa.string()),
+                               ("key_a", pa.string())]),
+        right_schema=pa.schema([("rid", pa.string()),
+                                ("key_b", pa.string())]))
+    return b.map_batches(
+        lambda t: t.filter(pc.equal(t.column("key_a"),
+                                    t.column("key_b"))),
+        batch_format="pyarrow", zero_copy_batch=True).count()

@@ -5197,6 +5197,30 @@ FROM deg d LEFT JOIN pernode p USING (node)
 """
 
 
+def q_blocking_frontier_transcripts(sf_dir: str):
+    """Blocking-rule cost/coverage frontier (pipelines/eval.py::
+    blocking_rule_frontier — the Splink blocking-analysis report):
+    candidate-pair count from the key histogram (no pair
+    materialization) + recall on labeled true pairs via two cogroup key
+    attaches, for four candidate rules (first_char / prefix3 /
+    first_token / soundex) over the deterministic labeled corpus (the
+    blocking_metrics fixture). Rows-only; arithmetic pinned in
+    tests/test_eval.py."""
+    import ray.data as rd
+
+    from ..synth import generate_corpus
+    from .eval import blocking_rule_frontier
+    from .linkage import run_linkage
+
+    tables = generate_corpus(seed=21, n_convs=300)
+    out = run_linkage(rd.from_arrow(tables["transcripts"]), CFG)
+    records = out["records"].map_batches(
+        lambda t: t.select(["record_id", "mention_norm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    labels = rd.from_arrow(tables["labels"])
+    return blocking_rule_frontier(records, labels)
+
+
 def q_pagerank_weighted_events(sf_dir: str):
     """Edge-weighted PageRank (stages/graph.py::pagerank_weighted) over
     the user → event_type graph with value-cents edge weights:
@@ -6856,6 +6880,7 @@ FROM q
 
 
 QUERIES = {
+    "blocking_frontier_transcripts": q_blocking_frontier_transcripts,
     "pagerank_weighted_events": q_pagerank_weighted_events,
     "grouped_means_events": q_grouped_means_events,
     "attribution_events": q_attribution_events,

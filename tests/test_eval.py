@@ -305,3 +305,32 @@ class TestFsExplain:
         hi = out[is_match]["posterior_e6"].mean()
         lo = out[~is_match]["posterior_e6"].mean()
         assert hi > 0.9e6 and lo < 0.5e6
+
+
+class TestBlockingFrontier:
+    def test_counts_and_recall(self, ray_session):
+        from rel_ray.pipelines.eval import blocking_rule_frontier
+        recs = rd.from_arrow(pa.table({
+            "record_id": pa.array(["r1", "r2", "r3", "r4"]),
+            "mention_norm": pa.array(["anna b", "anna c", "bob x",
+                                      "bella y"])}))
+        labels = rd.from_arrow(pa.table({
+            "id_a": pa.array(["r1", "r3"]),
+            "id_b": pa.array(["r2", "r4"]),
+            "same_entity": pa.array([True, True])}))
+        out = blocking_rule_frontier(
+            recs, labels,
+            rules={"first_char": lambda c: pa.compute.utf8_slice_codeunits(
+                c, 0, 1),
+                "first_token": lambda c: pa.compute.list_element(
+                    pa.compute.split_pattern(c, " "), 0)}).to_pandas() \
+            .set_index("rule")
+        # first_char: keys a,a,b,b -> cand 1+1=2; covers r1-r2 (a==a),
+        # covers r3-r4 (b==b) -> recall 1.0
+        assert out.loc["first_char", "cand_pairs"] == 2
+        assert out.loc["first_char", "covered"] == 2
+        assert out.loc["first_char", "recall_e6"] == 10**6
+        # first_token: anna,anna,bob,bella -> cand 1; covers only r1-r2
+        assert out.loc["first_token", "cand_pairs"] == 1
+        assert out.loc["first_token", "covered"] == 1
+        assert out.loc["first_token", "recall_e6"] == 5 * 10**5
