@@ -2894,3 +2894,27 @@ class TestTimeWeightedAvg:
         # single-event key 2 dropped (zero span)
         assert out["k"].tolist() == [1]
         assert out["twa_e6"].tolist() == [70 * 10**6 // 4]
+
+
+class TestPpmCodec:
+    def test_roundtrip_and_known_pixels(self, ray_session):
+        import numpy as np
+        from rel_ray.stages.multimodal import decode_ppm, encode_ppm
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        # hand-built header with comment + known pixel bytes
+        payload = (b"P6\n# a comment\n2 1\n255\n"
+                   + bytes([255, 0, 0, 0, 255, 0]))
+        out = decode_ppm(payload)
+        assert out.shape == (1, 2, 3)
+        assert out[0, 0].tolist() == [255, 0, 0]
+        assert out[0, 1].tolist() == [0, 255, 0]
+
+    def test_rejects_wrong_magic_and_maxval(self, ray_session):
+        import numpy as np
+        import pytest as _pt
+        from rel_ray.stages.multimodal import decode_ppm
+        with _pt.raises(ValueError, match="P6"):
+            decode_ppm(b"P5\n1 1\n255\n\x00")
+        with _pt.raises(ValueError, match="maxval"):
+            decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00")
