@@ -1048,6 +1048,26 @@ def fs_explain_pairs(edges, *, feature_cols=("sim_jaccard", "sim_jw",
                              zero_copy_batch=True)
 
 
+def default_blocking_rules() -> dict:
+    """The four stock candidate blocking rules the frontier report
+    measures (each maps a string Array → key Array): first character,
+    3-char prefix, first whitespace token, soundex code."""
+    from ..functions.phonetic import soundex_codes
+
+    def first_char(col):
+        return pc.utf8_slice_codeunits(col, 0, 1)
+
+    def prefix3(col):
+        return pc.utf8_slice_codeunits(col, 0, 3)
+
+    def first_token(col):
+        parts = pc.split_pattern(col, " ")
+        return pc.list_element(parts, 0)
+
+    return {"first_char": first_char, "prefix3": prefix3,
+            "first_token": first_token, "soundex": soundex_codes}
+
+
 def blocking_rule_frontier(records, labels, *, id_col: str = "record_id",
                            rules: dict | None = None,
                            text_col: str = "mention_norm",
@@ -1068,20 +1088,7 @@ def blocking_rule_frontier(records, labels, *, id_col: str = "record_id",
 
     Returns (rule, cand_pairs, true_pairs, covered, recall_e6) rows."""
     if rules is None:
-        from ..functions.phonetic import soundex_codes
-
-        def first_char(col):
-            return pc.utf8_slice_codeunits(col, 0, 1)
-
-        def prefix3(col):
-            return pc.utf8_slice_codeunits(col, 0, 3)
-
-        def first_token(col):
-            parts = pc.split_pattern(col, " ")
-            return pc.list_element(parts, 0)
-
-        rules = {"first_char": first_char, "prefix3": prefix3,
-                 "first_token": first_token, "soundex": soundex_codes}
+        rules = default_blocking_rules()
 
     lab = labels.map_batches(
         lambda t: t.filter(pc.cast(t.column("same_entity"), pa.bool_()))

@@ -5101,12 +5101,75 @@ def q_bpe_token_count_documents(sf_dir: str):
     vocabulary (stages/tokenizer.py::bpe_token_counts): merge table
     broadcast once, per-batch dictionary-encode so the merge loop runs
     per DISTINCT word with a per-worker memo — the soundex idiom. Batch-
-    split invariance + driver-encode equality pinned in tests."""
+    split invariance + driver-encode equality pinned in tests.
+
+    VALUE-EXACT oracle via the degenerate-config twin: with ZERO merges
+    every word encodes to its characters, so the engine's encode path run
+    with an empty merge table must produce exactly
+    length(regexp_replace(lower(text), '[^a-z]', '')) — plain SQL. The
+    trained count is bracketed per doc (word count ≤ trained ≤ char
+    count; each merge only ever shrinks a word's symbol sequence) and the
+    bracket is emitted as a boolean the SQL asserts TRUE. Exact trained
+    values are pinned in tests/test_tokenizer.py."""
+    from ..stages.joins import cogroup_join_multi
     from ..stages.tokenizer import bpe_token_counts, bpe_train
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
     merges = bpe_train(docs, "text", 64, min_count=2)
-    return bpe_token_counts(docs, "text", "doc_id", merges)
+    trained = bpe_token_counts(docs, "text", "doc_id", merges)
+    empty = pa.table({"rank": pa.array([], type=pa.int64()),
+                      "left": pa.array([], type=pa.string()),
+                      "right": pa.array([], type=pa.string())})
+    base = bpe_token_counts(docs, "text", "doc_id", empty).map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_chars_az"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def words(t: pa.Table) -> pa.Table:
+        from ..functions.normalize import extract_all_matches
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ml = extract_all_matches(pc.utf8_lower(text), r"[a-z]+")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_words": pc.cast(pc.list_value_length(ml),
+                                            pa.int64())})
+
+    nw = docs.map_batches(words, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    j1 = cogroup_join_multi(
+        trained, base, key="doc_id", left_cols=["n_bpe_tokens"],
+        right_cols=["n_chars_az"],
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_bpe_tokens", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_chars_az", pa.int64())]))
+    j2 = cogroup_join_multi(
+        j1, nw, key="doc_id", left_cols=["n_bpe_tokens", "n_chars_az"],
+        right_cols=["n_words"],
+        left_schema=pa.schema([("n_bpe_tokens", pa.int64()),
+                               ("doc_id", pa.int64()),
+                               ("n_chars_az", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_words", pa.int64())]))
+    return j2.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars_az": t.column("n_chars_az"),
+            "trained_in_bounds": pc.and_(
+                pc.less_equal(t.column("n_words"),
+                              t.column("n_bpe_tokens")),
+                pc.less_equal(t.column("n_bpe_tokens"),
+                              t.column("n_chars_az")))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_BPE_TOKEN_COUNT_DOCUMENTS = """
+SELECT doc_id,
+       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+            AS BIGINT) AS n_chars_az,
+       TRUE AS trained_in_bounds
+FROM documents
+"""
 
 
 def q_roc_auc_events(sf_dir: str):
@@ -5204,21 +5267,179 @@ def q_blocking_frontier_transcripts(sf_dir: str):
     materialization) + recall on labeled true pairs via two cogroup key
     attaches, for four candidate rules (first_char / prefix3 /
     first_token / soundex) over the deterministic labeled corpus (the
-    blocking_metrics fixture). Rows-only; arithmetic pinned in
-    tests/test_eval.py."""
+    blocking_metrics fixture).
+
+    Agreement oracle: the corpus is synthesized, so SQL cannot see the
+    per-rule numbers — instead the wrapper recomputes the whole frontier
+    with an independent NAIVE driver reference (Counter over keys,
+    dict-lookup recall — fixture-scale only) and emits one boolean per
+    rule asserting the distributed histogram/cogroup path produced
+    identical (cand_pairs, true_pairs, covered, recall_e6); the SQL
+    asserts TRUE per rule. blocking_frontier_part is the fully
+    value-exact twin of the same operator on parquet data."""
     import ray.data as rd
 
+    from ..functions.rayutil import collect_table
     from ..synth import generate_corpus
-    from .eval import blocking_rule_frontier
+    from .eval import blocking_rule_frontier, default_blocking_rules
     from .linkage import run_linkage
 
     tables = generate_corpus(seed=21, n_convs=300)
     out = run_linkage(rd.from_arrow(tables["transcripts"]), CFG)
     records = out["records"].map_batches(
         lambda t: t.select(["record_id", "mention_norm"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     labels = rd.from_arrow(tables["labels"])
-    return blocking_rule_frontier(records, labels)
+    frontier = blocking_rule_frontier(records, labels)
+
+    # naive reference over the collected fixture (bounded: 300 convs)
+    rec = collect_table(records, pa.schema([
+        ("record_id", pa.string()), ("mention_norm", pa.string())]))
+    lab = tables["labels"]
+    lab = lab.filter(pc.cast(lab.column("same_entity"), pa.bool_()))
+    rows = {r["rule"]: r for r in frontier.to_pylist()}
+    oks = []
+    for name, fn in default_blocking_rules().items():
+        keys = fn(rec.column("mention_norm").combine_chunks())
+        kmap = {}
+        from collections import Counter
+        cnt: Counter = Counter()
+        for rid, k in zip(rec.column("record_id").to_pylist(),
+                          keys.to_pylist()):
+            if k:
+                kmap[rid] = k
+                cnt[k] += 1
+        cand = sum(c * (c - 1) // 2 for c in cnt.values())
+        n_true = lab.num_rows
+        covered = sum(
+            1 for a, b in zip(lab.column("id_a").to_pylist(),
+                              lab.column("id_b").to_pylist())
+            if kmap.get(a) is not None and kmap.get(a) == kmap.get(b))
+        r = rows.get(name)
+        oks.append((name, r is not None and r["cand_pairs"] == cand
+                    and r["true_pairs"] == n_true
+                    and r["covered"] == covered
+                    and r["recall_e6"] == (covered * 10**6) // n_true))
+    oks.sort()
+    return pa.table({"rule": pa.array([o[0] for o in oks]),
+                     "frontier_ok": pa.array([o[1] for o in oks])})
+
+
+SQL_BLOCKING_FRONTIER_TRANSCRIPTS = """
+SELECT rule, TRUE AS frontier_ok
+FROM (VALUES ('first_char'), ('prefix3'), ('first_token'), ('soundex'))
+     t(rule)
+"""
+
+
+def q_blocking_frontier_part(sf_dir: str):
+    """Blocking-rule cost/coverage frontier on parquet data, fully
+    VALUE-EXACT: records = part names, labeled true pairs = parts
+    sharing (p_brand, p_size) — both the label set and every frontier
+    number are plain SQL (cand_pairs = Σ c(c−1)/2 over the rule-key
+    histogram; covered = Σ c(c−1)/2 over (brand, size, key) groups).
+    The engine side runs the REAL general-path operator
+    (pipelines/eval.py::blocking_rule_frontier): label pairs generated
+    distributedly per (brand, size) group, recall via two cogroup key
+    attaches — nothing is special-cased for the oracle."""
+    from ..functions.rayutil import bucketed_group_apply
+    from .eval import blocking_rule_frontier
+
+    parts = _pq(sf_dir, "part", ["p_partkey", "p_name", "p_brand",
+                                 "p_size"])
+    records = parts.map_batches(
+        lambda t: pa.table({
+            "rid": pc.cast(t.column("p_partkey"), pa.string()),
+            "name": t.column("p_name")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    grouped = parts.map_batches(
+        lambda t: pa.table({
+            "grp": pc.binary_join_element_wise(
+                t.column("p_brand"),
+                pc.cast(t.column("p_size"), pa.string()), "|"),
+            "rid": pc.cast(t.column("p_partkey"), pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def group_pairs(bucket: pa.Table) -> pa.Table:
+        from ..functions.rayutil import segment_starts
+        n = bucket.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string()),
+                             "same_entity": pa.array([], type=pa.bool_())})
+        starts = np.asarray(segment_starts(bucket.column("grp")))
+        lens = np.diff(np.append(starts, n))
+        ia, ib = [], []
+        for s0, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            iu, ju = np.triu_indices(ln, k=1)
+            ia.append(iu + s0)
+            ib.append(ju + s0)
+        if not ia:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string()),
+                             "same_entity": pa.array([], type=pa.bool_())})
+        iu = np.concatenate(ia)
+        ju = np.concatenate(ib)
+        rid = bucket.column("rid")
+        if isinstance(rid, pa.ChunkedArray):
+            rid = rid.combine_chunks()
+        return pa.table({"id_a": rid.take(pa.array(iu)),
+                         "id_b": rid.take(pa.array(ju)),
+                         "same_entity": pa.array(
+                             np.ones(len(iu), dtype=bool))})
+
+    labels = bucketed_group_apply(grouped, "grp", group_pairs,
+                                  num_buckets=64,
+                                  sort_cols=[("rid", "ascending")])
+
+    def first_char(col):
+        return pc.utf8_slice_codeunits(col, 0, 1)
+
+    def prefix3(col):
+        return pc.utf8_slice_codeunits(col, 0, 3)
+
+    def first_token(col):
+        return pc.list_element(pc.split_pattern(col, " "), 0)
+
+    return blocking_rule_frontier(
+        records, labels, id_col="rid", text_col="name",
+        rules={"first_char": first_char, "prefix3": prefix3,
+               "first_token": first_token})
+
+
+def _sql_frontier_rule(name: str, key_expr: str) -> str:
+    return f"""
+SELECT '{name}' AS rule,
+  (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM
+     (SELECT COUNT(*) AS c FROM
+        (SELECT {key_expr} AS key FROM part)
+      WHERE key IS NOT NULL AND key <> '' GROUP BY key)) AS cand_pairs,
+  (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM
+     (SELECT COUNT(*) AS c FROM part GROUP BY p_brand, p_size))
+    AS true_pairs,
+  (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM
+     (SELECT COUNT(*) AS c FROM
+        (SELECT p_brand, p_size, {key_expr} AS key FROM part)
+      WHERE key IS NOT NULL AND key <> ''
+      GROUP BY p_brand, p_size, key)) AS covered
+"""
+
+
+SQL_BLOCKING_FRONTIER_PART = f"""
+WITH raw AS (
+  {_sql_frontier_rule('first_char', "substr(p_name, 1, 1)")}
+  UNION ALL
+  {_sql_frontier_rule('prefix3', "substr(p_name, 1, 3)")}
+  UNION ALL
+  {_sql_frontier_rule('first_token', "split_part(p_name, ' ', 1)")}
+)
+SELECT rule, cand_pairs, true_pairs, covered,
+       CAST(covered * 1000000 // true_pairs AS BIGINT) AS recall_e6
+FROM raw
+"""
 
 
 def q_pagerank_weighted_events(sf_dir: str):
@@ -5656,9 +5877,20 @@ def q_one_to_one_part(sf_dir: str):
     candidate pairs (stages/pairs.py::greedy_one_to_one): connected
     components of the pair graph are the matching scopes (components
     partition records, so the at-most-one guarantee holds globally),
-    greedy by (jw_e6 desc, ids asc) within each. Not SQL-expressible
-    (sequential greedy); matching semantics pinned on hand graphs in
-    tests/test_stages.py."""
+    greedy by (jw_e6 desc, ids asc) within each.
+
+    Oracle: the candidate-pair count is VALUE-EXACT (DuckDB's own
+    jaro_winkler_similarity reproduces the pair set bit-identically —
+    the jw_pairs_part twin), and the greedy matching is verified by its
+    UNIQUE characterization, emitted as booleans the SQL asserts TRUE:
+    (a) accepted pairs are vertex-disjoint, and (b) every candidate pair
+    NOT accepted has an accepted neighbor pair strictly earlier in the
+    greedy order (jw_e6 desc, id_a asc, id_b asc). Exactly one matching
+    satisfies both — induction over candidates in greedy order — so the
+    booleans pin the full output without SQL having to replay the
+    sequential scan. Verification collects only the candidate pairs
+    (bounded: blocked JW ≥ 0.93 survivors, not the corpus); matching
+    semantics also pinned on hand graphs in tests/test_stages.py."""
     import ray as _ray
 
     from ..config import DEFAULT_CONFIG as CFG
@@ -5691,8 +5923,79 @@ def q_one_to_one_part(sf_dir: str):
 
     scored = pairs.map_batches(prep, batch_format="pyarrow",
                                zero_copy_batch=True)
-    return greedy_one_to_one(scored, block_col="blk",
-                             score_col="jw_e6")
+    matched = greedy_one_to_one(scored, block_col="blk",
+                                score_col="jw_e6")
+    from ..functions.rayutil import collect_table
+    cand = collect_table(scored, pa.schema([
+        ("blk", pa.int64()), ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("jw_e6", pa.int64())]))
+    mt = collect_table(matched, pa.schema([
+        ("blk", pa.int64()), ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("jw_e6", pa.int64())]))
+    # (a) vertex-disjoint: every endpoint appears in at most one pair
+    ends = np.concatenate([np.asarray(mt.column("id_a"), dtype=np.int64),
+                           np.asarray(mt.column("id_b"), dtype=np.int64)])
+    ids_unique = bool(len(np.unique(ends)) == len(ends))
+    # (b) greedy dominance: order key per pair is (-jw, id_a, id_b);
+    # endpoint -> its accepted pair's order key (lexicographic int rows)
+    def keys(t):
+        return np.stack([-np.asarray(t.column("jw_e6"), dtype=np.int64),
+                         np.asarray(t.column("id_a"), dtype=np.int64),
+                         np.asarray(t.column("id_b"), dtype=np.int64)],
+                        axis=1)
+
+    mkeys = keys(mt)
+    order = np.argsort(ends, kind="stable")
+    sends = ends[order]
+    # accepted pair index per endpoint slot (pair i owns slots i and n+i)
+    pair_of = np.concatenate([np.arange(mt.num_rows)] * 2)[order]
+    ckeys = keys(cand)
+
+    def lookup(col):
+        pos = np.searchsorted(sends, col)
+        hit = (pos < len(sends))
+        pos = np.minimum(pos, max(len(sends) - 1, 0))
+        hit &= (sends[pos] == col) if len(sends) else False
+        return hit, pair_of[pos]
+
+    def earlier(col):
+        if mt.num_rows == 0:
+            return np.zeros(len(col), dtype=bool)
+        hit, pi = lookup(col)
+        mk = mkeys[pi]
+        lt = ((mk[:, 0] < ckeys[:, 0]) |
+              ((mk[:, 0] == ckeys[:, 0]) & (mk[:, 1] < ckeys[:, 1])) |
+              ((mk[:, 0] == ckeys[:, 0]) & (mk[:, 1] == ckeys[:, 1]) &
+               (mk[:, 2] < ckeys[:, 2])))
+        return hit & lt
+
+    ca = np.asarray(cand.column("id_a"), dtype=np.int64)
+    cb = np.asarray(cand.column("id_b"), dtype=np.int64)
+    # accepted ⇔ both endpoints map to a pair whose key equals this row's
+    def self_match(col):
+        if mt.num_rows == 0:
+            return np.zeros(len(col), dtype=bool)
+        hit, pi = lookup(col)
+        return hit & np.all(mkeys[pi] == ckeys, axis=1)
+
+    accepted = self_match(ca) & self_match(cb)
+    ok = accepted | earlier(ca) | earlier(cb)
+    greedy_consistent = bool(ok.all()) and mt.num_rows == int(
+        accepted.sum())
+    return pa.table({
+        "n_cand": pa.array([cand.num_rows], type=pa.int64()),
+        "ids_unique": pa.array([ids_unique]),
+        "greedy_consistent": pa.array([greedy_consistent])})
+
+
+SQL_ONE_TO_ONE_PART = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cand, TRUE AS ids_unique,
+       TRUE AS greedy_consistent
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+"""
 
 
 def q_mutual_info_events(sf_dir: str):
@@ -5873,16 +6176,63 @@ def q_fs_explain_transcripts(sf_dir: str):
     ::fs_explain_pairs — the Splink-style per-pair explanation): prior
     log2 odds + per-feature log2 Bayes factors at the pair's agreement
     levels, e6-quantized on the driver grid so total_e6 is exactly the
-    sum of its parts. Rows-only (EM fixpoint); the waterfall-sum
-    invariant and posterior monotonicity are pinned in tests."""
+    sum of its parts.
+
+    Identity oracle (the EM fixpoint itself is not SQL-expressible, but
+    the waterfall CONTRACT is): the wrapper verifies, over every emitted
+    pair, that (a) total_e6 == prior_e6 + Σ per-feature weight_e6 — the
+    additive-explanation property quantization must not break, (b)
+    posterior_e6 == round(σ(ln2·total_e6/1e6)·1e6) recomputed, and (c)
+    every agreement level lies in [0, n_cuts]; it emits one row of
+    booleans plus has_pairs, and the SQL asserts all TRUE (has_pairs
+    doubles as 'the corpus yields candidate pairs at threshold 0').
+    Checks run as per-batch folds (aggregate Min), never a driver
+    collect. Full per-pair values pinned in tests/test_eval.py."""
     import dataclasses
+
+    from ray.data.aggregate import Min, Sum
 
     from .eval import fs_explain_pairs
     from .linkage import run_linkage
 
     ungated = dataclasses.replace(CFG, threshold=0.0)
     out = run_linkage(transcripts_from_events(sf_dir), ungated)
-    return fs_explain_pairs(out["edges"])
+    ex = fs_explain_pairs(out["edges"])
+    feature_cols = ("sim_jaccard", "sim_jw", "sim_emb")
+
+    def fold(t: pa.Table) -> pa.Table:
+        tot = np.asarray(t.column("total_e6"), dtype=np.int64)
+        parts = np.asarray(t.column("prior_e6"), dtype=np.int64).copy()
+        lvl_ok = True
+        for c in feature_cols:
+            parts += np.asarray(t.column(f"{c}_weight_e6"),
+                                dtype=np.int64)
+            lv = np.asarray(t.column(f"{c}_level"), dtype=np.int64)
+            lvl_ok &= bool(((lv >= 0) & (lv <= 4)).all())
+        post = 1.0 / (1.0 + np.exp(-np.log(2.0) * tot / 1e6))
+        post_e6 = np.floor(post * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "sum_ok": pa.array([int((tot == parts).all())]),
+            "post_ok": pa.array([int((post_e6 == np.asarray(
+                t.column("posterior_e6"), dtype=np.int64)).all())]),
+            "lvl_ok": pa.array([int(lvl_ok)]),
+            "n": pa.array([t.num_rows], type=pa.int64())})
+
+    agg = (ex.map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .aggregate(Min("sum_ok"), Min("post_ok"), Min("lvl_ok"),
+                      Sum("n")))
+    return pa.table({
+        "waterfall_sum_ok": pa.array([bool(agg["min(sum_ok)"])]),
+        "posterior_ok": pa.array([bool(agg["min(post_ok)"])]),
+        "levels_in_range": pa.array([bool(agg["min(lvl_ok)"])]),
+        "has_pairs": pa.array([bool(agg["sum(n)"] or 0)])})
+
+
+SQL_FS_EXPLAIN_TRANSCRIPTS = """
+SELECT TRUE AS waterfall_sum_ok, TRUE AS posterior_ok,
+       TRUE AS levels_in_range, TRUE AS has_pairs
+"""
 
 
 def q_bridge_edges_events(sf_dir: str):
@@ -6365,9 +6715,20 @@ FROM s
 def q_isotonic_events(sf_dir: str):
     """Isotonic probability calibration (PAV — pipelines/eval.py::
     isotonic_fit) of the event value as a 'purchase' score: one combiner
-    pass + one distinct-score groupby, Fraction-exact pooling on the
-    driver's distinct-score table. Not SQL-expressible (iterative
-    pooling); exactness pinned in tests/test_eval.py vs a Fraction PAV."""
+    pass + one distinct-score groupby, integer-exact pooling on the
+    driver's distinct-score table.
+
+    VALUE-EXACT oracle on the fit's sufficient statistics — the emitted
+    (score, n, sum_y) per distinct score are exactly what SQL computes —
+    plus three engine-verified invariants of the PAV solution emitted as
+    boolean columns the SQL asserts TRUE: the fit is monotone
+    non-decreasing in score, every fitted value lies in [0, 1e9], and
+    total probability mass is preserved up to per-block floor error
+    (Σ n·fitted_e9 ∈ (1e9·Σ sum_y − Σ n, 1e9·Σ sum_y] — PAV pools
+    preserve Σ labels exactly; only the e9 floor loses < 1 per pooled
+    row). The fitted values themselves are pinned in tests/test_eval.py
+    against a Fraction-exact naive PAV (iterative pooling is not
+    SQL-expressible, but its contract is)."""
     from .eval import isotonic_fit
 
     ev = _pq(sf_dir, "events", ["event_type", "value"])
@@ -6376,7 +6737,33 @@ def q_isotonic_events(sf_dir: str):
             "score": _cents(t.column("value")),
             "lab": pc.equal(t.column("event_type"), "purchase")}),
         batch_format="pyarrow", zero_copy_batch=True)
-    return isotonic_fit(scored, score_col="score", label_col="lab")
+    fit = isotonic_fit(scored, score_col="score", label_col="lab")
+    f = np.asarray(fit.column("fitted_e9"), dtype=np.int64)
+    n = np.asarray(fit.column("n"), dtype=np.int64)
+    sy = np.asarray(fit.column("sum_y"), dtype=np.int64)
+    monotone = bool(np.all(np.diff(f) >= 0))
+    in_range = bool(np.all((f >= 0) & (f <= 10**9)))
+    mass = int((n * f).sum())
+    target = 10**9 * int(sy.sum())
+    mass_ok = target - int(n.sum()) < mass <= target
+    k = fit.num_rows
+    return pa.table({
+        "score": fit.column("score"), "n": fit.column("n"),
+        "sum_y": fit.column("sum_y"),
+        "fitted_monotone": pa.array([monotone] * k),
+        "fitted_in_range": pa.array([in_range] * k),
+        "mass_preserved": pa.array([mass_ok] * k)})
+
+
+SQL_ISOTONIC_EVENTS = """
+SELECT CAST(ROUND(value * 100) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS sum_y,
+       TRUE AS fitted_monotone, TRUE AS fitted_in_range,
+       TRUE AS mass_preserved
+FROM events GROUP BY 1
+"""
 
 
 def q_match_merge_documents(sf_dir: str):
@@ -6384,10 +6771,21 @@ def q_match_merge_documents(sf_dir: str):
     documents: evidence tokens = distinct lowercased words of length ≥ 4,
     match = ≥ 8 shared tokens, merge = token-set union — merging two docs
     can surface enough combined evidence to absorb a third that matched
-    neither parent (the closure pairwise near-dedup cannot reach). Not
-    SQL-expressible (iterative fixpoint); exactness pinned in
-    tests/test_swoosh.py against a sequential R-Swoosh reference
-    (order-independent under ICAR, so the naive greedy IS the answer)."""
+    neither parent (the closure pairwise near-dedup cannot reach).
+
+    Oracle: match_merge maps EVERY input record to its fixpoint entity,
+    so the emitted record_id column is VALUE-EXACT against
+    SELECT doc_id FROM documents — one row per doc, no loss, no
+    invention. The cluster assignment itself (iterative fixpoint, not
+    SQL-expressible) is verified by two emitted invariants the SQL
+    asserts TRUE: cluster_id ≤ record_id per row (cluster id = min
+    member code) and every cluster_id is itself a self-mapped root.
+    Exact merge semantics pinned in tests/test_swoosh.py against a
+    sequential R-Swoosh reference (order-independent under ICAR, so the
+    naive greedy IS the answer)."""
+    import ray as _ray
+
+    from ..functions.rayutil import get_broadcast
     from ..stages.swoosh import match_merge
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -6408,7 +6806,57 @@ def q_match_merge_documents(sf_dir: str):
 
     recs = docs.map_batches(tok, batch_format="pyarrow",
                             zero_copy_batch=True)
-    return match_merge(recs, theta=8)
+    mapped = match_merge(recs, theta=8)
+    # docs with no qualifying evidence tokens are singleton entities:
+    # left-join the full id set, absent rows map to themselves
+    ids = docs.map_batches(
+        lambda t: pa.table({"record_id": t.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    from ..stages.joins import cogroup_join_multi
+    mapped = cogroup_join_multi(
+        ids, mapped, key="record_id", left_cols=[],
+        right_cols=["cluster_id"], how="left",
+        left_schema=pa.schema([("record_id", pa.int64())]),
+        right_schema=pa.schema([("record_id", pa.int64()),
+                                ("cluster_id", pa.int64())])
+    ).map_batches(
+        lambda t: pa.table({
+            "record_id": t.column("record_id"),
+            "cluster_id": pc.coalesce(t.column("cluster_id"),
+                                      t.column("record_id"))}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    roots = mapped.map_batches(
+        lambda t: t.filter(pc.equal(t.column("record_id"),
+                                    t.column("cluster_id")))
+        .select(["cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    from ..functions.rayutil import collect_table
+    root_ids = np.sort(np.asarray(collect_table(
+        roots, pa.schema([("cluster_id", pa.int64())]))
+        .column("cluster_id"), dtype=np.int64))
+    ref = _ray.put(root_ids)
+
+    def check(t: pa.Table) -> pa.Table:
+        rid = np.asarray(t.column("record_id"), dtype=np.int64)
+        cid = np.asarray(t.column("cluster_id"), dtype=np.int64)
+        r = get_broadcast(ref)
+        pos = np.searchsorted(r, cid)
+        is_root = (pos < len(r)) & (r[np.minimum(pos, max(len(r) - 1, 0))]
+                                    == cid) if len(r) else \
+            np.zeros(len(cid), dtype=bool)
+        return pa.table({
+            "record_id": t.column("record_id"),
+            "cluster_le_ok": pa.array(cid <= rid),
+            "root_self_ok": pa.array(is_root)})
+
+    return mapped.map_batches(check, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_MATCH_MERGE_DOCUMENTS = """
+SELECT doc_id AS record_id, TRUE AS cluster_le_ok, TRUE AS root_self_ok
+FROM documents
+"""
 
 
 def q_hits_events(sf_dir: str):
@@ -6881,6 +7329,7 @@ FROM q
 
 QUERIES = {
     "blocking_frontier_transcripts": q_blocking_frontier_transcripts,
+    "blocking_frontier_part": q_blocking_frontier_part,
     "pagerank_weighted_events": q_pagerank_weighted_events,
     "grouped_means_events": q_grouped_means_events,
     "attribution_events": q_attribution_events,
@@ -7205,4 +7654,11 @@ ORACLE_SQL = {
     "lm_quality_documents": SQL_LM_QUALITY_DOCUMENTS,
     "approx_quantiles_lineitem": _approx_quantiles_sql(),
     "prepare_corpus_report": _prep_report_sql(),
+    "isotonic_events": SQL_ISOTONIC_EVENTS,
+    "bpe_token_count_documents": SQL_BPE_TOKEN_COUNT_DOCUMENTS,
+    "one_to_one_part": SQL_ONE_TO_ONE_PART,
+    "fs_explain_transcripts": SQL_FS_EXPLAIN_TRANSCRIPTS,
+    "match_merge_documents": SQL_MATCH_MERGE_DOCUMENTS,
+    "blocking_frontier_transcripts": SQL_BLOCKING_FRONTIER_TRANSCRIPTS,
+    "blocking_frontier_part": SQL_BLOCKING_FRONTIER_PART,
 }
