@@ -875,6 +875,11 @@ def calibration_bins(ds, *, score_col: str, label_col: str,
     def partial(t: pa.Table) -> pa.Table:
         s = np.asarray(pc.cast(t.column(score_col), pa.int64()),
                        dtype=np.int64)
+        if len(s) and (int(s.min()) < 0 or int(s.max()) > score_max):
+            raise ValueError(
+                "calibration_bins: scores must lie in [0, "
+                f"{score_max}]; got [{int(s.min())}, {int(s.max())}] — "
+                "rescale the score or raise score_max")
         lab = np.asarray(pc.cast(t.column(label_col), pa.bool_()))
         b = s * num_bins // (score_max + 1)
         return pa.table({

@@ -487,6 +487,12 @@ def local_clustering(edges, *, src: str = "src", dst: str = "dst",
         if isinstance(tri_c, pa.ChunkedArray):
             tri_c = tri_c.combine_chunks()
         tri_v = np.asarray(tri_c.fill_null(0), dtype=np.int64)
+        if tri_v.size and int(tri_v.max()) >= 2**62 // 10**9:
+            raise ValueError(
+                "local_clustering: a node's triangle count "
+                f"({int(tri_v.max())}) would overflow the int64 e9 "
+                "quantization (2·tri·1e9 ≥ 2^63) — a fully-clustered "
+                "hub with degree ≳ 96k; quantize coarser")
         possible = deg * (deg - 1)  # 2x the pair count
         with np.errstate(divide="ignore", invalid="ignore"):
             coef = np.where(possible > 0,
@@ -1151,9 +1157,15 @@ def pointer_jump_roots(parents, *, node_col: str = "node",
                 lambda t: t.select(["node", "ptr", "depth"]),
                 batch_format="pyarrow", zero_copy_batch=True),
             key="node", right_cols=["ptr", "depth"],
-            num_buckets=num_buckets)
-        new = joined.map_batches(
-            lambda t: pa.table({
+            num_buckets=num_buckets, how="left")
+
+        def advance(t: pa.Table) -> pa.Table:
+            # same contract as the broadcast path: a pointer that
+            # resolves to no node row is a broken input, not a row to
+            # silently drop (the left join surfaces it as a null ptr)
+            if pc.any(pc.is_null(t.column("ptr"))).as_py():
+                raise ValueError("parent id missing from the node set")
+            return pa.table({
                 "node": t.column("orig"),
                 "ptr": t.column("ptr"),
                 "depth": pc.add(t.column("d0"),
@@ -1161,8 +1173,10 @@ def pointer_jump_roots(parents, *, node_col: str = "node",
                                     pc.not_equal(t.column("node"),
                                                  t.column("ptr")),
                                     t.column("depth"),
-                                    pa.scalar(0, type=pa.int64())))}),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
+                                    pa.scalar(0, type=pa.int64())))})
+
+        new = joined.map_batches(advance, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
         # convergence: stop when the state stops changing (every row
         # appears twice in old ∪ new)
         changed = (state.union(new).groupby(["node", "ptr", "depth"])
@@ -1220,10 +1234,9 @@ def pagerank_weighted(edges, *, src: str = "src", dst: str = "dst",
             "node": pa.array([], type=pa.string()),
             "rank": pa.array([], type=pa.float64())}))
     if n > broadcast_max_rows:
-        raise NotImplementedError(
-            "pagerank_weighted cogroup fallback: mirror pagerank()'s "
-            "loop carrying w/W_out — the broadcast path covers node sets "
-            "to 2M; raise broadcast_max_rows or dictionary-code nodes")
+        return _pagerank_weighted_cogroup(
+            edges, nodes, n, src=src, dst=dst, weight=weight,
+            damping=damping, iters=iters, num_buckets=num_buckets)
 
     node_type = nodes.schema().base_schema.field("node").type
     node_tab = collect_table(nodes, pa.schema([("node", node_type)]))
@@ -1288,3 +1301,88 @@ def pagerank_weighted(edges, *, src: str = "src", dst: str = "dst",
         r = damping * merge_sparse(coded.map_batches(
             contrib, batch_format="pyarrow", zero_copy_batch=True)) + base
     return rd.from_arrow(pa.table({"node": node_arr, "rank": pa.array(r)}))
+
+
+def _pagerank_weighted_cogroup(edges, nodes, n: int, *, src: str,
+                               dst: str, weight: str, damping: float,
+                               iters: int, num_buckets: int):
+    """Distributed fallback past ``broadcast_max_rows`` — the mirror of
+    :func:`pagerank`'s cogroup loop carrying W_out instead of outdeg:
+    ranks ride (node, rank, wout); each iteration is one edge⋈rank
+    cogroup, one skinny groupby of per-edge contributions
+    rank·w/W_out (zero-weight edges contribute nothing), and one left
+    attach back onto the rank state, with the same per-round block
+    compaction + lineage severing hygiene."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rayutil import sever_lineage
+    from ..stages.joins import cogroup_inner_join
+
+    wsum = edges.map_batches(
+        lambda t: pa.table({"node": t.column(src),
+                            "w": pc.cast(t.column(weight),
+                                         pa.float64())}),
+        batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "node").aggregate(Sum("w")).map_batches(
+        lambda t: t.rename_columns(["node", "wout"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ranks = cogroup_inner_join(
+        nodes.map_batches(
+            lambda t, r=1.0 / n: pa.table({
+                "node": t.column("node"),
+                "rank": pa.array(np.full(t.num_rows, r))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        wsum, key="node", right_cols=["wout"], how="left",
+        num_buckets=num_buckets).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"), "rank": t.column("rank"),
+            "wout": pc.fill_null(t.column("wout"), 0.0)}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    for _ in range(iters):
+        dangling = ranks.map_batches(
+            lambda t: pa.table({"m": pc.if_else(
+                pc.equal(t.column("wout"), 0.0), t.column("rank"),
+                pa.nulls(t.num_rows, type=pa.float64()))}),
+            batch_format="pyarrow", zero_copy_batch=True).sum("m") or 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        contrib = cogroup_inner_join(
+            edges.map_batches(
+                lambda t: pa.table({
+                    "node": t.column(src), "dst": t.column(dst),
+                    "w": pc.cast(t.column(weight), pa.float64())}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ranks, key="node", right_cols=["rank", "wout"],
+            num_buckets=num_buckets)
+        summed = contrib.map_batches(
+            lambda t: pa.table({
+                "node": t.column("dst"),
+                "c": pc.if_else(
+                    pc.greater(t.column("w"), 0.0),
+                    pc.divide(pc.multiply(t.column("rank"),
+                                          t.column("w")),
+                              t.column("wout")),
+                    pa.scalar(0.0))}),
+            batch_format="pyarrow", zero_copy_batch=True).groupby(
+            "node").aggregate(Sum("c")).map_batches(
+            lambda t: t.rename_columns(["node", "c"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ranks = cogroup_inner_join(
+            ranks.map_batches(
+                lambda t: t.select(["node", "wout"]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            summed, key="node", right_cols=["c"], how="left",
+            num_buckets=num_buckets).map_batches(
+            lambda t, b=base: pa.table({
+                "node": t.column("node"),
+                "rank": pc.add(pc.multiply(
+                    pc.fill_null(t.column("c"), 0.0), damping), b),
+                "wout": t.column("wout")}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        if ranks.num_blocks() > 2 * num_buckets:
+            ranks = ranks.repartition(num_buckets).materialize()
+        ranks = sever_lineage(ranks)
+
+    return ranks.map_batches(lambda t: t.select(["node", "rank"]),
+                             batch_format="pyarrow", zero_copy_batch=True)

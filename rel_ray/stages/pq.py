@@ -57,16 +57,20 @@ def _lloyd(X: np.ndarray, n_codes: int, iters: int, rng) -> np.ndarray:
 
 def pq_train(ds, *, m: int = 8, n_codes: int = 256, sample_size: int = 2048,
              iters: int = 10, vec_col: str = "embedding",
-             seed: int = 42) -> np.ndarray:
-    """Train PQ codebooks on a sample: returns (m, n_codes, d//m) float64.
+             id_col: str = "vec_id", seed: int = 42) -> np.ndarray:
+    """Train PQ codebooks on a seeded Knuth-hash bottom-k id sample
+    (unbiased on sorted corpora, reproducible — sampling.py::
+    bottomk_vector_sample): returns (m, n_codes, d//m) float64.
     d must be divisible by m. n_codes ≤ 256 keeps codes uint8."""
+    from .sampling import bottomk_vector_sample
+
     if n_codes > 256:
         raise ValueError("n_codes > 256 would not fit uint8 codes")
-    rows = ds.limit(sample_size).take_all()
-    if not rows:
+    X = bottomk_vector_sample(ds, id_col=id_col, vec_col=vec_col,
+                              k=sample_size)
+    if X.shape[0] == 0:
         raise ValueError("pq_train: cannot train codebooks on an empty "
                          "corpus/sample")
-    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -205,10 +209,12 @@ def ivfpq_build(ds, *, n_cells: int = 32, m: int = 8, n_codes: int = 256,
 
     from ..functions.rayutil import get_broadcast
 
-    rows = ds.limit(sample_size).take_all()
-    if not rows:
+    from .sampling import bottomk_vector_sample
+
+    X = bottomk_vector_sample(ds, id_col=id_col, vec_col=vec_col,
+                              k=sample_size)
+    if X.shape[0] == 0:
         raise ValueError("ivfpq_build: empty corpus/sample")
-    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

@@ -204,6 +204,27 @@ def bottomk_sample(ds, *, id_col: str, k: int, carry_cols: list[str] | None = No
     return top.drop_columns(["__h"])
 
 
+def bottomk_vector_sample(ds, *, id_col: str, vec_col: str, k: int,
+                          batch_size: int = 8192) -> "np.ndarray":
+    """Deterministic UNBIASED training sample for codebook/centroid
+    fitting: the bottom-k rows by Knuth id-hash (see bottomk_sample),
+    stacked into a (<=k, d) float64 matrix in hash order. Replaces the
+    head-of-corpus ``ds.limit(k)`` idiom — on a corpus sorted by
+    time/source/value the head is a biased slice and the trained
+    centroids skew with it; the hash frontier samples uniformly over ids
+    while staying reproducible across runs, partitionings and cluster
+    sizes."""
+    tab = bottomk_sample(ds, id_col=id_col, k=k, carry_cols=[vec_col],
+                         batch_size=batch_size)
+    if tab.num_rows == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    col = tab.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in col.to_pylist()])
+
+
 def mixture_rates(counts: dict[str, int],
                   weights: dict[str, int]) -> dict[str, int]:
     """Per-source acceptance rates (1/10000 units) that rebalance the

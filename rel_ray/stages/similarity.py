@@ -430,10 +430,10 @@ def ann_topk_ivf(ds, queries: dict, *, k: int = 10, n_cells: int = 32,
     tuned by (n_cells, nprobe) and measured in tests (≥0.9 @ k=10).
     """
     from ..functions.rayutil import get_broadcast
+    from .sampling import bottomk_vector_sample
 
-    train = ds.limit(sample_size).take_all()
-    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                       for r in train])
+    sample = bottomk_vector_sample(ds, id_col=id_col, vec_col=vec_col,
+                                   k=sample_size)
     C = _spherical_kmeans(sample, n_cells, seed=seed)
     q_vecs = _l2_normalize(np.asarray(queries["vecs"], dtype=np.float64))
     np_probe = min(nprobe, len(C))
@@ -902,17 +902,17 @@ def knn_graph_ivf(ds, *, k: int = 5, n_cells: int = 32, nprobe: int = 4,
     Returns (vec_id, neighbor_id, rank, cosine) with rank in 1..k.
     """
     from ..functions.rayutil import bucketed_group_apply, get_broadcast, segment_starts
+    from .sampling import bottomk_vector_sample
 
-    train = ds.limit(sample_size).take_all()
-    if not train:  # empty corpus -> empty graph, not a crash
+    sample = bottomk_vector_sample(ds, id_col=id_col, vec_col=vec_col,
+                                   k=sample_size)
+    if sample.shape[0] == 0:  # empty corpus -> empty graph, not a crash
         empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
                           "neighbor_id": pa.array([], type=pa.int64()),
                           "rank": pa.array([], type=pa.int64()),
                           "cosine": pa.array([], type=pa.float64())})
         return ds.map_batches(lambda t: empty, batch_format="pyarrow",
                               zero_copy_batch=True)
-    sample = np.stack([np.asarray(r[vec_col], dtype=np.float64)
-                       for r in train])
     C = _spherical_kmeans(sample, n_cells, seed=seed)
     cref = ray.put(C)
 

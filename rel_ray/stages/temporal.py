@@ -962,14 +962,20 @@ def time_weighted_avg(ds, *, key: str, ts: str, tie: str, val: str,
         num = np.add.reduceat(prod, starts)
         keep = span > 0
         nk, sk = num[keep], span[keep]
+        # truncation toward zero (DuckDB integer-division semantics):
+        # numpy // floors, which diverges on negative numerators, so
+        # divide |num| and restore the sign — the assortativity idiom
+        sgn = np.where(nk < 0, -1, 1)
+        an = np.abs(nk)
         if len(sk) and int(sk.max()) < 2**63 // 10**6:
             # exact two-step division, no 128-bit needed:
             # (q*span + r)*1e6/span = q*1e6 + r*1e6//span, r < span
-            q, r = nk // sk, nk % sk
-            twa = q * 10**6 + (r * 10**6) // sk
+            q, r = an // sk, an % sk
+            twa = sgn * (q * 10**6 + (r * 10**6) // sk)
         else:  # spans past ~292 years of µs: arbitrary-precision per key
-            twa = np.array([int(a) * 10**6 // int(b)
-                            for a, b in zip(nk, sk)], dtype=np.int64)
+            twa = np.array([s_ * (int(a) * 10**6 // int(b))
+                            for s_, a, b in zip(sgn, an, sk)],
+                           dtype=np.int64)
         return pa.table({
             key: kc.take(pa.array(starts[keep])),
             out_col: pa.array(twa)})

@@ -484,6 +484,16 @@ class TestPointerJump:
         with _pt.raises(Exception, match="missing"):
             _df(pointer_jump_roots(self._parents([(1, 99)])))
 
+    def test_missing_parent_raises_on_cogroup_path(self, ray_session):
+        """The distributed path must validate the same contract the
+        broadcast path does — a dangling parent id is a loud error on
+        BOTH paths, never silently-missing output rows."""
+        from rel_ray.stages.graph import pointer_jump_roots
+        import pytest as _pt
+        with _pt.raises(Exception, match="missing"):
+            _df(pointer_jump_roots(self._parents([(1, 99), (2, 1)]),
+                                   broadcast_max_rows=0, num_buckets=4))
+
 
 class TestAttribution:
     def test_first_last_touch_windows(self, ray_session):

@@ -181,6 +181,26 @@ class TestAveragePrecision:
 
 
 class TestCalibration:
+    def test_out_of_range_scores_raise_loudly(self, ray_session):
+        """Scores outside [0, score_max] used to fail deep inside
+        bincount / as a table-length mismatch; the contract error must
+        name the offending range."""
+        import pytest as _pt
+        from rel_ray.functions.rayutil import collect_table
+        from rel_ray.pipelines.eval import calibration_bins
+        schema = pa.schema([("bin", pa.int64()), ("n", pa.int64()),
+                            ("n_pos", pa.int64()),
+                            ("frac_pos_e9", pa.int64()),
+                            ("mean_score_e9", pa.int64())])
+        for bad in ([-1, 3], [3, 15]):
+            ds = rd.from_arrow(pa.table({
+                "s": pa.array(bad, type=pa.int64()),
+                "l": pa.array([True, False])}))
+            with _pt.raises(Exception, match=r"\[0, 9\]"):
+                collect_table(calibration_bins(
+                    ds, score_col="s", label_col="l", score_max=9,
+                    num_bins=2), schema)
+
     def test_bins_and_ece_known_answer(self, ray_session):
         from rel_ray.functions.rayutil import collect_table
         from rel_ray.pipelines.eval import (calibration_bins,

@@ -1712,6 +1712,35 @@ def test_pagerank_cogroup_path_equivalent():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pagerank_weighted_cogroup_path_equivalent():
+    """broadcast_max_rows=0 forces the cogroup fallback; both paths must
+    agree to float tolerance, including zero-weight edges (contribute
+    nothing), a zero-out-weight node (dangling) and a pure sink."""
+    from rel_ray.stages.graph import pagerank_weighted
+
+    E = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 5.0),
+         (3, 0, 0.0),  # node 3's only out-edge has weight 0 -> dangling
+         (2, 4, 1.0)]  # node 4 is a sink
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([f"n{a}" for a, _, _ in E]),
+        "dst": pa.array([f"n{b}" for _, b, _ in E]),
+        "w": pa.array([w for _, _, w in E])})).repartition(2)
+
+    def run(**kw):
+        t = _collect(pagerank_weighted(edges, iters=4, num_buckets=4,
+                                       **kw))
+        return dict(zip(t.column("node").to_pylist(),
+                        t.column("rank").to_pylist()))
+
+    fast = run()
+    slow = run(broadcast_max_rows=0)
+    assert fast.keys() == slow.keys() and len(fast) == 5
+    for k in fast:
+        assert abs(fast[k] - slow[k]) < 1e-12, (k, fast[k], slow[k])
+    assert abs(sum(slow.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_diff_corpora():
     from rel_ray.stages.dedup import diff_corpora
 
@@ -2410,6 +2439,44 @@ def test_shuffle_shard_assign_matches_naive():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bottomk_vector_sample_unbiased_on_sorted_corpus():
+    """The codebook/centroid training sample must not be the corpus head:
+    on a value-sorted corpus whose first `sample_size` rows all lie in
+    cluster A, a head sample never sees cluster B and spherical k-means
+    leaves B uncovered; the Knuth-hash bottom-k sample sees both.
+    Also pins determinism (same matrix twice)."""
+    from rel_ray.stages.sampling import bottomk_vector_sample
+    from rel_ray.stages.similarity import _l2_normalize, _spherical_kmeans
+
+    rng = np.random.default_rng(11)
+    n, size = 1200, 256
+    # sorted corpus: ids 0..599 cluster A around +e0, 600.. cluster B
+    # around +e1 — the head `size` rows are ALL cluster A
+    a = rng.normal([8, 0, 0, 0], 0.05, size=(600, 4))
+    b = rng.normal([0, 8, 0, 0], 0.05, size=(600, 4))
+    X = np.concatenate([a, b])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(X))})).repartition(4)
+
+    S1 = bottomk_vector_sample(ds, id_col="vec_id", vec_col="embedding",
+                               k=size)
+    S2 = bottomk_vector_sample(ds, id_col="vec_id", vec_col="embedding",
+                               k=size)
+    assert S1.shape == (size, 4) and np.array_equal(S1, S2)
+
+    head = X[:size]
+    mean_b = _l2_normalize(np.array([[0.0, 8.0, 0.0, 0.0]]))[0]
+
+    def covers_b(sample):
+        C = _spherical_kmeans(sample, 4, seed=42)
+        return float(np.max(C @ mean_b)) > 0.9
+
+    assert not covers_b(head)   # head sample demonstrably skews
+    assert covers_b(S1)         # hash sample sees both clusters
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_knn_graph_exact_matches_naive():
     from rel_ray.stages.similarity import knn_graph_exact
 
@@ -2894,6 +2961,23 @@ class TestTimeWeightedAvg:
         # single-event key 2 dropped (zero span)
         assert out["k"].tolist() == [1]
         assert out["twa_e6"].tolist() == [70 * 10**6 // 4]
+
+    def test_negative_values_truncate_toward_zero(self, ray_session):
+        """DuckDB's // truncates toward zero (-7//2 = -3); numpy floors.
+        Negative weighted sums must follow the documented (DuckDB)
+        semantics."""
+        from rel_ray.stages.temporal import time_weighted_avg
+        # k=1: v=-10 for 3us, v=3 for 4us -> (-30+12)/7 = -2.571... ->
+        # trunc(-18e6/7) = -2571428 (floor would give -2571429)
+        t = pa.table({
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array([0, 3, 7], type=pa.timestamp("us")),
+            "tie": pa.array([0, 1, 2], type=pa.int64()),
+            "v": pa.array([-10, 3, 0], type=pa.int64())})
+        out = _collect(time_weighted_avg(
+            rd.from_arrow(t), key="k", ts="ts", tie="tie", val="v",
+            num_buckets=1)).to_pandas()
+        assert out["twa_e6"].tolist() == [-2571428]
 
 
 class TestPpmCodec:
