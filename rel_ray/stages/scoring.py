@@ -94,29 +94,34 @@ def pairwise_overlap(idx_a: np.ndarray, idx_b: np.ndarray,
     la, lb = set_lens[idx_a], set_lens[idx_b]
 
     uq = np.unique(ucodes)
-    ranks = np.searchsorted(uq, ucodes).astype(np.int64)
     m = len(uq) + 1
     if n * m >= (1 << 62):  # pragma: no cover - composite-key overflow guard
         raise ValueError("pair batch too large for composite-key overlap — "
                          "reduce batch_size")
+    # the sort is the bandwidth-bound hot spot of the whole scorer phase;
+    # when pair_id*m + rank fits int32 (the common case at batch 4096),
+    # halving the key width cuts the bytes the sort moves — measured 0.52
+    # → 0.42 µs/pair on a 22-shingle/pair batch, counts identical
+    dt = np.int32 if n * m < (1 << 31) else np.int64
+    ranks = np.searchsorted(uq, ucodes).astype(dt)
 
     def _ragged_gather(side_idx: np.ndarray, lens: np.ndarray) -> np.ndarray:
         total = int(lens.sum())
         if total == 0:
-            return np.empty(0, dtype=np.int64)
+            return np.empty(0, dtype=dt)
         starts = usplits[:-1][side_idx]
         pos = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(lens) - lens, lens)
         return ranks[np.repeat(starts, lens) + pos]
 
     pair_ids = np.concatenate([
-        np.repeat(np.arange(n, dtype=np.int64), la),
-        np.repeat(np.arange(n, dtype=np.int64), lb)])
-    key = pair_ids * m + np.concatenate([_ragged_gather(idx_a, la),
-                                         _ragged_gather(idx_b, lb)])
+        np.repeat(np.arange(n, dtype=dt), la),
+        np.repeat(np.arange(n, dtype=dt), lb)])
+    key = pair_ids * dt(m) + np.concatenate([_ragged_gather(idx_a, la),
+                                             _ragged_gather(idx_b, lb)])
     key.sort()  # introsort: 7× the stable merge here, order is irrelevant
     dup_pos = np.nonzero(key[1:] == key[:-1])[0]
-    inter = np.bincount(key[dup_pos] // m, minlength=n).astype(np.int64)
+    inter = np.bincount(key[dup_pos] // dt(m), minlength=n).astype(np.int64)
     union = (la + lb - inter).astype(np.int64)
     return inter, union
 
