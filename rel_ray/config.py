@@ -33,6 +33,15 @@ class PipelineConfig:
     # pair stage ~7× at 10^4-entity scale (measured).
     bands: int = 21
     band_rows: int = 3
+    # additional deterministic blocking rules UNIONED with the LSH bands
+    # (each adds one salted-hash block key per record; recall can only go
+    # up, pairs_stage dedups overlap). The menu and their cost/coverage
+    # numbers come from the blocking-rule frontier report
+    # (pipelines/eval.py::blocking_rule_frontier — on the labeled fixture
+    # soundex covers typo-class variants the char-3-gram bands can miss
+    # at the steep 21x3 knee). Options: "soundex", "first_token",
+    # "prefix3", "first_char".
+    extra_blocking_rules: tuple = ()
 
     # --- skew control (REL top-100-candidates cap analog:
     #     REL:src/REL/wikipedia_yago_freq.py) ---

@@ -108,6 +108,49 @@ def _exact_precluster_cogroup(records, cfg: PipelineConfig):
         sort_cols=[("record_id", "ascending")])
 
 
+def _extra_rule_keys(mn: pa.Array, cfg: PipelineConfig
+                     ) -> tuple[list, list]:
+    """Salted-hash block keys for cfg.extra_blocking_rules (the rules the
+    blocking-frontier report measures — eval.py::blocking_rule_frontier —
+    wired into the engine as UNION candidates next to the LSH bands).
+    Returns per-rule (uint64 key arrays, int64 row-index arrays); empty
+    rule values are excluded (the engine-wide empty-block sentinel), and
+    each rule's hash is salted so e.g. soundex('smith') and a band key
+    can never alias into one block."""
+    from ..functions.shingles import string_hash_u64
+
+    ek: list = []
+    er: list = []
+    for ri, rule in enumerate(cfg.extra_blocking_rules):
+        if rule == "soundex":
+            from ..functions.phonetic import soundex_codes
+            kcol = soundex_codes(mn)
+        elif rule == "first_token":
+            kcol = pc.list_element(pc.split_pattern(mn, " "), 0)
+        elif rule == "prefix3":
+            kcol = pc.utf8_slice_codeunits(mn, 0, 3)
+        elif rule == "first_char":
+            kcol = pc.utf8_slice_codeunits(mn, 0, 1)
+        else:
+            raise ValueError(
+                f"unknown extra_blocking_rules entry {rule!r} — "
+                "expected soundex/first_token/prefix3/first_char")
+        kcol = pc.fill_null(kcol, "")
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        valid = np.asarray(pc.not_equal(kcol, ""))
+        h = string_hash_u64(kcol)
+        salt = np.uint64(
+            ((ri + 1) * 0x9E3779B97F4A7C15 ^ cfg.seed)
+            & 0xFFFFFFFFFFFFFFFF)
+        hk = h ^ salt
+        hk[hk == np.uint64(0)] = np.uint64(1)  # keep off the sentinel
+        rows = np.nonzero(valid)[0].astype(np.int64)
+        ek.append(hk[rows])
+        er.append(rows)
+    return ek, er
+
+
 class BlockKeys:
     """map_batches: reps → exploded (block_key, record_id, mention_norm) rows.
 
@@ -148,6 +191,11 @@ class BlockKeys:
         lens = uniq_mask.sum(axis=1)
         row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         block_key = keys_sorted[uniq_mask]
+
+        if cfg.extra_blocking_rules:
+            ek, er = _extra_rule_keys(mn, cfg)
+            block_key = np.concatenate([block_key] + ek)
+            row_idx = np.concatenate([row_idx] + er)
 
         # int64 bit-view: Ray's hash-shuffle keys don't support uint64
         bk = pa.array(block_key.view(np.int64), type=pa.int64())

@@ -42,6 +42,30 @@ def test_cluster_ids_are_min_member(linkage_result):
         assert cid == min(members)
 
 
+def test_extra_blocking_rules_f1_neutral_or_better(ray_session,
+                                                   small_corpus):
+    """The blocking-frontier report's best extra rule (soundex) wired in
+    via cfg.extra_blocking_rules must not hurt the gate: unioned block
+    keys only ADD candidate pairs, so recall (and with the exact scorer,
+    F1) is neutral-or-better vs the LSH-only baseline."""
+    import dataclasses
+
+    labels = rd.from_arrow(small_corpus["labels"])
+    tr = rd.from_arrow(small_corpus["transcripts"])
+    base = pairwise_f1(
+        run_linkage(tr, DEFAULT_CONFIG,
+                    num_partitions=4)["clusters"].materialize(),
+        labels, split="test", num_partitions=4)
+    cfg = dataclasses.replace(DEFAULT_CONFIG,
+                              extra_blocking_rules=("soundex",))
+    with_rule = pairwise_f1(
+        run_linkage(tr, cfg,
+                    num_partitions=4)["clusters"].materialize(),
+        labels, split="test", num_partitions=4)
+    assert with_rule["recall"] >= base["recall"]
+    assert with_rule["f1"] >= 0.99, (base, with_rule)
+
+
 def test_empty_input_pipeline(ray_session):
     """Regression: a fully-empty transcripts table must flow through the
     whole pipeline (caught once by the verify probe: concat_tables([]))."""
