@@ -371,6 +371,8 @@ def global_topk(ds, sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
     tabs = [pa.table(b) for b in pruned.iter_batches(batch_format="pyarrow")]
     if not tabs:
         base = ds.schema()
+        if base is None:  # empty dataset with unresolvable lazy schema
+            return pa.table({})
         return getattr(base, "base_schema", base).empty_table()
     out = pa.concat_tables(tabs, promote_options="default")
     return out.sort_by(sort_keys).slice(0, k)

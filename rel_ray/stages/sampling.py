@@ -201,7 +201,8 @@ def bottomk_sample(ds, *, id_col: str, k: int, carry_cols: list[str] | None = No
                                      zero_copy_batch=True,
                                      batch_size=batch_size),
                       [("__h", "ascending"), (id_col, "ascending")], k)
-    return top.drop_columns(["__h"])
+    return (top.drop_columns(["__h"]) if "__h" in top.column_names
+            else top)
 
 
 def bottomk_vector_sample(ds, *, id_col: str, vec_col: str, k: int,
