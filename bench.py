@@ -69,6 +69,45 @@ def _init_ray(num_cpus: int) -> None:
     ctx.execution_options.verbose_progress = False
 
 
+def _bench_impl(name: str, queries: dict):
+    """Benchmark the RAW operator for queries whose registry wrapper now
+    carries an oracle-check projection (round 5: the check collects the
+    cluster-root set and maps a membership test — verification cost, not
+    operator cost). Keeps the suite's timing semantics identical to
+    earlier rounds."""
+    if name == "linkage_clusters":
+        def flagship(sf_dir):
+            from rel_ray.config import DEFAULT_CONFIG
+            from rel_ray.pipelines.linkage import run_linkage
+            from rel_ray.pipelines.queries import transcripts_from_events
+            return run_linkage(transcripts_from_events(sf_dir),
+                               DEFAULT_CONFIG)["clusters"]
+        return flagship
+    if name == "minhash_dedup_documents":
+        def minhash(sf_dir):
+            import ray.data as rd
+
+            from rel_ray.config import DEFAULT_CONFIG
+            from rel_ray.stages.dedup import near_dedup_minhash
+            ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+            return near_dedup_minhash(ds, id_col="doc_id",
+                                      text_col="text",
+                                      cfg=DEFAULT_CONFIG, threshold=0.7)
+        return minhash
+    if name == "simhash_dedup_documents":
+        def simhash(sf_dir):
+            import ray.data as rd
+
+            from rel_ray.stages.dedup import near_dedup_simhash
+            ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+            return near_dedup_simhash(ds, id_col="doc_id",
+                                      text_col="text")
+        return simhash
+    return queries[name]
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -83,10 +122,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     rd.range(num_cpus * 2).map_batches(lambda b: b).count()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        fn = _bench_impl(name, QUERIES)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            _consume(QUERIES[name](sf_dir))
+            _consume(fn(sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 

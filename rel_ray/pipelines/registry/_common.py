@@ -38,9 +38,61 @@ def _cents(x) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(x, 100)), pa.int64())
 
 
+def _cluster_check_view(mapped, *, id_type=None):
+    """Shared oracle projection for (record_id, cluster_id) clustering
+    outputs (the match_merge_documents pattern): emit the record_id
+    column unchanged — VALUE-EXACT against the source table's id set in
+    SQL — plus two engine-verified invariants of a min-id clustering as
+    booleans the SQL asserts TRUE: cluster_id ≤ record_id per row
+    (cluster id = min member) and every cluster_id is itself a
+    self-mapped root. The root set is one bounded collect (≤ one row
+    per cluster); the membership test is per-batch."""
+    import ray as _ray
+
+    from ...functions.rayutil import collect_table, get_broadcast
+
+    mapped = mapped.materialize()
+    if id_type is None:
+        id_type = mapped.schema().base_schema.field("record_id").type
+    roots = mapped.map_batches(
+        lambda t: t.filter(pc.equal(t.column("record_id"),
+                                    t.column("cluster_id")))
+        .select(["cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rt = collect_table(roots, pa.schema([("cluster_id", id_type)]))
+    ref = _ray.put(set(rt.column("cluster_id").to_pylist()))
+
+    def check(t: pa.Table) -> pa.Table:
+        rs = get_broadcast(ref)
+        cid = t.column("cluster_id")
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        return pa.table({
+            "record_id": t.column("record_id"),
+            "cluster_le_ok": pc.less_equal(t.column("cluster_id"),
+                                           t.column("record_id")),
+            "root_self_ok": pa.array([c in rs
+                                      for c in cid.to_pylist()])})
+
+    return mapped.map_batches(check, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# NOTE (round 5): a recall-vs-exact oracle for the approximate ANN
+# queries (lsh/ivf/pq/ivfpq top-k) was prototyped and MEASURED before
+# rejecting it: on the driver's near-random testdata embeddings the
+# intrinsic recall of any sublinear method is low and scale-dependent
+# (measured lsh 0.18 / pq 0.64 / ivfpq 0.56 mean@sf0.01, different
+# again at sf0.1) — a bar tight enough to mean anything would be
+# data-luck, not correctness. Those queries stay rows-only; their
+# recall pins live in tests on CONSTRUCTED clustered fixtures where
+# ≥0.9 is the algorithm's property rather than the data's.
+
 # ---------------------------------------------------------------------------
 # relational parity (REL store-build analytics analogs, SURVEY §2.5/2.6)
 # ---------------------------------------------------------------------------
 
 
-__all__ = ['CFG', 'Count', 'Sum', '_LANG_MARKERS', '_cents', '_pq', '_pq_nrows', 'annotations', 'np', 'os', 'pa', 'pc', 'rd']
+__all__ = ['CFG', 'Count', 'Sum', '_LANG_MARKERS', '_cents',
+           '_cluster_check_view', '_pq', '_pq_nrows', 'annotations',
+           'np', 'os', 'pa', 'pc', 'rd']

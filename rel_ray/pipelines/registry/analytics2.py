@@ -516,12 +516,53 @@ def q_heavy_hitters_documents(sf_dir: str):
     (stages/sketches.py::heavy_hitter_terms): each batch compresses to <=64
     (token, count) rows, the driver merges O(k x batches) skinny partials —
     the bounded-memory path when the vocabulary is too large to shuffle.
-    Rows-only check (est/err are sketch-specific); the lower-bound and
-    no-lost-heavy-hitter guarantees are pinned in tests."""
-    from ...stages.sketches import heavy_hitter_terms
+
+    Oracle: the exact-heavy-hitter COUNT is VALUE-EXACT (the
+    heavy_hitters_exact SQL twin's HAVING cnt·64 > N subquery), and the
+    two Misra-Gries GUARANTEES are verified engine-side against the
+    exact recount and emitted as booleans the SQL asserts TRUE: no lost
+    heavy hitter (every exact φ=1/64 heavy hitter's hash appears among
+    the ≤64 MG candidates) and the bound est ≤ true ≤ est + max_err
+    for each of them."""
+    from ...functions.shingles import string_hash_u64
+    from ...stages.sketches import heavy_hitter_terms, heavy_hitters_exact
 
     ds = _pq(sf_dir, "documents", ["text"])
-    return heavy_hitter_terms(ds, text_col="text", k=64)
+    mg = heavy_hitter_terms(ds, text_col="text", k=64)
+    exact = heavy_hitters_exact(_pq(sf_dir, "documents", ["text"]),
+                                text_col="text", k=64)
+    mg_map = dict(zip(mg.column("token_hash").to_pylist(),
+                      zip(mg.column("est_count").to_pylist(),
+                          mg.column("max_err").to_pylist())))
+    toks = exact.column("token")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    hashes = (np.asarray(string_hash_u64(toks), dtype=np.uint64)
+              if exact.num_rows else np.empty(0, dtype=np.uint64))
+    all_found = True
+    bounds_ok = True
+    for h, cnt in zip(hashes.tolist(), exact.column("cnt").to_pylist()):
+        e = mg_map.get(h)
+        if e is None:
+            all_found = False
+            continue
+        est, err = e
+        bounds_ok &= est <= cnt <= est + err
+    return pa.table({
+        "n_exact_hh": pa.array([exact.num_rows], type=pa.int64()),
+        "all_hh_found": pa.array([all_found]),
+        "bounds_ok": pa.array([bounds_ok])})
+
+
+SQL_HEAVY_HITTERS_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS token FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_hh, TRUE AS all_hh_found,
+       TRUE AS bounds_ok
+FROM (SELECT token FROM toks, tot GROUP BY token, tot.n
+      HAVING count(*) * 64 > tot.n)
+"""
 
 
 def q_cms_heavy_hitters_documents(sf_dir: str):
@@ -530,20 +571,50 @@ def q_cms_heavy_hitters_documents(sf_dir: str):
     — together each heavy hitter gets a [mg_lower, cms_upper] interval that
     provably brackets the true count. Both sketches are one streaming pass
     each with O(k) / O(depth x width) state per batch; nothing shuffles.
-    Rows-only check (sketch-specific estimates); the bracket guarantee is
-    pinned in tests (test_misra_gries_bounds, test_count_min_guarantees)."""
-    from ...stages.sketches import cms_query, count_min_terms, heavy_hitter_terms
+
+    Oracle: the exact φ=1/64 heavy-hitter COUNT is VALUE-EXACT (the
+    heavy_hitters_exact SQL subquery) and the composed bracket guarantee
+    is verified engine-side against the exact recount, emitted as a
+    boolean the SQL asserts TRUE: mg_lower ≤ true count ≤ cms_upper for
+    every exact heavy hitter. Per-sketch guarantees also pinned in
+    tests (test_misra_gries_bounds, test_count_min_guarantees)."""
+    from ...functions.shingles import string_hash_u64
+    from ...stages.sketches import (cms_query, count_min_terms,
+                                    heavy_hitter_terms,
+                                    heavy_hitters_exact)
 
     ds = _pq(sf_dir, "documents", ["text"])
-    hh = heavy_hitter_terms(ds, text_col="text", k=32)
-    sketch = count_min_terms(ds, text_col="text", depth=4, width=4096)
-    hashes = hh.column("token_hash")
-    ests = cms_query(sketch, hashes.to_numpy(zero_copy_only=False))
+    hh = heavy_hitter_terms(ds, text_col="text", k=64)
+    sketch = count_min_terms(_pq(sf_dir, "documents", ["text"]),
+                             text_col="text", depth=4, width=4096)
+    exact = heavy_hitters_exact(_pq(sf_dir, "documents", ["text"]),
+                                text_col="text", k=64)
+    lower = dict(zip(hh.column("token_hash").to_pylist(),
+                     hh.column("est_count").to_pylist()))
+    toks = exact.column("token")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    hashes = (np.asarray(string_hash_u64(toks), dtype=np.uint64)
+              if exact.num_rows else np.empty(0, dtype=np.uint64))
+    uppers = cms_query(sketch, hashes)
+    brackets_ok = all(
+        lower.get(h, 0) <= cnt <= up
+        for h, cnt, up in zip(hashes.tolist(),
+                              exact.column("cnt").to_pylist(),
+                              uppers.astype("int64").tolist()))
     return pa.table({
-        "token_hash": hashes,
-        "mg_lower": hh.column("est_count"),
-        "cms_upper": pa.array(ests.astype("int64")),
-    })
+        "n_exact_hh": pa.array([exact.num_rows], type=pa.int64()),
+        "brackets_ok": pa.array([bool(brackets_ok)])})
+
+
+SQL_CMS_HEAVY_HITTERS_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS token FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_hh, TRUE AS brackets_ok
+FROM (SELECT token FROM toks, tot GROUP BY token, tot.n
+      HAVING count(*) * 64 > tot.n)
+"""
 
 
 
@@ -552,9 +623,17 @@ def q_decontaminate_bloom_documents(sf_dir: str):
     same benchmark split as decontaminate_documents but the benchmark gram
     set is a 10-bits/gram Bloom sketch (OR-merged per-batch partials,
     broadcast once) instead of the exact gram array — the 100-TB path when
-    the held-out side is itself large. No false negatives (superset of the
-    exact filter, asserted in tests); rows-only driver check (FPs are
-    probabilistic by design)."""
+    the held-out side is itself large.
+
+    Oracle: doc_id VALUE-EXACT (the corpus split is doc_id %% 50 <> 0 —
+    plain SQL) + the Bloom guarantee verified per row against the
+    engine's EXACT decontamination pass (flag_contaminated, itself
+    value-hash-exact in decontaminate_documents): no false negatives —
+    every exactly-contaminated doc is Bloom-flagged; false positives
+    are allowed (probabilistic by design), so the emitted boolean is
+    NOT(exact AND NOT bloom)."""
+    from ...stages.joins import cogroup_join_multi
+    from ...stages.dedup import flag_contaminated
     from ...stages.sketches import bloom_decontaminate
 
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -570,10 +649,35 @@ def q_decontaminate_bloom_documents(sf_dir: str):
     corpus = docs.map_batches(split(False), batch_format="pyarrow",
                               zero_copy_batch=True)
     flagged = bloom_decontaminate(corpus, bench, id_col="doc_id",
-                                  text_col="text")
-    return flagged.map_batches(
-        lambda t: t.select(["doc_id", "contaminated"]),
+                                  text_col="text").map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "bloom": t.column("contaminated")}),
         batch_format="pyarrow", zero_copy_batch=True)
+    exact = flag_contaminated(corpus, bench, id_col="doc_id",
+                              text_col="text").map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "exact": t.column("contaminated")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = cogroup_join_multi(
+        flagged, exact, key="doc_id", left_cols=["bloom"],
+        right_cols=["exact"],
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("bloom", pa.bool_())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("exact", pa.bool_())]))
+    return joined.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "no_false_negative": pc.or_(
+                t.column("bloom"),
+                pc.invert(t.column("exact")))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DECONTAMINATE_BLOOM_DOCUMENTS = """
+SELECT doc_id, TRUE AS no_false_negative
+FROM documents WHERE doc_id % 50 <> 0
+"""
 
 
 SQL_DECONTAMINATE_DOCUMENTS = rf"""
@@ -697,13 +801,16 @@ HAVING count(*) * 64 > tot.n
 def q_semantic_dedup_embeddings(sf_dir: str):
     """SemDeDup-style semantic dedup (Abbas et al. 2023): out-of-core
     k-means blocks → within-cluster cosine >= 0.99 verify → connected
-    components (stages/similarity.py::semantic_dedup). Rows-only
-    (k-means blocking); planted-duplicate recovery and the LSH-path
-    equivalence on verified pairs are pinned in tests."""
+    components (stages/similarity.py::semantic_dedup). Oracle (round
+    5): record_id VALUE-EXACT vs the embeddings id set + the shared
+    min-id clustering invariants (_cluster_check_view); planted-
+    duplicate recovery and the LSH-path equivalence on verified pairs
+    are pinned in tests."""
     from ...stages.similarity import semantic_dedup
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return semantic_dedup(ds, threshold=0.99, n_clusters=8, iters=4)
+    return _cluster_check_view(semantic_dedup(
+        ds, threshold=0.99, n_clusters=8, iters=4))
 
 
 def q_fellegi_sunter_transcripts(sf_dir: str):
@@ -712,8 +819,14 @@ def q_fellegi_sunter_transcripts(sf_dir: str):
     Fellegi & Sunter 1969, Winkler 1988 — the Splink-style ER parameter
     learner, the unsupervised sibling of train_pair_scorer). The JW gate is
     disabled (threshold=0) so the sim features are ungated; EM's only
-    distributed work is ONE pattern-count pass. Rows-only (float fixpoint);
-    planted-mixture recovery is pinned in tests."""
+    distributed work is ONE pattern-count pass.
+
+    Oracle: the (feature, level) row grid is VALUE-EXACT (3 features ×
+    5 levels — a SQL VALUES cross join), plus engine-verified model
+    invariants asserted TRUE by the SQL: every m/u probability in
+    (0, 1], each feature's m and u distributions sum to 1 (1e-9
+    tolerance), and λ ∈ (0, 1). The fitted values (float fixpoint) are
+    pinned by the planted-mixture recovery test."""
     import dataclasses
 
     from ..eval import fellegi_sunter_em
@@ -721,9 +834,33 @@ def q_fellegi_sunter_transcripts(sf_dir: str):
 
     ungated = dataclasses.replace(CFG, threshold=0.0)
     out = run_linkage(transcripts_from_events(sf_dir), ungated)
-    return fellegi_sunter_em(
+    fit = fellegi_sunter_em(
         out["edges"], feature_cols=("sim_jaccard", "sim_jw", "sim_emb"),
         cuts=(0.3, 0.5, 0.7, 0.9))
+    m = np.asarray(fit.column("m_prob"), dtype=np.float64)
+    u = np.asarray(fit.column("u_prob"), dtype=np.float64)
+    feats = fit.column("feature").to_pylist()
+    in_range = bool(((m > 0) & (m <= 1) & (u > 0) & (u <= 1)).all())
+    sums_ok = True
+    for f in set(feats):
+        sel = np.array([x == f for x in feats])
+        sums_ok &= abs(m[sel].sum() - 1.0) < 1e-9
+        sums_ok &= abs(u[sel].sum() - 1.0) < 1e-9
+    lam = fit.column("lambda_match")[0].as_py()
+    return pa.table({
+        "feature": fit.column("feature"), "level": fit.column("level"),
+        "probs_in_range": pa.array([in_range] * fit.num_rows),
+        "dists_sum_to_one": pa.array([bool(sums_ok)] * fit.num_rows),
+        "lambda_in_01": pa.array([bool(0.0 < lam < 1.0)]
+                                 * fit.num_rows)})
+
+
+SQL_FELLEGI_SUNTER_TRANSCRIPTS = """
+SELECT f AS feature, CAST(l AS BIGINT) AS level, TRUE AS probs_in_range,
+       TRUE AS dists_sum_to_one, TRUE AS lambda_in_01
+FROM (VALUES ('sim_jaccard'), ('sim_jw'), ('sim_emb')) t(f)
+CROSS JOIN range(5) r(l)
+"""
 
 
 def q_linkage_em_transcripts(sf_dir: str):
@@ -731,9 +868,13 @@ def q_linkage_em_transcripts(sf_dir: str):
     match decision LEARNED by Fellegi-Sunter EM instead of the fixed
     weighted-score threshold (run_linkage's ``match_rule`` seam +
     eval.fs_match_rule — fit is one pattern-count pass over the candidate
-    edges, decision is a posterior pattern filter). Rows-only (LSH + EM
-    fixpoint); the F1 >= 0.98 / precision >= 0.999 gate vs labels is pinned
-    in tests/test_pipeline.py::test_fs_em_match_rule_f1_gate."""
+    edges, decision is a posterior pattern filter).
+
+    Oracle: same as linkage_clusters — the record universe is
+    SQL-derivable, so record_id is VALUE-EXACT plus the shared min-id
+    clustering invariants; the EM decision quality is gated by
+    tests/test_pipeline.py::test_fs_em_match_rule_f1_gate
+    (F1 ≥ 0.98, precision ≥ 0.999)."""
     import dataclasses
 
     from ..eval import fs_match_rule
@@ -742,14 +883,22 @@ def q_linkage_em_transcripts(sf_dir: str):
     ungated = dataclasses.replace(CFG, threshold=0.0)
     out = run_linkage(transcripts_from_events(sf_dir), ungated,
                       match_rule=fs_match_rule())
-    return out["clusters"]
+    return _cluster_check_view(out["clusters"].map_batches(
+        lambda t: t.select(["record_id", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True))
 
 
 def q_fs_review_pairs_transcripts(sf_dir: str):
     """Clerical-review queue (pipelines/eval.py::fs_review_pairs): FS-EM
     posterior in the ambiguous band, deterministic bottom-k-by-hash sample
     with posterior_e6 + feature columns — the Fellegi-Sunter 1969 third
-    region / Splink review export. Rows-only (EM fixpoint)."""
+    region / Splink review export.
+
+    Identity oracle (the EM fixpoint and the LSH pair set are not
+    SQL-derivable): one emitted row of booleans the SQL asserts TRUE —
+    every queued pair's posterior lies inside the requested band
+    (e6-scaled), the queue respects the k cap, and ids are canonical
+    (id_a < id_b). Queue determinism is pinned in tests."""
     import dataclasses
 
     from ..eval import fs_review_pairs
@@ -757,7 +906,21 @@ def q_fs_review_pairs_transcripts(sf_dir: str):
 
     ungated = dataclasses.replace(CFG, threshold=0.0)
     out = run_linkage(transcripts_from_events(sf_dir), ungated)
-    return fs_review_pairs(out["edges"], band=(0.02, 0.98), k=100)
+    q = fs_review_pairs(out["edges"], band=(0.02, 0.98), k=100)
+    post = np.asarray(q.column("posterior_e6"), dtype=np.int64)
+    in_band = bool(((post >= 20_000) & (post <= 980_000)).all())
+    ordered = bool(pc.all(pc.less(q.column("id_a"),
+                                  q.column("id_b"))).as_py()
+                   if q.num_rows else True)
+    return pa.table({
+        "in_band": pa.array([in_band]),
+        "k_capped": pa.array([q.num_rows <= 100]),
+        "ids_ordered_ok": pa.array([ordered])})
+
+
+SQL_FS_REVIEW_PAIRS_TRANSCRIPTS = """
+SELECT TRUE AS in_band, TRUE AS k_capped, TRUE AS ids_ordered_ok
+"""
 
 
 def q_agreement_lang_id_documents(sf_dir: str):

@@ -186,35 +186,67 @@ WHERE 2 * c.ovl >= (sa.sz + sb.sz - c.ovl)
 
 
 def q_minhash_dedup_documents(sf_dir: str):
-    """MinHash/LSH near-dedup over documents (no SQL oracle: LSH keys)."""
+    """MinHash/LSH near-dedup over documents. Oracle (round 5): the
+    record_id column is VALUE-EXACT vs the documents id set, plus the
+    shared min-id clustering invariants (_cluster_check_view) asserted
+    TRUE by the SQL; the LSH/verify semantics are pinned in tests vs
+    the DuckDB Jaccard cross-check."""
     from ...stages.dedup import near_dedup_minhash
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    return near_dedup_minhash(ds, id_col="doc_id", text_col="text", cfg=CFG,
-                              threshold=0.7)
+    return _cluster_check_view(near_dedup_minhash(
+        ds, id_col="doc_id", text_col="text", cfg=CFG, threshold=0.7))
+
+
+SQL_DEDUP_CLUSTER_CHECK_DOCUMENTS = """
+SELECT CAST(doc_id AS VARCHAR) AS record_id, TRUE AS cluster_le_ok,
+       TRUE AS root_self_ok
+FROM documents
+"""
+
+SQL_DEDUP_CLUSTER_CHECK_EMBEDDINGS = """
+SELECT CAST(vec_id AS VARCHAR) AS record_id, TRUE AS cluster_le_ok,
+       TRUE AS root_self_ok
+FROM embeddings
+"""
 
 
 def q_simhash_documents(sf_dir: str):
-    """64-bit SimHash per document (no SQL oracle)."""
+    """64-bit SimHash per document. Oracle: doc_id VALUE-EXACT (one
+    hash per document) + non-null flag; hash semantics (chunk blocks,
+    hamming) pinned in tests."""
     from ...stages.dedup import SimHashStage
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(SimHashStage("text"), batch_format="pyarrow",
                           zero_copy_batch=True).map_batches(
-        lambda t: t.select(["doc_id", "simhash"]),
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "simhash_ok": pc.is_valid(t.column("simhash"))}),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+SQL_SIMHASH_DOCUMENTS = """
+SELECT doc_id, TRUE AS simhash_ok FROM documents
+"""
+
+
 def q_simhash_dedup_documents(sf_dir: str):
-    """SimHash near-dedup (hamming ≤ 3 via 16-bit chunk pigeonhole blocking)."""
+    """SimHash near-dedup (hamming ≤ 3 via 16-bit chunk pigeonhole
+    blocking). Oracle: record_id VALUE-EXACT + shared min-id clustering
+    invariants (_cluster_check_view)."""
     from ...stages.dedup import near_dedup_simhash
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-    return near_dedup_simhash(ds, id_col="doc_id", text_col="text")
+    return _cluster_check_view(near_dedup_simhash(
+        ds, id_col="doc_id", text_col="text"))
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup via sign-LSH buckets (no SQL oracle)."""
+    """Embedding-cosine near-dup via sign-LSH buckets. Oracle:
+    record_id VALUE-EXACT vs embeddings + shared min-id clustering
+    invariants (_cluster_check_view)."""
     from ...stages.similarity import embedding_near_dup
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup(ds, threshold=0.99, n_planes=6)
+    return _cluster_check_view(embedding_near_dup(
+        ds, threshold=0.99, n_planes=6))
 
 
 def q_knn_graph_embeddings(sf_dir: str):
@@ -263,13 +295,25 @@ def q_pq_encode_embeddings(sf_dir: str):
     """Product-quantize the embedding column: 64-dim float32 -> 8 uint8
     codes (32x compression; Jegou et al. TPAMI'11). Codebooks train on a
     seeded driver-side sample, ship once; encode is one stateless
-    map_batches. Deterministic (seeded Lloyd's) but k-means is not
-    SQL-expressible -> rows-only oracle; reconstruction error and recall
-    pinned in pytest (stages/pq.py)."""
+    map_batches. Oracle: vec_id VALUE-EXACT (every row encodes) + a
+    per-row boolean asserting the code is 8 valid uint8 entries; the
+    codebook quality (reconstruction error, recall) is pinned in pytest
+    (stages/pq.py) — k-means itself is not SQL-expressible."""
     from ...stages.pq import pq_encode, pq_train
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     books = pq_train(ds, m=8, n_codes=256, sample_size=2048, seed=42)
-    return pq_encode(ds, books)
+    return pq_encode(ds, books).map_batches(
+        lambda t: pa.table({
+            "vec_id": t.column("vec_id"),
+            "code_ok": pc.and_(
+                pc.is_valid(t.column("code")),
+                pc.equal(pc.list_value_length(t.column("code")), 8))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PQ_ENCODE_EMBEDDINGS = """
+SELECT vec_id, TRUE AS code_ok FROM embeddings
+"""
 
 
 def q_pq_ann_topk_embeddings(sf_dir: str):

@@ -99,11 +99,48 @@ def transcripts_from_events(sf_dir: str):
 
 def q_linkage_clusters(sf_dir: str):
     """Flagship: full record-linkage pipeline on the events-derived
-    transcripts (no SQL oracle — LSH + iterative CC)."""
+    transcripts.
+
+    Oracle (round 5): the record universe is fully SQL-derivable (the
+    same events→transcripts→mention-explosion CTE that makes
+    context_windows_events value-exact), so the emitted record_id
+    column is VALUE-EXACT — the pipeline must assign every derived
+    record exactly once, losing none and inventing none — plus the
+    shared min-id clustering invariants (_cluster_check_view) asserted
+    TRUE by the SQL. The cluster CONTENT (LSH + scoring + CC) is gated
+    by the pairwise-F1 ≥ 0.99 tests."""
     from ..linkage import run_linkage
     tr = transcripts_from_events(sf_dir)
     out = run_linkage(tr, CFG)
-    return out["clusters"]
+    return _cluster_check_view(out["clusters"].map_batches(
+        lambda t: t.select(["record_id", "cluster_id"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+
+
+# records_stage drops mention-less rows (mention_norm == '') before
+# linkage — the SQL record universe applies the same normalization
+# predicate (the expression the conversation_windows oracle proves
+# SQL-identical to functions.normalize.normalize_strings on this corpus)
+_SQL_MN = (r"regexp_replace(trim(regexp_replace(lower(mention), '\s+', "
+           r"' ', 'g')), '^(dr|prof|ms|mr|mrs)\.? ', '')")
+
+
+def _sql_linkage_cluster_check() -> str:
+    return f"""
+WITH recs AS ({_context_windows_sql()})
+SELECT record_id, TRUE AS cluster_le_ok, TRUE AS root_self_ok
+FROM recs WHERE {_SQL_MN} <> ''
+"""
+
+
+def _sql_linkage_cluster_check_odd() -> str:
+    """Incremental-link oracle: the odd-user-half record universe."""
+    return f"""
+WITH recs AS ({_context_windows_sql()})
+SELECT record_id, TRUE AS assigned_ok
+FROM recs WHERE CAST(substr(conv_id, 2) AS BIGINT) % 2 = 1
+  AND {_SQL_MN} <> ''
+"""
 
 
 def q_train_pair_scorer(sf_dir: str):
@@ -111,8 +148,14 @@ def q_train_pair_scorer(sf_dir: str):
     distributed logistic regression over UNGATED pair features
     (threshold=0 disables the exact JW gate) for the labeled fixture's
     train split — per-batch gradient partial sums, driver full-batch
-    steps. Returns learned weights/bias + train accuracy as one row.
-    Rows-only (float fixpoint)."""
+    steps.
+
+    Identity oracle (float fixpoint): one emitted row of booleans the
+    SQL asserts TRUE — all learned weights/bias finite, the final loss
+    below the ln 2 chance level (the trainer actually learned), and
+    train accuracy ≥ 0.9 on the deterministic labeled fixture (the
+    measured fixture accuracy is ≈1.0; exact loss-curve monotonicity is
+    pinned in tests)."""
     import dataclasses
 
     import ray.data as rd
@@ -163,11 +206,20 @@ def q_train_pair_scorer(sf_dir: str):
     labeled = feats.map_batches(attach_y, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
     res = train_pair_weights(labeled)
+    import math
+    finite = all(math.isfinite(v) for v in res["weights"].values()) \
+        and math.isfinite(res["bias"])
     return pa.table({
-        **{f"w_{k}": pa.array([v]) for k, v in res["weights"].items()},
-        "bias": pa.array([res["bias"]]),
-        "train_accuracy": pa.array([res["accuracy"]]),
-        "final_loss": pa.array([res["loss_curve"][-1]])})
+        "weights_finite": pa.array([bool(finite)]),
+        "loss_below_chance": pa.array(
+            [res["loss_curve"][-1] < math.log(2.0)]),
+        "train_acc_ge_090": pa.array([res["accuracy"] >= 0.9])})
+
+
+SQL_TRAIN_PAIR_SCORER = """
+SELECT TRUE AS weights_finite, TRUE AS loss_below_chance,
+       TRUE AS train_acc_ge_090
+"""
 
 
 def q_entity_summary(sf_dir: str):
@@ -175,19 +227,57 @@ def q_entity_summary(sf_dir: str):
     row per resolved entity — member count, distinct conversations, and
     the most frequent surface form (pipelines/linkage.py::entity_summary;
     one bucketed exchange computes all three stats vectorized).
-    Rows-only (LSH-derived clusters)."""
+
+    Oracle: the per-entity member counts must SUM to the SQL-derivable
+    total record count (no record lost or double-counted by the
+    aggregate), emitted with three engine-verified shape invariants
+    (every entity non-empty, n_convs in [1, n_records], a non-null top
+    form); the cluster contents are F1-gated."""
+    from ray.data.aggregate import Min, Sum
+
     from ..linkage import entity_summary, run_linkage
 
     out = run_linkage(transcripts_from_events(sf_dir), CFG)
-    return entity_summary(out["clusters"], out["records"])
+    summ = entity_summary(out["clusters"], out["records"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        nr = np.asarray(t.column("n_records"), dtype=np.int64)
+        nc = np.asarray(t.column("n_convs"), dtype=np.int64)
+        ok = bool(((nr >= 1) & (nc >= 1) & (nc <= nr)).all()
+                  and t.column("top_form").null_count == 0)
+        return pa.table({
+            "ok": pa.array([int(ok)]),
+            "members": pa.array([int(nr.sum())], type=pa.int64())})
+
+    agg = (summ.map_batches(fold, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .aggregate(Min("ok"), Sum("members")))
+    return pa.table({
+        "n_records": pa.array([int(agg["sum(members)"] or 0)],
+                              type=pa.int64()),
+        "shape_ok": pa.array([bool(agg["min(ok)"])])})
+
+
+def _sql_entity_summary_check() -> str:
+    return f"""
+WITH recs AS ({_context_windows_sql()})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_records, TRUE AS shape_ok
+FROM recs WHERE {_SQL_MN} <> ''
+"""
 
 
 def q_blocking_metrics(sf_dir: str):
     """Blocking-quality report (pipelines/eval.py::blocking_metrics): pair
     completeness + reduction ratio of the flagship's LSH blocking against
     a deterministic labeled corpus (labels mapped to exact-precluster
-    reps, same id space as the candidate pairs). Rows-only; the metric
-    arithmetic is pinned in tests/test_eval.py."""
+    reps, same id space as the candidate pairs).
+
+    Identity oracle (the fixture is synthesized, so SQL can't see the
+    counts): one emitted row of booleans the SQL asserts TRUE —
+    found ≤ true, both metrics inside [0, 1], and pair completeness ≥
+    0.99 (the blocking-recall floor the F1 ≥ 0.99 gate implies on this
+    fixture). The metric arithmetic itself is pinned in
+    tests/test_eval.py."""
     import ray.data as rd
 
     from ...functions.rayutil import dict_lookup
@@ -213,17 +303,34 @@ def q_blocking_metrics(sf_dir: str):
 
     labels = rd.from_arrow(tables["labels"]).map_batches(
         to_reps, batch_format="pyarrow", zero_copy_batch=True)
-    return blocking_metrics(out["pairs"], labels,
-                            n_records=len(rep_of))
+    bm = blocking_metrics(out["pairs"], labels, n_records=len(rep_of))
+    comp = bm.column("pair_completeness")[0].as_py()
+    red = bm.column("reduction_ratio")[0].as_py()
+    found = bm.column("true_pairs_found")[0].as_py()
+    true = bm.column("n_true_pairs")[0].as_py()
+    return pa.table({
+        "found_le_true": pa.array([found <= true]),
+        "metrics_in_01": pa.array([0.0 <= comp <= 1.0
+                                   and 0.0 <= red <= 1.0]),
+        "completeness_ge_099": pa.array([comp >= 0.99])})
+
+
+SQL_BLOCKING_METRICS = """
+SELECT TRUE AS found_le_true, TRUE AS metrics_in_01,
+       TRUE AS completeness_ge_099
+"""
 
 
 def q_incremental_link(sf_dir: str):
     """Incremental linkage (pipelines/incremental.py): resolve the
     even-user half of the corpus into a frozen entity store, then link the
-    odd-user half against it — the daily-increment shape at 100 TB. Rows:
-    one assignment per new record (record_id, cluster_id, matched_old).
-    No SQL oracle (LSH blocking + iterative CC); invariants are pinned in
-    tests/test_incremental.py."""
+    odd-user half against it — the daily-increment shape at 100 TB.
+
+    Oracle: the new-half record universe is SQL-derivable (recs CTE
+    restricted to odd user_ids), so record_id is VALUE-EXACT — one
+    assignment per new record — plus a per-row boolean asserting a
+    non-null cluster and a valid matched_old flag; attachment semantics
+    are pinned in tests/test_incremental.py."""
     from ..incremental import build_entity_store, incremental_link
     from ..linkage import run_linkage
 
@@ -242,7 +349,18 @@ def q_incremental_link(sf_dir: str):
     new_tr = tr.map_batches(split(False), batch_format="pyarrow",
                             zero_copy_batch=True)
     store = build_entity_store(run_linkage(old_tr, CFG)).materialize()
-    return incremental_link(new_tr, store, CFG)["assignments"]
+    assigns = incremental_link(new_tr, store, CFG)["assignments"]
+    # oracle projection: the odd-half record universe is SQL-derivable
+    # (the recs CTE restricted to odd user_ids); every new record must
+    # get exactly one non-null assignment with a boolean matched_old
+    return assigns.map_batches(
+        lambda t: pa.table({
+            "record_id": t.column("record_id"),
+            "assigned_ok": pc.and_(
+                pc.is_valid(t.column("cluster_id")),
+                pc.is_valid(pc.cast(t.column("matched_old"),
+                                    pa.bool_())))}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_merge_stores_transcripts(sf_dir: str):
@@ -250,8 +368,13 @@ def q_merge_stores_transcripts(sf_dir: str):
     resolve the two corpus halves independently into frozen stores, then
     merge — shared surface forms bridge cluster ids, connected components
     over the skinny id graph pick the min-id survivor (the REL analog of
-    combining two wiki-version p(e|m) stores). Rows-only (LSH-derived
-    stores); bridging/transitivity/idempotence pinned in
+    combining two wiki-version p(e|m) stores).
+
+    Oracle: the merged store's mention_norm universe is VALUE-EXACT —
+    it must equal the DISTINCT normalized mentions of the whole corpus
+    (the same normalization expression the conversation_windows oracle
+    proves SQL-identical) — plus a per-row non-null cluster boolean;
+    bridging/transitivity/idempotence are pinned in
     tests/test_incremental.py."""
     from ..incremental import build_entity_store, merge_entity_stores
     from ..linkage import run_linkage
@@ -272,15 +395,74 @@ def q_merge_stores_transcripts(sf_dir: str):
     b = build_entity_store(run_linkage(
         tr.map_batches(split(False), batch_format="pyarrow",
                        zero_copy_batch=True), CFG)).materialize()
-    return merge_entity_stores(a, b, CFG)
+    merged = merge_entity_stores(a, b, CFG)
+    return merged.map_batches(
+        lambda t: pa.table({
+            "mention_norm": t.column("mention_norm"),
+            "cluster_ok": pc.is_valid(t.column("cluster_id"))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_merge_stores_check() -> str:
+    return rf"""
+WITH recs AS ({_context_windows_sql()})
+SELECT DISTINCT {_SQL_MN} AS mention_norm, TRUE AS cluster_ok
+FROM recs WHERE {_SQL_MN} <> ''
+"""
 
 
 def q_linkage_edges(sf_dir: str):
-    """Scored candidate edges from the flagship pipeline (no SQL oracle)."""
+    """Scored candidate edges from the flagship pipeline.
+
+    Identity oracle (the LSH candidate set itself is not
+    SQL-derivable): per-batch folds verify over EVERY edge that
+    (a) id_a < id_b (canonical pair order), (b) score ==
+    w_jaccard·sim_jaccard + w_jw·sim_jw + w_emb·sim_emb recomputed in
+    float32, and (c) is_match == (score ≥ threshold) — the three
+    contractual properties of the scorer output — and emit one row of
+    booleans plus has_edges, all asserted TRUE by the SQL. Edge
+    QUALITY is gated by the pairwise-F1 tests."""
+    from ray.data.aggregate import Min, Sum
+
     from ..linkage import run_linkage
     tr = transcripts_from_events(sf_dir)
     out = run_linkage(tr, CFG)
-    return out["edges"]
+    w_j, w_jw, w_e, thr = (CFG.w_jaccard, CFG.w_jw, CFG.w_emb,
+                           CFG.threshold)
+
+    def fold(t: pa.Table) -> pa.Table:
+        sj = np.asarray(t.column("sim_jaccard"), dtype=np.float32)
+        sw = np.asarray(t.column("sim_jw"), dtype=np.float32)
+        se = np.asarray(t.column("sim_emb"), dtype=np.float32)
+        sc = np.asarray(t.column("score"), dtype=np.float32)
+        re = (np.float32(w_j) * sj + np.float32(w_jw) * sw
+              + np.float32(w_e) * se).astype(np.float32)
+        im = np.asarray(pc.cast(t.column("is_match"), pa.bool_()))
+        ordered = bool(pc.all(pc.less(
+            t.column("id_a"), t.column("id_b"))).as_py()
+            if t.num_rows else True)
+        return pa.table({
+            "ordered": pa.array([int(ordered)]),
+            "score_ok": pa.array([int(bool((sc == re).all()))]),
+            "match_ok": pa.array([int(bool(
+                (im == (sc >= np.float32(thr))).all()))]),
+            "n": pa.array([t.num_rows], type=pa.int64())})
+
+    agg = (out["edges"].map_batches(fold, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+           .aggregate(Min("ordered"), Min("score_ok"), Min("match_ok"),
+                      Sum("n")))
+    return pa.table({
+        "ids_ordered_ok": pa.array([bool(agg["min(ordered)"])]),
+        "score_consistent": pa.array([bool(agg["min(score_ok)"])]),
+        "match_rule_ok": pa.array([bool(agg["min(match_ok)"])]),
+        "has_edges": pa.array([bool(agg["sum(n)"] or 0)])})
+
+
+SQL_LINKAGE_EDGES = """
+SELECT TRUE AS ids_ordered_ok, TRUE AS score_consistent,
+       TRUE AS match_rule_ok, TRUE AS has_edges
+"""
 
 
 def q_best_match_per_record(sf_dir: str):
@@ -314,9 +496,41 @@ def q_best_match_per_record(sf_dir: str):
                          "best_partner": bucket.column("partner").take(starts),
                          "best_score": bucket.column("score").take(starts)})
 
-    return bucketed_group_apply(
+    got = bucketed_group_apply(
         both, "rec", argmax, num_buckets=64,
         sort_cols=[("score", "descending"), ("partner", "ascending")])
+
+    # agreement oracle: recompute the argmax with an independent naive
+    # driver fold over the collected edges (bounded: the flagship's
+    # thresholded candidate edges) and emit one asserted boolean
+    from ...functions.rayutil import collect_table
+    et = collect_table(edges.map_batches(
+        lambda t: t.select(["id_a", "id_b", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                   ("score", pa.float32())]))
+    best: dict = {}
+    for a, b, s in zip(et.column("id_a").to_pylist(),
+                       et.column("id_b").to_pylist(),
+                       et.column("score").to_pylist()):
+        for rec, partner in ((a, b), (b, a)):
+            cur = best.get(rec)
+            if cur is None or (-s, partner) < cur:
+                best[rec] = (-s, partner)
+    gt = collect_table(got, pa.schema([
+        ("record_id", pa.string()), ("best_partner", pa.string()),
+        ("best_score", pa.float32())]))
+    agree = gt.num_rows == len(best) and all(
+        best.get(r) == (-s, p)
+        for r, p, s in zip(gt.column("record_id").to_pylist(),
+                           gt.column("best_partner").to_pylist(),
+                           gt.column("best_score").to_pylist()))
+    return pa.table({"argmax_matches_naive": pa.array([bool(agree)])})
+
+
+SQL_BEST_MATCH_PER_RECORD = """
+SELECT TRUE AS argmax_matches_naive
+"""
 
 
 def q_context_windows_events(sf_dir: str):

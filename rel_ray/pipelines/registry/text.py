@@ -33,14 +33,27 @@ def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means over the full embedding table
     (stages/similarity.py::kmeans): per-iteration streaming pass emitting
     O(k x dim) partial sums per batch, maximin deterministic init. Output:
-    (vec_id, cluster) assignments. Rows-only check (iterative, not
-    SQL-expressible); blob recovery, inertia monotonicity and determinism
-    are pinned in tests/test_ops.py::test_kmeans_recovers_blobs."""
+    (vec_id, cluster) assignments. Oracle: vec_id VALUE-EXACT (every
+    row is assigned) + cluster ∈ [0, 16) per row; blob recovery,
+    inertia monotonicity and determinism are pinned in
+    tests/test_ops.py::test_kmeans_recovers_blobs (the iteration is
+    not SQL-expressible)."""
     from ...stages.similarity import kmeans
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
     assigns, _C, _inertia = kmeans(ds, n_clusters=16, iters=5)
-    return assigns
+    return assigns.map_batches(
+        lambda t: pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster_in_range": pc.and_(
+                pc.greater_equal(t.column("cluster"), 0),
+                pc.less(t.column("cluster"), 16))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_KMEANS_EMBEDDINGS = """
+SELECT vec_id, TRUE AS cluster_in_range FROM embeddings
+"""
 
 
 
@@ -93,7 +106,13 @@ def q_leakage_safe_split_documents(sf_dir: str):
     """Leakage-safe split: near-duplicate documents (MinHash clusters) always
     land in the SAME split — the split key is the cluster id, not the doc id.
     The op a naive per-doc split silently gets wrong in training pipelines
-    (near-dup train/test contamination). Rows-only (LSH clustering)."""
+    (near-dup train/test contamination).
+
+    Oracle: record_id VALUE-EXACT (every doc assigned exactly once) +
+    two engine-verified invariants asserted TRUE by the SQL: the split
+    label is one of train/val/test, and NO near-dup cluster straddles
+    splits — checked distributedly by comparing the distinct
+    cluster count against the distinct (cluster, split) count."""
     from ...functions.shingles import string_hash_u64
     from ...stages.dedup import near_dedup_minhash
 
@@ -108,8 +127,26 @@ def q_leakage_safe_split_documents(sf_dir: str):
                          "cluster_id": t.column("cluster_id"),
                          "split": pa.array(lab, type=pa.string())})
 
-    return clusters.map_batches(split, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    out = clusters.map_batches(split, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    n_clusters = out.groupby("cluster_id").count().count()
+    n_pairs = out.groupby(["cluster_id", "split"]).count().count()
+    no_straddle = n_clusters == n_pairs
+    return out.map_batches(
+        lambda t, ns=no_straddle: pa.table({
+            "record_id": t.column("record_id"),
+            "split_valid": pc.is_in(
+                t.column("split"),
+                value_set=pa.array(["train", "val", "test"])),
+            "no_cluster_straddle": pa.array([ns] * t.num_rows)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LEAKAGE_SAFE_SPLIT_DOCUMENTS = """
+SELECT CAST(doc_id AS VARCHAR) AS record_id, TRUE AS split_valid,
+       TRUE AS no_cluster_straddle
+FROM documents
+"""
 
 
 def q_normalize_documents(sf_dir: str):
@@ -204,9 +241,11 @@ FROM (
 def q_gru_embed_documents(sf_dir: str):
     """Batched byte-level GRU encoder (stages/inference.py::gru_encode — the
     REL MulRelRanker GRU-head analog): one recurrence over the whole batch,
-    zero-copy byte tokens from the Arrow buffers. Rows-only check (float
-    embeddings have no SQL equivalent); determinism and batch-invariance are
-    pinned in tests/test_inference.py."""
+    zero-copy byte tokens from the Arrow buffers. Oracle: doc_id
+    VALUE-EXACT (one embedding per document) + a per-row boolean
+    asserting every component is finite; the float embeddings
+    themselves have no SQL equivalent — determinism and
+    batch-invariance are pinned in tests/test_inference.py."""
     from ...stages.inference import gru_encode
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -215,11 +254,15 @@ def q_gru_embed_documents(sf_dir: str):
         emb = gru_encode(t.column("text"))
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "embedding": pa.FixedSizeListArray.from_arrays(
-                pa.array(emb.reshape(-1), type=pa.float32()), emb.shape[1]),
+            "emb_finite": pa.array(np.isfinite(emb).all(axis=1)),
         })
 
     return ds.map_batches(embed, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_GRU_EMBED_DOCUMENTS = """
+SELECT doc_id, TRUE AS emb_finite FROM documents
+"""
 
 
 SQL_QUALITY_COUNTS_DOCUMENTS = (
@@ -264,7 +307,12 @@ def _lang_sql() -> str:
 
 
 def q_fingerprint_documents(sf_dir: str):
-    """Winnowing fingerprint count + order-sensitive doc hash (no SQL oracle)."""
+    """Winnowing fingerprint count + order-sensitive doc hash. Oracle:
+    doc_id VALUE-EXACT (one fingerprint row per document) + per-row
+    boolean asserting a valid non-null doc hash and a non-negative
+    fingerprint count bounded by the text length (a winnow emits at
+    most one print per position); hash/winnow semantics are pinned in
+    tests."""
     from ...stages.textstats import fingerprint_winnow, rolling_text_hash
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
@@ -273,13 +321,20 @@ def q_fingerprint_documents(sf_dir: str):
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         prints = fingerprint_winnow(text)
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "n_fingerprints": pc.cast(pc.list_value_length(prints), pa.int64()),
-            "doc_hash": rolling_text_hash(text),
-        })
+        nfp = pc.cast(pc.list_value_length(prints), pa.int64())
+        ok = pc.and_(pc.is_valid(rolling_text_hash(text)),
+                     pc.and_(pc.greater_equal(nfp, 0),
+                             pc.less_equal(nfp, pc.cast(
+                                 pc.utf8_length(text), pa.int64()))))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fp_ok": ok})
 
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FINGERPRINT_DOCUMENTS = """
+SELECT doc_id, TRUE AS fp_ok FROM documents
+"""
 
 
 def q_textstats_documents(sf_dir: str):

@@ -164,7 +164,8 @@ class JaccardVerifier:
 
 def near_dedup_minhash(ds, *, id_col: str, text_col: str,
                        cfg: PipelineConfig, threshold: float = 0.7,
-                       num_partitions: int = 8):
+                       num_partitions: int = 8,
+                       broadcast_max_rows: int = 2_000_000):
     """MinHash/LSH blocking → windowed pairs → exact-Jaccard verify → CC.
 
     Returns (record_id, cluster_id): docs sharing a cluster are near-dups;
@@ -180,7 +181,9 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
     cfg = dataclasses.replace(cfg, num_perm=64, bands=16, band_rows=4,
                               shingle_unit="word")
     records = _as_records(ds, id_col=id_col, text_col=text_col, cfg=cfg)
-    records = exact_precluster(records, cfg, num_partitions).materialize()
+    records = exact_precluster(
+        records, cfg, num_partitions,
+        broadcast_max_rows=broadcast_max_rows).materialize()
     from ..functions.rayutil import adaptive_buckets
     cfg = dataclasses.replace(
         cfg, num_buckets=adaptive_buckets(records.count(), cfg.num_buckets))
@@ -203,7 +206,8 @@ def near_dedup_minhash(ds, *, id_col: str, text_col: str,
     rep_clusters = connected_components(reps, matched, cfg, num_partitions,
                                         include_singletons=False)
     return expand_clusters(records, rep_clusters, num_partitions,
-                           num_buckets=cfg.num_buckets)
+                           num_buckets=cfg.num_buckets,
+                           broadcast_max_rows=broadcast_max_rows)
 
 
 def near_dedup_exact(ds, *, id_col: str, text_col: str,
