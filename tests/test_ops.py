@@ -2980,6 +2980,56 @@ class TestTimeWeightedAvg:
         assert out["twa_e6"].tolist() == [-2571428]
 
 
+class TestJpegCodec:
+    def test_solid_roundtrip_exact(self, ray_session):
+        from rel_ray.stages.jpeg import decode_jpeg, encode_jpeg
+        img = np.full((16, 24, 3), [200, 64, 30], dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        # solid colour = DC-only blocks; the quantized DC round-trips
+        assert np.array_equal(dec, img)
+
+    def test_gradient_psnr_and_grey(self, ray_session):
+        from rel_ray.stages.jpeg import decode_jpeg, encode_jpeg
+        x = np.linspace(0, 255, 64)
+        g0, g1 = np.meshgrid(x, x)
+        img = np.stack([g0, g1, (g0 + g1) / 2], axis=-1).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=90))
+        err = dec.astype(float) - img.astype(float)
+        psnr = 10 * np.log10(255**2 / np.mean(err**2))
+        assert psnr > 40, psnr
+        grey = g0.astype(np.uint8)
+        dg = decode_jpeg(encode_jpeg(grey, quality=90))
+        assert dg.shape == (64, 64, 3)
+        gerr = dg[..., 0].astype(float) - grey.astype(float)
+        assert 10 * np.log10(255**2 / np.mean(gerr**2)) > 40
+
+    def test_nonmultiple_of_8_and_noise(self, ray_session):
+        from rel_ray.stages.jpeg import decode_jpeg, encode_jpeg
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape
+        err = dec.astype(float) - img.astype(float)
+        assert 10 * np.log10(255**2 / np.mean(err**2)) > 30
+
+    def test_rejects_non_baseline(self, ray_session):
+        import pytest as _pt
+        from rel_ray.stages.jpeg import decode_jpeg
+        with _pt.raises(ValueError, match="SOI"):
+            decode_jpeg(b"nope")
+        with _pt.raises(ValueError, match="baseline"):
+            decode_jpeg(b"\xFF\xD8\xFF\xC2\x00\x04\x00\x00")
+
+    def test_media_decoder_dispatch(self, ray_session):
+        from rel_ray.stages.jpeg import encode_jpeg
+        from rel_ray.stages.multimodal import MediaDecoder
+        img = np.full((8, 8, 3), 128, dtype=np.uint8)
+        dec = MediaDecoder(fake=False, dim=8)
+        f = dec.decode(encode_jpeg(img, quality=90), "image/jpeg", 8)
+        assert f.shape == (8,)
+        assert np.allclose(f, 128 / 255.0, atol=2e-2)
+
+
 class TestPpmCodec:
     def test_roundtrip_and_known_pixels(self, ray_session):
         import numpy as np
