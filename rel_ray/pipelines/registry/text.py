@@ -406,13 +406,19 @@ FROM (
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal decode + frame-sample over REAL encoded payloads (rows-only:
-    byte parsing is not SQL-expressible): the media parquet carries actual
-    24-bit BMP images and 16-bit PCM WAV tones, decoded by the pure-numpy
-    codecs (stages/multimodal.decode_bmp/decode_wav — known-answer pinned in
-    tests/test_ops.py). Written once per sf_dir under /tmp, then read_parquet
-    → actor-pool decode (small batches for binary payloads) → per-frame
-    explode by duration metadata."""
+    """Multimodal decode + frame-sample over REAL encoded payloads: the
+    media parquet carries actual 24-bit BMP / baseline JPEG images and
+    16-bit PCM WAV tones, decoded by the pure-numpy codecs
+    (stages/multimodal + stages/jpeg — known-answer pinned in
+    tests/test_ops.py). Written once per sf_dir under /tmp, then
+    read_parquet → actor-pool decode (small batches for binary
+    payloads) → per-frame explode by duration metadata.
+
+    Oracle: (media_id, kind) are VALUE-EXACT — the deterministic
+    generator's id grid and even/odd kind rule are plain SQL — plus two
+    per-row contract booleans asserted TRUE: every decoded feature mean
+    lies in [0, 1] and the frame count is non-negative. The decoded
+    pixel/sample values are pinned by the codec known-answer tests."""
     import hashlib
     import os
 
@@ -464,7 +470,24 @@ def q_multimodal_features(sf_dir: str):
         return t.append_column("n_frames", nf)
 
     return summary.map_batches(attach, batch_format="pyarrow",
-                               zero_copy_batch=True)
+                               zero_copy_batch=True).map_batches(
+        lambda t: pa.table({
+            "media_id": t.column("media_id"),
+            "kind": t.column("kind"),
+            "feat_mean_in_01": pc.and_(
+                pc.greater_equal(t.column("feat_mean"), 0.0),
+                pc.less_equal(t.column("feat_mean"), 1.0)),
+            "n_frames_nonneg": pc.greater_equal(t.column("n_frames"),
+                                                0)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT CAST(r AS BIGINT) AS media_id,
+       CASE WHEN r % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       TRUE AS feat_mean_in_01, TRUE AS n_frames_nonneg
+FROM range(256) t(r)
+"""
 
 
 # ---------------------------------------------------------------------------
