@@ -84,15 +84,46 @@ def _cluster_check_view(mapped, *, id_type=None):
 # intrinsic recall of any sublinear method is low and scale-dependent
 # (measured lsh 0.18 / pq 0.64 / ivfpq 0.56 mean@sf0.01, different
 # again at sf0.1) — a bar tight enough to mean anything would be
-# data-luck, not correctness. Those queries stay rows-only; their
-# recall pins live in tests on CONSTRUCTED clustered fixtures where
-# ≥0.9 is the algorithm's property rather than the data's.
+# data-luck, not correctness. Those queries instead carry the
+# STRUCTURAL grid oracle below (the (query, rank) grid is exact; which
+# neighbors fill it is the approximate part), and their recall pins
+# live in tests on CONSTRUCTED clustered fixtures where ≥0.9 is the
+# algorithm's property rather than the data's.
+
+
+def _topk_grid_view(out, *, qid_col: str = "query_id",
+                    nid_col: str = "vec_id", rank_col: str = "rank"):
+    """Structural oracle projection for approximate top-k outputs:
+    (qid, rank) — VALUE-EXACT when the method fills a complete
+    contiguous top-k per query on the (deterministic) data — plus a
+    per-row non-null neighbor boolean. A lost query, short result list
+    or duplicated rank breaks the grid and the hash."""
+    return out.map_batches(
+        lambda t: pa.table({
+            qid_col: pc.cast(t.column(qid_col), pa.int64()),
+            rank_col: pc.cast(t.column(rank_col), pa.int64()),
+            "neighbor_ok": pc.is_valid(t.column(nid_col))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ANN_GRID_5Q_K10 = """
+SELECT q.vec_id AS query_id, CAST(r + 1 AS BIGINT) AS rank,
+       TRUE AS neighbor_ok
+FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5) q
+CROSS JOIN range(10) t(r)
+"""
+
+SQL_KNN_GRID_K5 = """
+SELECT vec_id, CAST(r + 1 AS BIGINT) AS rank, TRUE AS neighbor_ok
+FROM embeddings CROSS JOIN range(5) t(r)
+"""
 
 # ---------------------------------------------------------------------------
 # relational parity (REL store-build analytics analogs, SURVEY §2.5/2.6)
 # ---------------------------------------------------------------------------
 
 
-__all__ = ['CFG', 'Count', 'Sum', '_LANG_MARKERS', '_cents',
-           '_cluster_check_view', '_pq', '_pq_nrows', 'annotations',
+__all__ = ['CFG', 'Count', 'SQL_ANN_GRID_5Q_K10', 'SQL_KNN_GRID_K5',
+           'Sum', '_LANG_MARKERS', '_cents', '_cluster_check_view',
+           '_pq', '_pq_nrows', '_topk_grid_view', 'annotations',
            'np', 'os', 'pa', 'pc', 'rd']
