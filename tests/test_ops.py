@@ -444,6 +444,38 @@ def test_fingerprint_winnow_matches_loop_reference():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_forced_fallback_path_equivalent():
+    """broadcast_max_rows=0 + cc_local_max_edges=0 drives exact
+    pre-cluster, cluster expansion AND connected components through
+    their cogroup/label-prop fallbacks end-to-end; the cluster map must
+    equal the broadcast fast path's byte for byte."""
+    import dataclasses
+
+    from rel_ray.stages.dedup import near_dedup_minhash
+
+    texts = ([f"shared boilerplate sentence tail marker {i % 7} end"
+              for i in range(40)]
+             + ["one unique document about a garden shed"]
+             + [f"shared boilerplate sentence tail marker {i % 7} end"
+                for i in range(13)])
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+
+    def run(**kw):
+        cfg = dataclasses.replace(DEFAULT_CONFIG,
+                                  **kw.pop("cfg_kw", {}))
+        out = _collect(near_dedup_minhash(
+            rd.from_arrow(tbl).repartition(3), id_col="doc_id",
+            text_col="text", cfg=cfg, threshold=0.5, **kw))
+        return dict(zip(out.column("record_id").to_pylist(),
+                        out.column("cluster_id").to_pylist()))
+
+    fast = run()
+    slow = run(broadcast_max_rows=0,
+               cfg_kw={"cc_local_max_edges": 0})
+    assert fast == slow and len(fast) == len(texts)
+
+
 def test_minhash_dedup_duckdb_cross_check():
     """Independent verification of near_dedup_minhash cluster memberships:
     DuckDB computes exact word-3-gram Jaccard for every SAME-CLUSTER pair
