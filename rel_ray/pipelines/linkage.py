@@ -628,9 +628,10 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
     ``broadcast_max_rows=0`` no table of any size is ever collected to the
     driver (byte-identical clusters to the broadcast path; see
     tests/test_pipeline.py::test_linkage_cogroup_fallback_driver_free)."""
-    records = exact_precluster(
-        records0, cfg, num_partitions,
-        broadcast_max_rows=broadcast_max_rows).materialize()
+    with _phase_timer("cg_exact_precluster"):
+        records = exact_precluster(
+            records0, cfg, num_partitions,
+            broadcast_max_rows=broadcast_max_rows).materialize()
 
     reps = records.map_batches(
         lambda t: t.filter(pc.equal(t.column("record_id"), t.column("rep_id"))).select(
@@ -641,8 +642,9 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
     blocks = salted_blocking(reps, cfg,
                              est_rows=records.count() * cfg.bands)
     pairs = pairs_stage(blocks, cfg, num_partitions)
-    edges = scoring_stage(pairs, cfg, scorer=scorer,
-                          scorer_kwargs=scorer_kwargs).materialize()
+    with _phase_timer("cg_score_edges"):
+        edges = scoring_stage(pairs, cfg, scorer=scorer,
+                              scorer_kwargs=scorer_kwargs).materialize()
 
     matched, matched_scored = _match_filtered(edges, match_rule)
     all_edges = matched.union(_coref_edges(
@@ -650,8 +652,10 @@ def _run_linkage_cogroup(records0, turns, cfg: PipelineConfig,
         broadcast_max_rows=broadcast_max_rows,
         num_buckets=cfg.num_buckets))
 
-    rep_clusters = connected_components(reps, all_edges, cfg, num_partitions,
-                                        include_singletons=False)
+    with _phase_timer("cg_connected_components"):
+        rep_clusters = connected_components(
+            reps, all_edges, cfg, num_partitions,
+            include_singletons=False).materialize()
     rep_conf = _cluster_conf_ds(rep_clusters, matched_scored,
                                 num_buckets=cfg.num_buckets)
     clusters = expand_clusters(records, rep_conf, num_partitions,

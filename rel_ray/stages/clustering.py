@@ -53,7 +53,8 @@ def _propagate_bucket(bucket: pa.Table) -> pa.Table:
     n = bucket.num_rows
     if n == 0:
         return pa.table({"dst": pa.array([], type=pa.string()),
-                         "label": pa.array([], type=pa.string())})
+                         "label": pa.array([], type=pa.string()),
+                         "selfm": pa.array([], type=pa.int8())})
     node = bucket.column("node")
     nbr = bucket.column("nbr")
     label = bucket.column("label")
@@ -72,6 +73,7 @@ def _propagate_bucket(bucket: pa.Table) -> pa.Table:
     dst_msg = nbr.filter(pa.array(is_msg))
     lbl_msg = seg_label.take(pa.array(seg_idx[is_msg]))
     dst_self = node.take(starts_arr)
+    n_msg = int(is_msg.sum())
     return pa.table({
         "dst": pa.concat_arrays([dst_msg.combine_chunks()
                                  if isinstance(dst_msg, pa.ChunkedArray) else dst_msg,
@@ -81,7 +83,40 @@ def _propagate_bucket(bucket: pa.Table) -> pa.Table:
                                    if isinstance(lbl_msg, pa.ChunkedArray) else lbl_msg,
                                    seg_label.combine_chunks()
                                    if isinstance(seg_label, pa.ChunkedArray) else seg_label]),
+        # the self message carries the node's CURRENT label — flagging it
+        # lets the min fold detect label changes in the same pass (the
+        # former separate union+groupby convergence check was a full extra
+        # exchange per round, measured at 5x the propagate cost)
+        "selfm": pa.array(np.concatenate([
+            np.zeros(n_msg, dtype=np.int8),
+            np.ones(len(starts), dtype=np.int8)])),
     })
+
+
+def _min_changed_bucket(bucket: pa.Table) -> pa.Table:
+    """Pass 2 over one bucket sorted by (dst, label): per dst segment emit
+    the min label plus a changed flag (min != the self message's label —
+    min-label propagation is monotone non-increasing, so != means <)."""
+    n = bucket.num_rows
+    if n == 0:
+        return pa.table({"node": pa.array([], type=pa.string()),
+                         "label": pa.array([], type=pa.string()),
+                         "chg": pa.array([], type=pa.int64())})
+    dst = bucket.column("dst")
+    label = bucket.column("label")
+    if isinstance(label, pa.ChunkedArray):
+        label = label.combine_chunks()
+    starts = np.asarray(segment_starts(dst))
+    selfm = np.asarray(bucket.column("selfm"), dtype=np.int8)
+    self_pos = np.flatnonzero(selfm == 1)
+    if len(self_pos) != len(starts):
+        raise ValueError("label-prop contract: expected exactly one self "
+                         "message per destination node")
+    min_label = label.take(pa.array(starts))
+    self_label = label.take(pa.array(self_pos))
+    chg = pc.cast(pc.not_equal(min_label, self_label), pa.int64())
+    return pa.table({"node": dst.take(pa.array(starts)),
+                     "label": min_label, "chg": chg})
 
 
 def connected_components(
@@ -134,8 +169,28 @@ def connected_components(
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     n_active = active.count()
 
+    # Round structure (round-5 rework, measured at 6M turns / 32 CPUs:
+    # 482 s -> see BENCH.md):
+    #   1. propagate: one bucketed exchange emits every neighbor message
+    #      plus a FLAGGED self message carrying the old label;
+    #   2. min-fold: one bucketed exchange computes each node's new min
+    #      label AND the changed flag in the same pass — the former
+    #      union+groupby convergence check was a third full exchange per
+    #      round measured at 5x the propagate cost;
+    #   3. shortcut (SV pointer jumping): label' = label[label] via one
+    #      cogroup hop — effective propagation distance DOUBLES per
+    #      round, so diameter-d components converge in O(log d) rounds
+    #      instead of d (a 20-deep coref chain took 14 of the 15 allowed
+    #      rounds before; the cap is now a ~2^15-diameter backstop).
+    import os as _os
+    import time as _time
+
+    from ..functions.rayutil import sever_lineage
+    from ..stages.joins import cogroup_inner_join
+    _prof = _os.environ.get("REL_RAY_PROFILE")
     done = False
-    for _ in range(cfg.max_cc_iters):
+    for _round in range(cfg.max_cc_iters):
+        _t0 = _time.time()
         as_union_rows = active.map_batches(
             lambda t: pa.table({
                 "node": t.column("node"),
@@ -145,28 +200,63 @@ def connected_components(
         msgs = bucketed_group_apply(
             as_union_rows.union(topo), "node", _propagate_bucket,
             num_buckets=cfg.num_buckets, sort_cols=[("nbr", "ascending")])
-        from ..functions.rayutil import grouped_min
-        new = grouped_min(msgs, "dst", "label",
-                          num_buckets=cfg.num_buckets).map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
-        common = (
-            active.union(new).groupby(["node", "label"]).count()
-            .map_batches(lambda t: t.filter(pc.equal(t.column("count()"), 2)),
-                         batch_format="pyarrow", zero_copy_batch=True)
-            .count())
-        # drop the retained plan DAG on the loop-carried state — without
-        # this, per-round executor bookkeeping compounds (measured in the
-        # graph.py iterative loops; rayutil.sever_lineage)
-        from ..functions.rayutil import sever_lineage
-        active = sever_lineage(new)
-        if n_active - common == 0:
+        new = bucketed_group_apply(
+            msgs, "dst", _min_changed_bucket,
+            num_buckets=cfg.num_buckets,
+            sort_cols=[("label", "ascending")]).materialize()
+        changed = new.sum("chg") or 0
+        _t1 = _time.time()
+        if changed == 0:
+            # stable under neighbor-min => fixpoint; drop the flag column
+            active = sever_lineage(new.map_batches(
+                lambda t: t.select(["node", "label"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+                .materialize())
             done = True
+            if _prof:
+                import sys as _sys
+                print(f"[cc-round] {_round}: propagate+min "
+                      f"{_t1 - _t0:.1f}s changed 0 (converged)",
+                      file=_sys.stderr, flush=True)
             break
+        lab_pairs = new.map_batches(
+            lambda t: pa.table({"node": t.column("label"),
+                                "orig": t.column("node"),
+                                "olabel": t.column("label")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        jumped = cogroup_inner_join(
+            lab_pairs,
+            new.map_batches(lambda t: t.select(["node", "label"]),
+                            batch_format="pyarrow", zero_copy_batch=True),
+            key="node", right_cols=["label"], how="left",
+            num_buckets=cfg.num_buckets)
+        active = jumped.map_batches(
+            lambda t: pa.table({
+                "node": t.column("orig"),
+                "label": pc.min_element_wise(
+                    pc.coalesce(t.column("label"), t.column("olabel")),
+                    t.column("olabel"))}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        # every round's two bucketed exchanges + the shortcut join emit
+        # ~(input + topo) blocks, so the loop-carried state DOUBLES its
+        # block count per round if left alone (measured 72->1692 blocks
+        # in 4 rounds at constant rows, with geometric wall growth from
+        # pure per-block task overhead) — compact before the next round
+        if active.num_blocks() > 128:
+            active = active.repartition(64).materialize()
+        active = sever_lineage(active)
+        if _prof:
+            import sys as _sys
+            print(f"[cc-round] {_round}: propagate+min {_t1 - _t0:.1f}s "
+                  f"shortcut {_time.time() - _t1:.1f}s "
+                  f"changed {changed} blocks {active.num_blocks()} "
+                  f"rows {active.count()}",
+                  file=_sys.stderr, flush=True)
     if not done:
         raise RuntimeError(
-            f"connected_components did not converge in {cfg.max_cc_iters} rounds — "
-            "component diameter exceeds the star-bridge design assumption")
+            f"connected_components did not converge in {cfg.max_cc_iters} "
+            "rounds — with pointer-jumping that is a component diameter "
+            f"past ~2^{cfg.max_cc_iters}; raise cfg.max_cc_iters")
 
     if not include_singletons:
         return active.map_batches(
